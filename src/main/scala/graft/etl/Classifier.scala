@@ -1,0 +1,82 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's AI enrichment step (SURVEY.md O11-O14) re-expressed as
+  * a pluggable classifier.
+  *
+  * The reference sends each row's criteria text to a remote LLM with a
+  * 7-category system prompt (`/root/reference/config.example.yaml:18-42`,
+  * call loop `/root/reference/etl.py:276-333`). For a deterministic,
+  * oracle-checkable engine the default implementation is a rule cascade
+  * distilled from the few-shot examples embedded in that prompt
+  * (categories at `config.example.yaml:20-28`, examples at `:33-39`):
+  *
+  *   1. no pregnancy/postpartum mention anywhere        → NOT MENTIONED
+  *   2. inclusion says "pregnant or postpartum"         → PREGNANT OR POSTPARTUM
+  *   3. inclusion says "trying to get pregnant"         → FERTILITY
+  *   4. inclusion says postpartum (and not pregnan*)    → POSTPARTUM
+  *   5. exclusion mentions pregnan*                     → EXCLUDE_PREGNANCY
+  *   6. inclusion requires a negative pregnancy test    → EXCLUDE_PREGNANCY
+  *   7. inclusion says "must be pregnant"               → ONLY_PREGNANCY
+  *   8. inclusion otherwise mentions pregnan*           → INCLUDE_PREGNANCY
+  *
+  * The text is split at the "Exclusion Criteria" marker the reference's
+  * own few-shot examples rely on.
+  */
+object RuleClassifier {
+
+  val Categories: Seq[String] = Seq(
+    "ONLY_PREGNANCY", "INCLUDE_PREGNANCY", "EXCLUDE_PREGNANCY", "POSTPARTUM",
+    "FERTILITY", "PREGNANT OR POSTPARTUM", "NOT MENTIONED")
+
+  /** Vectorized form: a codegen'd CASE over built-in string functions —
+    * this is the scale path (no UDF, no per-row JVM boundary). */
+  def classifyCol(criteria: Column): Column = {
+    val lc = lower(criteria)
+    val incl = split_part(lc, lit("exclusion criteria"), lit(1))
+    val excl = split_part(lc, lit("exclusion criteria"), lit(2))
+    when(!(lc.like("%pregnan%") || lc.like("%postpartum%")), "NOT MENTIONED")
+      .when(incl.like("%pregnant or postpartum%") || incl.like("%postpartum or pregnant%"), "PREGNANT OR POSTPARTUM")
+      .when(incl.like("%trying to get pregnant%"), "FERTILITY")
+      .when(incl.like("%postpartum%") && !incl.like("%pregnan%"), "POSTPARTUM")
+      .when(excl.like("%pregnan%"), "EXCLUDE_PREGNANCY")
+      .when(incl.like("%negative%pregnancy test%"), "EXCLUDE_PREGNANCY")
+      .when(incl.like("%must be pregnant%"), "ONLY_PREGNANCY")
+      .when(incl.like("%pregnan%"), "INCLUDE_PREGNANCY")
+      .otherwise("NOT MENTIONED")
+  }
+
+  /** Plain-Scala twin of [[classifyCol]] for the `mapPartitions` seam —
+    * kept in lockstep (ClassifierSpec asserts agreement). */
+  def classify(criteria: String): String = {
+    val lc = criteria.toLowerCase
+    val idx = lc.indexOf("exclusion criteria")
+    val incl = if (idx >= 0) lc.substring(0, idx) else lc
+    val excl = if (idx >= 0) lc.substring(idx + "exclusion criteria".length) else ""
+    if (!(lc.contains("pregnan") || lc.contains("postpartum"))) "NOT MENTIONED"
+    else if (incl.contains("pregnant or postpartum") || incl.contains("postpartum or pregnant")) "PREGNANT OR POSTPARTUM"
+    else if (incl.contains("trying to get pregnant")) "FERTILITY"
+    else if (incl.contains("postpartum") && !incl.contains("pregnan")) "POSTPARTUM"
+    else if (excl.contains("pregnan")) "EXCLUDE_PREGNANCY"
+    else if (incl.contains("negative") && incl.substring(incl.indexOf("negative")).contains("pregnancy test")) "EXCLUDE_PREGNANCY"
+    else if (incl.contains("must be pregnant")) "ONLY_PREGNANCY"
+    else if (incl.contains("pregnan")) "INCLUDE_PREGNANCY"
+    else "NOT MENTIONED"
+  }
+}
+
+/** Seam for a remote (LLM) classifier behind the same operator shape the
+  * reference uses: one call per row, rate-limited
+  * (`/root/reference/etl.py:276-331`). Implementations are used via
+  * [[Enrich.mapPartitionsEnrich]], which owns per-partition client reuse
+  * and throttling — never used by the deterministic test/oracle path. */
+trait RowClassifier extends Serializable {
+  def classify(criteria: String): Option[String]
+}
+
+/** Deterministic implementation of the seam (wraps [[RuleClassifier]]). */
+object RuleRowClassifier extends RowClassifier {
+  def classify(criteria: String): Option[String] = Some(RuleClassifier.classify(criteria))
+}

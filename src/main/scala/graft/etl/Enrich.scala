@@ -1,0 +1,92 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** The reference's enrichment gating, reproduced deliberately
+  * (SURVEY.md O15-O17; `/root/reference/etl.py:336-423`):
+  *
+  *   1. head-`maxRows` slice FIRST (`etl.py:355-364`),
+  *   2. THEN the tuning-set membership split (`etl.py:366-378`) — a row
+  *      outside the first `maxRows` is bypassed even if it is in the
+  *      tuning set (slice-then-filter order matters),
+  *   3. bypassed / failed rows get `'N/A'` (`etl.py:400-414`),
+  *   4. output order is processed-rows-first, bypassed-after
+  *      (`etl.py:409-414`) — made explicit here since Spark frames have
+  *      no implicit order.
+  *
+  * Spark has no implicit row order either, so the reference's "first N
+  * rows in API order" becomes `row_number` over an explicit order key.
+  * Scale note: a global row_number needs a single-partition window — fine
+  * for the head-N gate's own semantics (N is small: the reference caps at
+  * 100k rows) but the ungated classifier path below is the one meant for
+  * 100 TB runs (pure per-row expression, no window, no shuffle).
+  */
+object Enrich {
+
+  final case class GateConfig(
+      maxRows: Option[Long],
+      tuningSet: Option[Seq[String]],
+      aiColumn: String = "ai_determined_value")
+
+  /** Vectorized gated enrichment (deterministic classifier path). */
+  def gated(flat: DataFrame, cfg: GateConfig, orderKey: String = "nct_id"): DataFrame = {
+    val rn = row_number().over(Window.orderBy(col(orderKey))).cast(LongType)
+    val sliced = cfg.maxRows.map(n => rn <= n).getOrElse(lit(true))
+    val inSet = cfg.tuningSet
+      .map(ks => col(orderKey).isin(ks: _*))
+      .getOrElse(lit(true))
+    val processed = sliced && inSet
+    flat
+      .withColumn("processed", processed.cast(IntegerType))
+      .withColumn(cfg.aiColumn,
+        when(col("processed") === 1, RuleClassifier.classifyCol(col("criteria")))
+          .otherwise(lit("N/A")))
+      // reference output order: processed first, bypassed after (etl.py:409-414)
+      .orderBy(desc("processed"), col(orderKey))
+  }
+
+  /** Ungated full-table enrichment — the 100 TB path: a single codegen'd
+    * projection, no window, no shuffle. */
+  def enrichAll(flat: DataFrame, aiColumn: String = "ai_determined_value"): DataFrame =
+    flat.withColumn(aiColumn, RuleClassifier.classifyCol(col("criteria")))
+
+  /** The remote-classifier operator shape (SURVEY.md O13-O14): the
+    * reference calls the LLM once per row, strictly serially, sleeping
+    * `api_delay` between calls (`etl.py:329-331`) — ≤2 rows/s. Here the
+    * same black-box call runs on executors via `mapPartitions` with
+    *   - one client per partition (the reference re-creates none, we
+    *     amortize setup; `etl.py:236-273` init-once semantics preserved),
+    *   - a per-partition token bucket so aggregate QPS is bounded by
+    *     `partitions × perPartitionQps` (tune partition count to the
+    *     provider quota),
+    *   - failure → None → 'N/A' fill, matching `etl.py:400-407`.
+    * Called with [[RuleRowClassifier]] in tests; a real LLM impl plugs in
+    * without touching the operator. */
+  def mapPartitionsEnrich(
+      flat: DataFrame,
+      classifier: RowClassifier,
+      aiColumn: String = "ai_determined_value",
+      perPartitionQps: Double = 2.0): DataFrame = {
+    val schema = StructType(flat.schema.fields :+ StructField(aiColumn, StringType, nullable = false))
+    val criteriaIdx = flat.schema.fieldIndex("criteria")
+    val minIntervalNanos = (1e9 / perPartitionQps).toLong
+    val enriched = flat.rdd.mapPartitions { iter =>
+      // client-per-partition seam: a remote impl opens its connection here
+      var lastCall = 0L
+      iter.map { row =>
+        val criteria = if (row.isNullAt(criteriaIdx)) "N/A" else row.getString(criteriaIdx)
+        val now = System.nanoTime()
+        val wait = lastCall + minIntervalNanos - now
+        if (lastCall != 0L && wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+        lastCall = System.nanoTime()
+        val label = try classifier.classify(criteria).getOrElse("N/A")
+        catch { case _: Exception => "N/A" } // error-to-default fill, etl.py:400-407
+        Row.fromSeq(row.toSeq :+ label)
+      }
+    }
+    flat.sparkSession.createDataFrame(enriched, schema)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources for raw ClinicalTrials.gov-shaped study documents.
+  *
+  * The reference extracts studies from a paginated REST API
+  * (`/root/reference/etl.py:86-171`): GET a page, accumulate
+  * `studies`, follow `nextPageToken` until absent, hard-stop at 100
+  * pages. Page fetch is inherently serial (each request needs the
+  * previous page's token), so — as in the reference — pagination is a
+  * driver-side loop; Spark parallelism starts once the page set is
+  * known: all discovered pages are read by a single distributed
+  * `spark.read.json` over the file list (the "page union" of
+  * `etl.py:130-131` becomes one multi-file scan instead of N unions).
+  *
+  * Offline stand-in: a page document is a local JSON file and
+  * `nextPageToken` holds the *name of the next page file*. A real HTTP
+  * implementation would swap `readPageDoc` for a GET with the token as
+  * a query param — the loop shape is identical.
+  */
+object StudiesSource {
+
+  /** Read one studies-document file (`{"studies": [...], "nextPageToken"?}`)
+    * as a single-row DataFrame. */
+  def readPageDoc(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+
+  /** Explode a studies-document frame into one row per raw study. An
+    * all-empty `studies` array infers as array<string>, not
+    * array<struct> — treat that as zero rows rather than erroring. */
+  def explodeStudies(doc: DataFrame): DataFrame = {
+    val isStruct = doc.schema.fields.find(_.name == "studies").exists {
+      _.dataType match {
+        case org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _) => true
+        case _ => false
+      }
+    }
+    if (isStruct) doc.select(explode(col("studies")).as("study")).select("study.*")
+    else doc.sparkSession.emptyDataFrame
+  }
+
+  /** Follow the pagination chain starting at `first`, honoring the
+    * reference's 100-page safety cap (`etl.py:155-158`), then scan all
+    * pages in one distributed read. */
+  def readPaged(spark: SparkSession, dir: String, first: String = "page_1.json",
+                maxPages: Int = 100): DataFrame = {
+    var next: Option[String] = Some(first)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (next.isDefined && files.size < maxPages) {
+      val path = s"$dir/${next.get}"
+      files += path
+      val doc = readPageDoc(spark, path)
+      next =
+        if (doc.columns.contains("nextPageToken"))
+          doc.select(col("nextPageToken")).collect().headOption.flatMap(r => Option(r.getString(0)))
+        else None
+    }
+    val all = spark.read.option("multiLine", true).json(files.toSeq: _*)
+    if (all.columns.contains("studies")) explodeStudies(all)
+    else spark.emptyDataFrame
+  }
+
+  /** Read the single-file studies fixture (`fixtures/studies.json`). */
+  def readStudies(spark: SparkSession, path: String): DataFrame =
+    explodeStudies(readPageDoc(spark, path))
+}

@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.SparkTestSession
+
+/** Golden cases distilled from the reference prompt's few-shot examples
+  * (config.example.yaml:33-39) + lockstep between the vectorized Column
+  * cascade and its plain-Scala twin. */
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val golden = Seq(
+    // example 1: exclusion mentions pregnancy
+    ("Inclusion Criteria: women of childbearing potential need a negative pregnancy test. Exclusion Criteria: Pregnant at enrollment; currently pregnant.",
+      "EXCLUDE_PREGNANCY"),
+    // example 2: inclusion requires pregnancy
+    ("Inclusion Criteria: pregnant at enrollment; positive pregnancy test. Exclusion Criteria: active labor complications.",
+      "INCLUDE_PREGNANCY"),
+    // example 3: no mention
+    ("Inclusion Criteria: healthy adults. Exclusion Criteria: smokers.", "NOT MENTIONED"),
+    // example 4: negative test required in inclusion → exclusion semantics
+    ("Inclusion Criteria: negative serum pregnancy test; pregnancy test is negative. Exclusion Criteria: cardiac disease.",
+      "EXCLUDE_PREGNANCY"),
+    // example 5: postpartum
+    ("Inclusion Criteria: postpartum within 6 weeks. Exclusion Criteria: none.", "POSTPARTUM"),
+    // example 6: pregnant or postpartum
+    ("Inclusion Criteria: postpartum or pregnant women. Exclusion Criteria: none.", "PREGNANT OR POSTPARTUM"),
+    // example 7: fertility
+    ("Inclusion Criteria: trying to get pregnant. Exclusion Criteria: none.", "FERTILITY"),
+    // must-be-pregnant → ONLY
+    ("Inclusion Criteria: all participants must be pregnant at baseline. Exclusion Criteria: none.", "ONLY_PREGNANCY"),
+    // N/A criteria (missing module path)
+    ("N/A", "NOT MENTIONED"))
+
+  test("golden labels (scala impl)") {
+    golden.foreach { case (text, want) =>
+      assert(RuleClassifier.classify(text) == want, s"for: $text")
+    }
+  }
+
+  test("column impl agrees with scala impl on golden + fixture criteria") {
+    import spark.implicits._
+    val fixture = Flatten(StudiesSource.readStudies(spark, "/root/repo/fixtures/studies.json"))
+      .select("criteria").as[String].collect().toSeq
+    val texts = golden.map(_._1) ++ fixture
+    val viaCol = texts.toDF("criteria")
+      .select(RuleClassifier.classifyCol(col("criteria")).as("label"))
+      .as[String].collect().toSeq
+    val viaScala = texts.map(RuleClassifier.classify)
+    assert(viaCol == viaScala)
+  }
+
+  test("every output is one of the reference's 7 categories") {
+    val labels = golden.map(_._1).map(RuleClassifier.classify)
+    assert(labels.forall(RuleClassifier.Categories.contains))
+  }
+}

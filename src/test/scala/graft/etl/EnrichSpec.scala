@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Gate composition semantics (etl.py:355-378): slice FIRST, then
+  * tuning-set filter; bypassed rows N/A; processed-first output order. */
+class EnrichSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def flat = Flatten(StudiesSource.readStudies(spark, "/root/repo/fixtures/studies.json"))
+
+  private val tuning = Seq("NCT00000001", "NCT00000003", "NCT00000006", "NCT00000007", "NCT00000011")
+
+  test("slice-then-filter: in-set row beyond maxRows is bypassed") {
+    val out = Enrich.gated(flat, Enrich.GateConfig(Some(8L), Some(tuning))).collect()
+    val byId = out.map(r => r.getAs[String]("nct_id") -> r).toMap
+    // NCT00000011 is in the tuning set but is row 11 of the nct_id order → bypassed
+    assert(byId("NCT00000011").getAs[Int]("processed") == 0)
+    assert(byId("NCT00000011").getAs[String]("ai_determined_value") == "N/A")
+    // NCT00000001 is in-set and within the slice → processed with a real label
+    assert(byId("NCT00000001").getAs[Int]("processed") == 1)
+    assert(byId("NCT00000001").getAs[String]("ai_determined_value") == "EXCLUDE_PREGNANCY")
+  }
+
+  test("processed ∪ bypassed == input, disjoint; processed rows come first") {
+    val out = Enrich.gated(flat, Enrich.GateConfig(Some(8L), Some(tuning))).collect()
+    assert(out.length == 14)
+    val flags = out.map(_.getAs[Int]("processed")).toSeq
+    assert(flags.sorted(Ordering[Int].reverse) == flags) // processed-first order
+    assert(flags.count(_ == 1) == 4) // 5-member set minus NCT00000011 (out of slice)
+  }
+
+  test("no gates → everything processed (max_rows null, debug off)") {
+    val out = Enrich.gated(flat, Enrich.GateConfig(None, None)).collect()
+    assert(out.forall(_.getAs[Int]("processed") == 1))
+    assert(out.forall(_.getAs[String]("ai_determined_value") != null))
+  }
+
+  test("mapPartitions seam agrees with vectorized classifier") {
+    val viaMp = Enrich.mapPartitionsEnrich(flat, RuleRowClassifier, perPartitionQps = 1e9)
+      .select("nct_id", "ai_determined_value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaCol = Enrich.enrichAll(flat)
+      .select("nct_id", "ai_determined_value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaMp == viaCol)
+  }
+}
