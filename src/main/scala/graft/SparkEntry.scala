@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, Relational}
+import graft.queries.{DedupQueries, EtlQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{EtlQueries, Relational}
   */
 object SparkEntry {
 
-  private def registry: Seq[Relational.Q] = Relational.all ++ EtlQueries.all
+  private def registry: Seq[Relational.Q] =
+    Relational.all ++ EtlQueries.all ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A 6-table star join + aggregation (the reference pipeline has no joins

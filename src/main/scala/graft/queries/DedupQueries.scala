@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Deduplication operators over `documents` — exact, order-insensitive
+  * (bag-of-words), n-gram Jaccard near-dup, MinHash-LSH, SimHash, and
+  * embedding-cosine near-dup (BASELINE.json north star).
+  *
+  * Scale design: every variant is groupBy/join on a derived key — no
+  * crossJoin anywhere. Exact + BOW dedup shuffle once on the fingerprint;
+  * n-gram Jaccard joins on shared shingles (bounded because shingle
+  * document-frequency is capped); MinHash/LSH shrink the candidate space
+  * to band-bucket collisions before any exact verification; embedding
+  * near-dup blocks on the label (at 100 TB: on an LSH bucket or IVF cell).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private val toks: Column = split(col("text"), " ")
+
+  /** 5-gram word shingles (distinct), docs with ≥5 tokens. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(size(toks) >= 5)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(toks) - 4),
+          i => array_join(slice(toks, i, lit(5)), " "))).as("shingles"))
+
+  /** Exact dedup: survivor = min doc_id per identical text (hash-groupBy;
+    * the dropDuplicates plan shape with an explicit deterministic keeper). */
+  private val d01: Fn = (s, d) =>
+    docs(s, d).groupBy(md5(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "content_fp")
+      .orderBy("keep_id")
+  private val d01Sql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS content_fp
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** Order-insensitive dedup on the bag-of-words fingerprint — catches
+    * shuffled near-copies exact dedup misses (54 in the fixture corpus). */
+  private val d02: Fn = (s, d) =>
+    docs(s, d)
+      .groupBy(md5(array_join(array_sort(array_distinct(toks)), " ")).as("bow_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))), _.cast(StringType)), ",").as("members"))
+      .filter(col("n_docs") > 1)
+      .select("keep_id", "n_docs", "members")
+      .orderBy("keep_id")
+  private val d02Sql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+      |       array_to_string(list_sort(list(doc_id)), ',') AS members
+      |FROM documents
+      |GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.4): join on shared
+    * shingles, count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    * This is the ground-truth near-dup operator the LSH variants
+    * approximate. */
+  private val d03: Fn = (s, d) => {
+    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+  private val d03Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) AS jaccard
+      |FROM (SELECT i.d1, i.d2, i.inter, s1.n AS n1, s2.n AS n2
+      |      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id) t
+      |WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---- MinHash + LSH (no SQL oracle: hash family is engine-specific) ----
+
+  val MinhashPerms = 64
+  val LshBands = 32 // 32 bands × 2 rows: P(candidate) ≈ 1-(1-j²)^32
+
+  /** Per-document MinHash signature: for each of 64 seeded permutations,
+    * min over shingles of xxhash64(seed ++ shingle). Pure built-ins: the
+    * explode + 64 min-aggregates pattern keeps map-side partial
+    * aggregation and codegen. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val mins = (0 until MinhashPerms).map(j =>
+      min(xxhash64(lit(j.toString), col("s"))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashPerms).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup: band the signature (32 bands × 2 rows), bucket
+    * by band hash, generate candidate pairs per bucket, verify candidates
+    * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified subset). */
+  private val d04: Fn = (s, d) => {
+    val sig = minhashSignatures(s, d)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until LshBands).map { b =>
+        xxhash64(lit(b.toString), col("sig")(b * 2), col("sig")(b * 2 + 1))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    // exact-verification join back to shingle sets
+    val sh = shingled(s, d)
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
+    withSets
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(DoubleType))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup: 64-bit signature from token hashes (sign-weighted
+    * bit voting), candidates must share one of four 16-bit chunks
+    * (pigeonhole for hamming ≤ 3 guarantees; wider dists found
+    * best-effort), verified by popcount(xor) ≤ 8. */
+  private val d05: Fn = (s, d) => {
+    val tok = docs(s, d).select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$b")
+    }
+    val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v")))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2")).distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast(IntegerType))
+      .filter(col("hamming") <= 8)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup, label-blocked (at 100 TB the block key is
+    * an LSH bucket / IVF cell instead of the label — same join shape). */
+  private val d06: Fn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select(col("label"), col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+  private val d06Sql =
+    """SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |        sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+      |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |        sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+      |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d01_exact_dedup", d01, Some(d01Sql)),
+    Q("d02_bow_dedup", d02, Some(d02Sql)),
+    Q("d03_ngram_jaccard", d03, Some(d03Sql)),
+    Q("d04_minhash_lsh", d04, None),
+    Q("d05_simhash", d05, None),
+    Q("d06_embedding_neardup", d06, Some(d06Sql)))
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps
+import graft.queries.Relational.{Fn, Q}
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k as the exact baseline, a random-hyperplane LSH variant and an
+  * IVF (centroid-partitioned) variant as the scale paths.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set
+  * against a full scan — correct at any data size when the query set is
+  * small, O(N·Q·dim). The LSH/IVF variants cut the scanned fraction:
+  * LSH buckets by signature; IVF probes the nearest centroid cells only.
+  * Both share the verification shape: candidate join → exact cosine →
+  * per-query top-k window.
+  */
+object SimilarityQueries {
+
+  val K = 10
+  val NumQueries = 5
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+  /** Exact top-k: broadcast the query vectors, scan once, window-rank.
+    * Rank on the 4dp-rounded sim with vec_id tiebreak so the ordering is
+    * identical in both engines. */
+  private val s01: Fn = (s, d) => {
+    val base = emb(s, d)
+    val topk = base.join(broadcast(queriesDf(s, d)), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    topk.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select("q_id", "rk", "vec_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+  private val s01Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  // ---------------- LSH (random hyperplanes, seeded & deterministic) ----
+
+  val LshTables = 8 // L independent hash tables...
+  val LshPlanesPerTable = 6 // ...of k sign-bits each: candidate iff any table collides
+  val Dim = 64
+
+  /** Seeded hyperplanes per table, as literal columns (deterministic
+    * across runs; tiny, so they live in the plan, not a table). */
+  private def planes(): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(LshTables)(Seq.fill(LshPlanesPerTable)(
+      Array.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** Array of per-table signatures (k sign-bits each). */
+  private def signatures(v: Column): Column = {
+    val ps = planes()
+    array(ps.map { table =>
+      table.zipWithIndex.map { case (p, i) =>
+        val proj = aggregate(
+          zip_with(v, lit(p), (x, w) => x.cast(DoubleType) * w),
+          lit(0.0), (acc, z) => acc + z)
+        when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** LSH ANN: a point is a candidate for a query iff they collide in ANY
+    * of the L tables; candidates are exact-scored and top-k ranked.
+    * At 100 TB the (table, sig) pair is the shuffle/bucketing key; the
+    * scan never computes full-corpus distances. Approximate: recall
+    * measured against s01 in DedupSimilaritySpec. */
+  private val s02: Fn = (s, d) => {
+    val base = emb(s, d).select(col("vec_id"), col("embedding"),
+        posexplode(signatures(col("embedding"))).as(Seq("tbl", "sig")))
+    val q = queriesDf(s, d).select(col("q_id"), col("qv"),
+        posexplode(signatures(col("qv"))).as(Seq("tbl", "sig")))
+    val cand = base.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "qv", "vec_id", "embedding").distinct()
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select("q_id", "rk", "vec_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF ANN: cells = per-label centroids (k-means stand-in with
+    * deterministic assignment); probe the 2 nearest cells per query.
+    * Centroid build: posexplode + avg per (label, pos) — one shuffle. */
+  private val s03: Fn = (s, d) => {
+    val e = emb(s, d)
+    val cells = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("cell"), transform(col("pairs"), p => p.getField("cx").cast(FloatType)).as("centroid"))
+    val q = queriesDf(s, d)
+    val probed = q.crossJoin(broadcast(cells))
+      .withColumn("csim", VectorOps.cosine(col("qv"), col("centroid")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("csim"), col("cell"))
+    val probes = probed.withColumn("prk", row_number().over(wq)).filter(col("prk") <= 2)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val cand = emb(s, d).join(broadcast(probes),
+        col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select("q_id", "rk", "vec_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Per-label centroids with order-independent exact accumulation:
+    * each float is scaled to a 1e-9 fixed-point long (truncation toward
+    * zero is identical in both engines; float→decimal casts are NOT),
+    * summed exactly, then divided back — deterministic at any parallelism. */
+  private val s04: Fn = (s, d) =>
+    emb(s, d).select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(((sum((col("x").cast(DoubleType) * lit(1e9)).cast(LongType)).cast(DoubleType) / lit(1e9))
+        / count(lit(1))).as("c"))
+      .filter(col("pos") < 8) // keep oracle output compact: first 8 dims
+      .select(col("label"), col("pos").cast(IntegerType).as("pos"), col("c"))
+      .orderBy("label", "pos")
+  private val s04Sql =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+      |  (CAST(sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+      |    / count(*) AS c
+      |FROM embeddings, range(1, 9) t(i)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("s01_ann_bruteforce", s01, Some(s01Sql)),
+    Q("s02_ann_lsh", s02, None),
+    Q("s03_ann_ivf", s03, None),
+    Q("s04_label_centroids", s04, Some(s04Sql)))
+}

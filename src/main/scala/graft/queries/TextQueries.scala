@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a training-data
+  * pipeline needs (BASELINE.json north star). Everything is built-in
+  * string/array functions (codegen'd, shuffle only where an aggregation
+  * demands it), so the same plans run at 100 TB with filters and column
+  * pruning pushed to the scan.
+  *
+  * Oracle parity notes: token ops assume the fixture's single-space
+  * tokenization (verified: no leading/trailing/double spaces); tf-idf uses
+  * ln() whose last-ulp may differ across libm implementations, so scores
+  * are rounded to 4dp before use in ordering with a total tiebreaker.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Per-document token/char statistics. avg word length is derived from
+    * (chars - spaces) / tokens so both engines do the identical double
+    * division. */
+  private val t01: Fn = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+      length(col("text")).cast(LongType).as("n_chars_computed"),
+      ((length(col("text")) - (size(toks) - 1)).cast(DoubleType) / size(toks).cast(DoubleType)).as("avg_word_len"))
+      .orderBy("doc_id")
+  private val t01Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+      |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Grouped corpus statistics per language label. */
+  private val t02: Fn = (s, d) =>
+    docs(s, d).groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  private val t02Sql =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Corpus-wide token frequency top-K (explode → count → top-k; at scale
+    * this is the classic word-count shuffle with map-side partial agg). */
+  private val t03: Fn = (s, d) =>
+    docs(s, d).select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(20)
+  private val t03Sql =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** tf-idf: top-3 terms per document (first 20 docs to keep the oracle
+    * output small). tf and df are exact integers; idf = ln(N/df) with the
+    * corpus size read from the table itself (sf-dependent). */
+  private val t04: Fn = (s, d) => {
+    val dd = docs(s, d)
+    val n = dd.count() // one scalar action for idf; oracle uses a subquery
+    val tf = dd.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3 && col("doc_id") < 20)
+      .select("doc_id", "term", "tfidf", "rk")
+      .orderBy("doc_id", "rk")
+  }
+  private val t04Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df), 4) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tfidf, rk FROM ranked
+      |WHERE rk <= 3 AND doc_id < 20 ORDER BY doc_id, rk""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length / punctuation-ratio / stopword-ratio
+    * heuristics combined into one score (identical double arithmetic on
+    * both sides). */
+  private val t05: Fn = (s, d) => {
+    val nTok = size(toks).cast(DoubleType)
+    val stopCount = size(filter(toks, t => t.isInCollection(stopwords))).cast(DoubleType)
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast(DoubleType)
+    val lenScore = least(col("n_chars").cast(DoubleType) / lit(1000.0), lit(1.0))
+    val stopRatio = stopCount / nTok
+    val punctRatio = punct / length(col("text")).cast(DoubleType)
+    docs(s, d).select(
+      col("doc_id"),
+      round(lenScore, 6).as("len_score"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(lit(0.5) * lenScore + lit(0.5) * stopRatio - lit(0.25) * punctRatio, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+  private val t05Sql = {
+    val set = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  round(least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0), 6) AS len_score,
+       |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS DOUBLE)
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+       |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       |  round(0.5 * least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0)
+       |      + 0.5 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |      - 0.25 * (CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |                / CAST(length(text) AS DOUBLE)), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: exact content hash + order-insensitive
+    * bag-of-words hash (the dedup key for reordered near-copies). */
+  private val t06: Fn = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("content_fp"),
+      md5(array_join(array_sort(array_distinct(toks)), " ")).as("bow_fp"))
+      .orderBy("doc_id")
+  private val t06Sql =
+    """SELECT doc_id, md5(text) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"))
+
+  /** Language-ID heuristic: stopword voting with a fixed precedence CASE.
+    * (The fixture text is synthetic shared-vocab soup, so the interesting
+    * property is determinism + operator shape, not linguistic accuracy.) */
+  private val t07: Fn = (s, d) => {
+    val counts = langStops.map { case (l, ws) =>
+      size(filter(toks, t => t.isInCollection(ws))).cast(IntegerType).as(s"c_$l")
+    }
+    val withCounts = docs(s, d).select(col("doc_id") +: counts: _*)
+    val guess =
+      when(col("c_es") >= col("c_en") && col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+        .when(col("c_de") >= col("c_en") && col("c_de") >= col("c_fr"), "de")
+        .when(col("c_fr") >= col("c_en"), "fr")
+        .otherwise("en")
+    withCounts.withColumn("lang_guess", guess)
+      .orderBy("doc_id")
+  }
+  private val t07Sql = {
+    def cnt(ws: Seq[String]) = {
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS INTEGER)"
+    }
+    val m = langStops.toMap
+    s"""SELECT doc_id,
+       |  ${cnt(m("en"))} AS c_en, ${cnt(m("es"))} AS c_es,
+       |  ${cnt(m("de"))} AS c_de, ${cnt(m("fr"))} AS c_fr,
+       |  CASE WHEN ${cnt(m("es"))} >= ${cnt(m("en"))} AND ${cnt(m("es"))} >= ${cnt(m("de"))} AND ${cnt(m("es"))} >= ${cnt(m("fr"))} THEN 'es'
+       |       WHEN ${cnt(m("de"))} >= ${cnt(m("en"))} AND ${cnt(m("de"))} >= ${cnt(m("fr"))} THEN 'de'
+       |       WHEN ${cnt(m("fr"))} >= ${cnt(m("en"))} THEN 'fr'
+       |       ELSE 'en' END AS lang_guess
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("t01_text_stats", t01, Some(t01Sql)),
+    Q("t02_lang_stats", t02, Some(t02Sql)),
+    Q("t03_token_topk", t03, Some(t03Sql)),
+    Q("t04_tfidf_topk", t04, Some(t04Sql)),
+    Q("t05_quality_score", t05, Some(t05Sql)),
+    Q("t06_fingerprint", t06, Some(t06Sql)),
+    Q("t07_langid", t07, Some(t07Sql)))
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Column ↔ Expression conversions —
+  * the stable pattern used by Spark-extension libraries (a `Dataset`/
+  * `Column` factory placed inside the `org.apache.spark.sql` package).
+  * Only conversion helpers live here; all engine logic stays in `graft`. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

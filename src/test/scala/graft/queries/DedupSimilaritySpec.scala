@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.functions.VectorOps
+
+/** Correctness evidence for the approximate operators (no SQL oracle):
+  * MinHash-LSH and SimHash against exact n-gram Jaccard; LSH/IVF ANN
+  * against brute-force. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  private lazy val exactPairs = run("d03_ngram_jaccard").collect()
+    .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("minhash-lsh finds only true near-dup pairs (precision 1.0 after verify)") {
+    val lsh = run("d04_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, jac) =>
+      assert(exactPairs.contains(pair), s"$pair not in exact set")
+      assert(math.abs(exactPairs(pair) - jac) < 1e-9)
+    }
+  }
+
+  test("minhash-lsh recall: catches every pair with jaccard >= 0.6") {
+    val lsh = run("d04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = exactPairs.filter(_._2 >= 0.6).keySet
+    assert(strong.subsetOf(lsh), s"missed: ${strong -- lsh}")
+  }
+
+  test("simhash pairs are symmetric-free and within the hamming budget") {
+    val rows = run("d05_simhash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 8)
+    }
+  }
+
+  test("fused cosine expression agrees with the built-in composition") {
+    val e = graft.Tables.embeddings(spark, sf).limit(50)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val both = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(
+        VectorOps.cosine(col("va"), col("vb")).as("fast"),
+        VectorOps.cosineBuiltin(col("va"), col("vb")).as("builtin"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine null semantics: length mismatch and zero vector yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)), // mismatch
+      (Array(0f, 0f), Array(1f, 2f)), // zero norm
+      (Array(1f, 0f), Array(1f, 0f)) // fine
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.cosine(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(math.abs(out(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  private lazy val bruteTop = run("s01_ann_bruteforce").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("lsh ann returns verified-correct sims and positive recall vs brute force") {
+    val lsh = run("s02_ann_lsh").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = bruteTop.map(t => (t._1, t._3)).toSet
+    assert(lsh.nonEmpty)
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall > 0.05, s"recall=$recall") // single-table LSH on random vectors: low but nonzero
+  }
+
+  test("ivf ann: neighbors never beat the brute-force best for their query") {
+    val best = bruteTop.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).max }
+    val ivf = run("s03_ann_ivf").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, sim) => assert(sim <= best(q) + 1e-9) }
+  }
+
+  test("label centroids match a directly computed average (first dim)") {
+    val got = run("s04_label_centroids").collect()
+      .filter(_.getInt(1) == 0).map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val want = graft.Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")(0).cast("double").as("x"))
+      .groupBy("label").agg(avg("x").as("c")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    got.foreach { case (l, c) => assert(math.abs(c - want(l)) < 1e-6) }
+  }
+}
