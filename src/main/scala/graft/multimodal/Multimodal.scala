@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, plus batch-shaped decode / feature-extract / frame-sample
+  * operators (BASELINE.json north star).
+  *
+  * The Spark-side contract is the real deliverable here — schema
+  * (payload: binary, meta: struct), partition-parallel batched decoding,
+  * and deterministic outputs — while the actual media codecs are STUBBED:
+  * this container has no image/audio libraries, so `decodeFeatures`
+  * derives features from payload bytes deterministically where a real
+  * implementation would call the decoder. The operator shape (batched
+  * `mapPartitions`, one client/codec init per partition, fixed output
+  * schema) is exactly what a production decode stage needs at 100 TB:
+  * payloads never leave executors, batches amortize codec setup, and the
+  * output is a normal columnar frame for downstream SQL.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  /** Attach a fake binary payload + typed metadata to the documents table
+    * (stand-in for reading real media files alongside a metadata table). */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        when(col("source") === "src0", "image/png")
+          .when(col("source") === "src1", "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        length(col("text").cast(BinaryType)).as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("mime", StringType),
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    StructField("n_frames", IntegerType)))
+
+  /** Batched decode + feature extraction.
+    *
+    * STUB: a real implementation decodes the payload with an image/audio
+    * codec here (per-partition codec init, then per-batch decode). The
+    * deterministic stand-in computes a 16-bucket byte histogram (L1
+    * normalized) so tests can assert exact values; the surrounding
+    * plumbing — batching, schema, partition parallelism — is real. */
+  def decodeFeatures(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = withPayload.sparkSession
+    val payloadIdx = withPayload.schema.fieldIndex("payload")
+    val idIdx = withPayload.schema.fieldIndex("doc_id")
+    val metaIdx = withPayload.schema.fieldIndex("meta")
+    val out = withPayload.rdd.mapPartitions { iter =>
+      // per-partition: real impl initializes the codec once here
+      iter.grouped(batchSize).flatMap { batch =>
+        // real impl decodes the whole batch in one call; stub is per-row
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](payloadIdx)
+          val hist = new Array[Float](FeatureDim)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
+          val total = if (bytes.length == 0) 1f else bytes.length.toFloat
+          var j = 0
+          while (j < FeatureDim) { hist(j) = hist(j) / total; j += 1 }
+          val mime = row.getStruct(metaIdx).getAs[String]("mime")
+          val frames = if (mime.startsWith("video")) math.max(1, bytes.length / 64) else 1
+          Row(row.getLong(idIdx), mime, hist.toSeq, frames)
+        }
+      }
+    }
+    spark.createDataFrame(out, featureSchema)
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th 64-byte
+    * chunk becomes a frame row (explode-shaped; a real impl samples
+    * decoded frames the same way). */
+  def frameSample(withPayload: DataFrame, stride: Int = 4): DataFrame =
+    withPayload
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), ((length(col("payload")) - 1) / 64).cast(IntegerType))).as(Seq("frame_no", "offset")))
+      .filter(col("frame_no") % stride === 0)
+      .select(col("doc_id"), col("frame_no"),
+        (col("offset") * 64).as("byte_offset"))
+}

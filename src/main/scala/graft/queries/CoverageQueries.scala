@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Remaining operator-inventory coverage: as-of join, range join,
+  * percentiles, pivot, session windows (batch form of the streaming op),
+  * multimodal metadata, approximate distinct.
+  *
+  * The as-of join is the showcase "operator Spark lacks, composed
+  * Spark-first" (SURVEY.md §4): instead of a custom SparkPlan, a
+  * conditional `last(..., ignoreNulls)` running window gives exact as-of
+  * semantics with one shuffle on the partition key and zero row
+  * explosion — the plan that survives 100 TB, unlike a naive range join.
+  */
+object CoverageQueries {
+
+  private val dsum4 = (c: Column) =>
+    round(sum(c.cast(DecimalType(24, 4))).cast(DoubleType), 4)
+
+  /** As-of join: for every error event, the most recent signup timestamp
+    * at-or-before it for the same user (null if none yet). */
+  private val r24: Fn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_signup",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "last_signup")
+      .orderBy("event_id")
+  }
+  private val r24Sql =
+    """SELECT event_id, user_id, ts,
+      |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+      |FROM events QUALIFY event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
+  /** Range join: lineitems shipped within 30 days of their order's date —
+    * equi-key plus band predicate, so Catalyst keeps the shuffle on the
+    * equi key and evaluates the band as a cheap post-join filter. */
+  private val r25: Fn = (s, d) => {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_ships"), dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+  private val r25Sql =
+    """SELECT o_orderpriority, count(*) AS n_fast_ships,
+      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL '30 days'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact interpolated percentiles per group. */
+  private val r26: Fn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+        round(percentile(col("l_discount"), lit(0.5)), 6).as("median_disc"))
+      .orderBy("l_returnflag")
+  private val r26Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_discount, 0.5), 6) AS median_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Pivot: quantity by returnflag × linestatus (fixed value list — the
+    * scalable form; dynamic pivots need a driver-side distinct first). */
+  private val r27: Fn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity").cast(DecimalType(24, 2))).cast(DoubleType), 2))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+  private val r27Sql =
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(24,2)) END) AS DOUBLE), 2) AS qty_f,
+      |  round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(24,2)) END) AS DOUBLE), 2) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Batch form of the streaming session_window operator (same built-in;
+    * StreamingSpec drives the readStream form). Oracle is the
+    * gaps-and-islands formulation — semantics must coincide. */
+  private val st1: Fn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  private val st1Sql =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR (epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts) OVER w))) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Multimodal metadata projection over binary payloads (decode runs in
+    * Multimodal.decodeFeatures; metadata/pruning layer is plain SQL). */
+  private val m01: Fn = (s, d) =>
+    graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d))
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.origin").as("origin"))
+      .orderBy("doc_id")
+  private val m01Sql =
+    """SELECT doc_id,
+      |  CASE WHEN source = 'src0' THEN 'image/png'
+      |       WHEN source = 'src1' THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS mime,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+      |  source AS origin
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** HLL approximate distinct (rows-only: sketch internals are
+    * engine-specific; CoverageSpec bounds the error vs exact). */
+  private val r28: Fn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** Decoded multimodal features (rows-only: stub decode is
+    * engine-internal; CoverageSpec pins exact deterministic values). */
+  private val m02: Fn = (s, d) =>
+    graft.multimodal.Multimodal.decodeFeatures(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
+      .select(col("doc_id"), col("mime"), col("n_frames"),
+        round(element_at(col("features"), 1), 6).as("f0"))
+      .orderBy("doc_id")
+
+  val all: Seq[Q] = Seq(
+    Q("r24_asof_join", r24, Some(r24Sql)),
+    Q("r25_range_join", r25, Some(r25Sql)),
+    Q("r26_percentiles", r26, Some(r26Sql)),
+    Q("r27_pivot", r27, Some(r27Sql)),
+    Q("st1_session_window", st1, Some(st1Sql)),
+    Q("m01_multimodal_meta", m01, Some(m01Sql)),
+    Q("r28_approx_distinct", r28, None),
+    Q("m02_decode_features", m02, None))
+}

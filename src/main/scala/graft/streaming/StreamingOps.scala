@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` shape (SURVEY.md §2.3: the
+  * reference is strictly batch, so this is extension surface).
+  *
+  * Every aggregation here is written against a plain DataFrame, so the
+  * SAME function serves batch (where the DuckDB oracle checks it — see
+  * Relational q21/q23 and StreamQueries) and `readStream` input: Spark's
+  * unified API means the logical plan is identical, only the sink/trigger
+  * differ. StreamingSpec drives them through MemoryStream and asserts the
+  * streaming result equals the batch result on the same rows.
+  *
+  * Scale notes: stateful aggs are keyed by (window/user) so state is
+  * partitioned; watermarks bound state size — both essential at 100 TB/day
+  * ingest. `dropDuplicatesWithinWatermark` is the streaming twin of the
+  * dedup layer in DedupQueries.
+  */
+object StreamingOps {
+
+  /** Tumbling counts/sums per event_type; watermark bounds late data. */
+  def tumblingAgg(events: DataFrame, window: String = "10 minutes",
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (10 min length / 5 min slide). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Built-in session windows: events within `gap` of each other merge. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup on a business key within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: flatMapGroupsWithState sessionizer ----
+
+  case class Ev(user_id: Long, ts: Timestamp)
+  case class SessionState(sessionId: Long, lastTs: Long, count: Long, startTs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)
+
+  /** Custom stateful sessionizer (the `mapGroupsWithState` surface): same
+    * 30-minute-gap semantics as the batch gaps-and-islands query (q23),
+    * emitting completed sessions per update. Batch mode emits every
+    * session (state finalizes at end of group). */
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // batch path: all rows for the user arrive sorted here explicitly
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var sessions = List.empty[SessionState]
+          var cur: Option[SessionState] = None
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur = cur match {
+              case Some(st) if sec - st.lastTs <= gapSeconds =>
+                Some(st.copy(lastTs = sec, count = st.count + 1))
+              case Some(st) =>
+                sessions = st :: sessions
+                Some(SessionState(st.sessionId + 1, sec, 1, sec))
+              case None =>
+                Some(SessionState(1, sec, 1, sec))
+            }
+          }
+          cur.foreach(st => sessions = st :: sessions)
+          state.update(sessions)
+          sessions.reverseIterator.map(st =>
+            SessionOut(user, st.sessionId, st.count, st.lastTs - st.startTs))
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** The multimodal plumbing contract: schema, determinism, batch shape. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def payloads = Multimodal.attachPayload(graft.Tables.documents(spark, sf))
+
+  test("payload bytes round-trip the text and metadata is typed") {
+    val r = payloads.filter(col("doc_id") === 0).collect().head
+    val text = graft.Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == text)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("mime") == "image/png")
+    assert(meta.getAs[Int]("n_bytes") == text.length)
+  }
+
+  test("decodeFeatures: fixed dim, L1-normalized, deterministic across runs") {
+    val a = Multimodal.decodeFeatures(payloads).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val b = Multimodal.decodeFeatures(payloads, batchSize = 7).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(a == b) // batch size must not affect results
+    a.values.foreach { f =>
+      assert(f.size == Multimodal.FeatureDim)
+      assert(math.abs(f.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("decode feature matches a hand-computed histogram") {
+    val doc0 = graft.Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    val bytes = doc0.getBytes("UTF-8")
+    val want = new Array[Float](Multimodal.FeatureDim)
+    bytes.foreach(b => want((b & 0xFF) % Multimodal.FeatureDim) += 1f)
+    val norm = want.map(_ / bytes.length)
+    val got = Multimodal.decodeFeatures(payloads).filter(col("doc_id") === 0)
+      .collect().head.getSeq[Float](2)
+    assert(got.toArray.toSeq == norm.toSeq)
+  }
+
+  test("frameSample emits strided frame offsets for video payloads only") {
+    val frames = Multimodal.frameSample(payloads)
+    val mimes = frames.join(payloads, "doc_id").select("meta.mime").distinct().collect()
+    assert(mimes.map(_.getString(0)).toSeq == Seq("video/mp4"))
+    val f = frames.filter(col("doc_id") === 2).collect()
+    assert(f.forall(_.getAs[Int]("frame_no") % 4 == 0))
+  }
+}
