@@ -102,14 +102,18 @@ object DedupQueries {
   val MinhashPerms = 64
   val LshBands = 32 // 32 bands × 2 rows: P(candidate) ≈ 1-(1-j²)^32
 
-  /** Per-document MinHash signature: for each of 64 seeded permutations,
-    * min over shingles of xxhash64(seed ++ shingle). Pure built-ins: the
-    * explode + 64 min-aggregates pattern keeps map-side partial
-    * aggregation and codegen. */
+  /** Per-document MinHash signature. The variable-length shingle string
+    * is hashed ONCE (the expensive part at scale); the 64 permutations
+    * are derived by re-hashing that fixed-width long with per-permutation
+    * seeds — 64 cheap word-mixes instead of 64 string traversals. Pure
+    * built-ins: the explode + 64 min-aggregates pattern keeps map-side
+    * partial aggregation and whole-stage codegen. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val mins = (0 until MinhashPerms).map(j =>
-      min(xxhash64(lit(j.toString), col("s"))).as(s"h$j"))
+      min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until MinhashPerms).map(j => col(s"h$j")): _*).as("sig"))
   }
