@@ -48,6 +48,18 @@ object Enrich {
       .orderBy(desc("processed"), col(orderKey))
   }
 
+  /** Success/bypass counters (SURVEY.md O18; `etl.py:390-421`'s running
+    * counts) as observed metrics: zero extra passes — the counts ride on
+    * whatever action consumes the frame. Read them from the returned
+    * Observation after an action. */
+  def withMetrics(gated: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("ai_metrics")
+    val observed = gated.observe(obs,
+      sum(col("processed")).cast(LongType).as("processed"),
+      sum(when(col("processed") === 0, 1L).otherwise(0L)).as("bypassed"))
+    (observed, obs)
+  }
+
   /** Ungated full-table enrichment — the 100 TB path: a single codegen'd
     * projection, no window, no shuffle. */
   def enrichAll(flat: DataFrame, aiColumn: String = "ai_determined_value"): DataFrame =
