@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 batch source for paginated studies-page documents
+  * (SURVEY.md O2/O3 as a first-class Spark source).
+  *
+  *   spark.read.format("graft.sources.StudiesDataSource")
+  *     .option("path", pagesDir).load()
+  *
+  * Produces the reference's flattened 11-column schema directly
+  * (etl.py:217-229). V2 integration points implemented:
+  *  - `SupportsPushDownRequiredColumns`: only requested leaves are
+  *    extracted from the JSON documents;
+  *  - `SupportsPushDownFilters`: EqualTo / StringStartsWith / IsNotNull
+  *    on flat columns are evaluated inside the reader (rows drop before
+  *    reaching Spark) — the in-engine analog of the reference's
+  *    server-side `filter.advanced` pushdown (etl.py:98-104);
+  *  - one `InputPartition` per page file → page-parallel scans (the
+  *    reference walks pages serially; here the token chain is resolved
+  *    up front on the driver, then pages read concurrently).
+  */
+class StudiesDataSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StudiesDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new StudiesTable(properties.get("path"))
+}
+
+object StudiesDataSource {
+  val schema: StructType = StructType(Seq(
+    "nct_id", "brief_title", "official_title", "overall_status", "study_type",
+    "start_date", "gender", "brief_summary", "detailed_description", "criteria",
+    "start_year").map(StructField(_, StringType, nullable = false)))
+
+  /** Resolve the page chain (nextPageToken = next file name), capped at
+    * the reference's 100-page guard (etl.py:155-158). */
+  def resolvePages(dir: String, first: String = "page_1.json", maxPages: Int = 100): Seq[String] = {
+    val mapper = new ObjectMapper()
+    var next: Option[String] = Some(first)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (next.isDefined && out.size < maxPages) {
+      val p = Paths.get(dir, next.get)
+      if (!Files.exists(p)) { next = None }
+      else {
+        out += p.toString
+        val doc = mapper.readTree(Files.readAllBytes(p))
+        next = Option(doc.get("nextPageToken")).map(_.asText())
+      }
+    }
+    out.toSeq
+  }
+
+  private[sources] val leafPaths: Map[String, Seq[String]] = Map(
+    "nct_id" -> Seq("protocolSection", "identificationModule", "nctId"),
+    "brief_title" -> Seq("protocolSection", "identificationModule", "briefTitle"),
+    "official_title" -> Seq("protocolSection", "identificationModule", "officialTitle"),
+    "overall_status" -> Seq("protocolSection", "statusModule", "overallStatus"),
+    "study_type" -> Seq("protocolSection", "designModule", "studyType"),
+    "start_date" -> Seq("protocolSection", "statusModule", "startDateStruct", "date"),
+    "gender" -> Seq("protocolSection", "eligibilityModule", "sex"),
+    "brief_summary" -> Seq("protocolSection", "descriptionModule", "briefSummary"),
+    "detailed_description" -> Seq("protocolSection", "descriptionModule", "detailedDescription"),
+    "criteria" -> Seq("protocolSection", "eligibilityModule", "eligibilityCriteria"))
+
+  /** Extract one flattened column value ('N/A' default; start_year is
+    * derived — etl.py:201). */
+  private[sources] def extract(study: JsonNode, colName: String): String = colName match {
+    case "start_year" =>
+      val sd = extract(study, "start_date")
+      if (sd != "N/A" && sd.contains("-")) sd.split("-")(0) else "N/A"
+    case other =>
+      leafPaths(other).foldLeft(Option(study)) {
+        (n, k) => n.flatMap(x => Option(x.get(k)))
+      }.map(_.asText()).getOrElse("N/A")
+  }
+}
+
+private class StudiesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"studies($path)"
+  override def schema(): StructType = StudiesDataSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StudiesScanBuilder(path)
+}
+
+private class StudiesScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = StudiesDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo(a, _: String) => StudiesDataSource.schema.fieldNames.contains(a)
+      case StringStartsWith(a, _) => StudiesDataSource.schema.fieldNames.contains(a)
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    pushed = supported
+    rest // Spark re-evaluates these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new StudiesScan(path, required, pushed)
+}
+
+private class StudiesScan(path: String, required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StudiesScan PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadColumns: [${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    StudiesDataSource.resolvePages(path).map(StudiesPartition.apply).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StudiesReaderFactory(required.fieldNames, filters)
+}
+
+private case class StudiesPartition(file: String) extends InputPartition
+
+private class StudiesReaderFactory(columns: Array[String], filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new StudiesPartitionReader(partition.asInstanceOf[StudiesPartition].file, columns, filters)
+}
+
+private class StudiesPartitionReader(file: String, columns: Array[String], filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val studies: Iterator[JsonNode] = {
+    val doc = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(file)))
+    Option(doc.get("studies")).map(_.elements().asScala).getOrElse(Iterator.empty)
+  }
+  private var current: InternalRow = _
+
+  private def accepts(study: JsonNode): Boolean = filters.forall {
+    case EqualTo(a, v: String) => StudiesDataSource.extract(study, a) == v
+    case StringStartsWith(a, v) => StudiesDataSource.extract(study, a).startsWith(v)
+    case IsNotNull(_) => true // columns are 'N/A'-defaulted, never null
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (studies.hasNext) {
+      val s = studies.next()
+      if (accepts(s)) {
+        current = InternalRow.fromSeq(
+          columns.toSeq.map(c => UTF8String.fromString(StudiesDataSource.extract(s, c))))
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
