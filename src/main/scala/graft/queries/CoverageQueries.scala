@@ -20,7 +20,7 @@ import graft.queries.Relational.{Fn, Q}
 object CoverageQueries {
 
   private val dsum4 = (c: Column) =>
-    round(sum(c.cast(DecimalType(24, 4))).cast(DoubleType), 4)
+    sum(c.cast(DecimalType(24, 4))).cast(DecimalType(38, 4))
 
   /** As-of join: for every error event, the most recent signup timestamp
     * at-or-before it for the same user (null if none yet). */
@@ -57,7 +57,7 @@ object CoverageQueries {
   }
   private val r25Sql =
     """SELECT o_orderpriority, count(*) AS n_fast_ships,
-      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL '30 days'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

@@ -39,9 +39,13 @@ object Relational {
   type Fn = (SparkSession, String) => DataFrame
   final case class Q(name: String, fn: Fn, oracle: Option[String])
 
-  /** Order-independent exact sum of a <=`scale`-decimal double expression. */
+  /** Order-independent exact sum of a <=`scale`-decimal double expression.
+    * Output stays DECIMAL: whole-table money sums overflow double's 15-16
+    * significant digits at large scale factors, so a double conversion
+    * (and any rounding of it) is ill-conditioned — the exact decimal is
+    * hash-stable in both engines at any magnitude. */
   private def dsum(c: Column, scale: Int): Column =
-    round(sum(c.cast(DecimalType(24, scale))).cast(DoubleType), scale)
+    sum(c.cast(DecimalType(24, scale))).cast(DecimalType(38, scale))
 
   private val ts = (s: String) => lit(s).cast(TimestampType)
 
@@ -66,10 +70,10 @@ object Relational {
   }
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE), 2) AS sum_qty,
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE), 2) AS sum_base_price,
-      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS sum_disc_price,
-      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) / count(*) AS avg_price,
       |  count(*) AS count_order
@@ -107,7 +111,7 @@ object Relational {
   }
   private val q03Sql =
     """SELECT l_orderkey,
-      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
@@ -151,7 +155,7 @@ object Relational {
   }
   private val q05Sql =
     """SELECT n_name,
-      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -168,7 +172,7 @@ object Relational {
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
   private val q06Sql =
-    """SELECT round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(24,4))) AS DOUBLE), 4) AS revenue
+    """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -434,7 +438,7 @@ object Relational {
   private val q21Sql =
     """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
       |  count(*) AS n,
-      |  round(CAST(sum(CAST(value AS DECIMAL(24,2))) AS DOUBLE), 2) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   /** Sliding window (10 min length, 5 min slide): each event lands in two
@@ -447,7 +451,7 @@ object Relational {
       .orderBy("w_start")
   private val q22Sql =
     """SELECT w_start, count(*) AS n,
-      |  round(CAST(sum(CAST(value AS DECIMAL(24,2))) AS DOUBLE), 2) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS sum_value
       |FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
       |                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start,
       |             value
