@@ -192,6 +192,40 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE-ish token counting: a simplified GPT-style pre-tokenizer regex
+    * (letter runs / single digits / punctuation) alongside whitespace
+    * tokens — the LLM-cost-estimation counter. */
+  private val t08: Fn = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+        .cast(LongType).as("bpe_tokens"))
+      .orderBy("doc_id")
+  private val t08Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling polynomial fingerprint over the first 64 chars (modular, so
+    * overflow-free in both engines): the shift-friendly hash family used
+    * for chunk-boundary detection in content-defined chunking. */
+  private val t09: Fn = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      aggregate(
+        transform(split(substring(col("text"), 1, 64), ""), c => ascii(c).cast(LongType)),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("rolling_fp"))
+      .orderBy("doc_id")
+  private val t09Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(split(substr(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_text_stats", t01, Some(t01Sql)),
     Q("t02_lang_stats", t02, Some(t02Sql)),
@@ -199,5 +233,7 @@ object TextQueries {
     Q("t04_tfidf_topk", t04, Some(t04Sql)),
     Q("t05_quality_score", t05, Some(t05Sql)),
     Q("t06_fingerprint", t06, Some(t06Sql)),
-    Q("t07_langid", t07, Some(t07Sql)))
+    Q("t07_langid", t07, Some(t07Sql)),
+    Q("t08_bpe_tokens", t08, Some(t08Sql)),
+    Q("t09_rolling_fp", t09, Some(t09Sql)))
 }
