@@ -48,6 +48,33 @@ object RuleClassifier {
       .otherwise("NOT MENTIONED")
   }
 
+  /** Evidence quote (the reference prompt asks the model to "quote the
+    * part of the criteria that gave you confidence",
+    * config.example.yaml:40-41): the first trigger phrase of the rule
+    * that fired, located in the original text. */
+  def evidenceCol(criteria: Column): Column = {
+    val lc = lower(criteria)
+    val label = classifyCol(criteria)
+    val phrases: Seq[(String, String)] = Seq(
+      "PREGNANT OR POSTPARTUM" -> "(pregnant or postpartum|postpartum or pregnant)",
+      "FERTILITY" -> "trying to get pregnant",
+      "POSTPARTUM" -> "postpartum",
+      "EXCLUDE_PREGNANCY" -> "(negative[^.]*pregnancy test|pregnan[a-z]*)",
+      "ONLY_PREGNANCY" -> "must be pregnant",
+      "INCLUDE_PREGNANCY" -> "pregnan[a-z]*")
+    phrases.foldRight(lit(""): Column) { case ((cat, re), rest) =>
+      when(label === cat, regexp_extract(lc, re, 0)).otherwise(rest)
+    }
+  }
+
+  /** Reference-shaped output: `CATEGORY 'evidence'` (the format the LLM
+    * is instructed to produce). */
+  def classifyWithEvidence(criteria: Column): Column = {
+    val ev = evidenceCol(criteria)
+    when(ev === "", classifyCol(criteria))
+      .otherwise(concat(classifyCol(criteria), lit(" '"), ev, lit("'")))
+  }
+
   /** Plain-Scala twin of [[classifyCol]] for the `mapPartitions` seam —
     * kept in lockstep (ClassifierSpec asserts agreement). */
   def classify(criteria: String): String = {

@@ -59,9 +59,13 @@ object DedupQueries {
       |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.4): join on shared
-    * shingles, count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    * shingles, count intersections per pair in the aggregation (one pass,
+    * no per-pair set materialization), then |A∩B| / (|A|+|B|-|A∩B|).
     * This is the ground-truth near-dup operator the LSH variants
-    * approximate. */
+    * approximate. (A hash-keyed candidate+verify variant was measured
+    * slower at bench scale — the per-candidate array_intersect costs more
+    * than the narrower shuffle saves; at much larger doc counts d04's
+    * banded MinHash is the intended scale path anyway.) */
   private val d03: Fn = (s, d) => {
     val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

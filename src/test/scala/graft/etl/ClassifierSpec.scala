@@ -55,4 +55,17 @@ class ClassifierSpec extends AnyFunSuite {
     val labels = golden.map(_._1).map(RuleClassifier.classify)
     assert(labels.forall(RuleClassifier.Categories.contains))
   }
+
+  test("evidence output carries the trigger quote in the reference shape") {
+    import spark.implicits._
+    val out = golden.map(_._1).toDF("criteria")
+      .select(RuleClassifier.classifyWithEvidence(col("criteria")).as("v"))
+      .as[String].collect()
+    // first EXCLUDE trigger found in the text (negative-test phrasing,
+    // reference example 4's own evidence form)
+    assert(out(0) == "EXCLUDE_PREGNANCY 'negative pregnancy test'")
+    assert(out(4) == "POSTPARTUM 'postpartum'")
+    assert(out(6) == "FERTILITY 'trying to get pregnant'")
+    assert(out(2) == "NOT MENTIONED") // no evidence → bare category
+  }
 }
