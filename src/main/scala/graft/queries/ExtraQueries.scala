@@ -58,8 +58,64 @@ object ExtraQueries {
       |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Time-range window frame (RANGE BETWEEN seconds): rolling 1-hour
+    * per-user event count/sum — the rate-limit / rolling-feature
+    * pattern. Peer-inclusive RANGE frames are tie-order-independent, so
+    * the result is deterministic without a unique sort key. */
+  private val r32: Fn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val sec = unix_timestamp(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(sec).rangeBetween(-3599, 0)
+    e.select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+          .cast(org.apache.spark.sql.types.DoubleType), 2).as("v_last_hour"))
+      .orderBy("event_id")
+  }
+  private val r32Sql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_last_hour,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS v_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** The ranking-function family over one deterministic window. */
+  private val r33: Fn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("top_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy("o_orderkey")
+  }
+  private val r33Sql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(rank() OVER w AS BIGINT) AS rk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER w AS top_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r29_minmax_by", r29, Some(r29Sql)),
     Q("r30_string_agg", r30, Some(r30Sql)),
-    Q("r31_subqueries", r31, Some(r31Sql)))
+    Q("r31_subqueries", r31, Some(r31Sql)),
+    Q("r32_rolling_range_frame", r32, Some(r32Sql)),
+    Q("r33_rank_functions", r33, Some(r33Sql)))
 }
