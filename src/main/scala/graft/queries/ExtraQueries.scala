@@ -112,10 +112,64 @@ object ExtraQueries {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Array scalar functions over per-order collected lists. Quantities
+    * are integer-valued doubles, so int casts keep string renderings
+    * engine-identical. */
+  private val r34: Fn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val qties = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("q"))
+    qties.select(
+        col("l_orderkey"),
+        size(col("q")).cast("int").as("n"),
+        element_at(col("q"), 1).as("q_min"),
+        element_at(col("q"), -1).as("q_max"),
+        array_contains(col("q"), 25).as("has_25"),
+        array_join(transform(slice(col("q"), 1, 3), _.cast("string")), ",").as("first3"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+      .filter(col("l_orderkey") < 500)
+      .orderBy("l_orderkey")
+  }
+  private val r34Sql =
+    """WITH qties AS (
+      |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(len(q) AS INTEGER) AS n,
+      |  q[1] AS q_min,
+      |  q[-1] AS q_max,
+      |  list_contains(q, 25) AS has_25,
+      |  array_to_string(q[1:3], ',') AS first3,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> CAST(x AS BIGINT))),
+      |              (acc, x) -> acc + x) AS q_sum
+      |FROM qties WHERE l_orderkey < 500 ORDER BY l_orderkey""".stripMargin
+
+  /** NULL semantics: nullif-generated nulls, null-safe equality, and
+    * null-aware aggregation/coalesce (the fixture tables are null-free,
+    * so nulls are synthesized deterministically). */
+  private val r35: Fn = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("(was-P)")).as("status_filled"),
+        (nullif(col("o_orderstatus"), lit("P")) <=> lit("O")).as("nse_o"),
+        nullif(col("o_orderstatus"), lit("P")).isNull.as("is_p"))
+      .orderBy("o_orderkey")
+  private val r35Sql =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'P') AS status_np,
+      |  coalesce(nullif(o_orderstatus, 'P'), '(was-P)') AS status_filled,
+      |  nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O' AS nse_o,
+      |  nullif(o_orderstatus, 'P') IS NULL AS is_p
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r29_minmax_by", r29, Some(r29Sql)),
     Q("r30_string_agg", r30, Some(r30Sql)),
     Q("r31_subqueries", r31, Some(r31Sql)),
     Q("r32_rolling_range_frame", r32, Some(r32Sql)),
-    Q("r33_rank_functions", r33, Some(r33Sql)))
+    Q("r33_rank_functions", r33, Some(r33Sql)),
+    Q("r34_array_fns", r34, Some(r34Sql)),
+    Q("r35_null_semantics", r35, Some(r35Sql)))
 }
