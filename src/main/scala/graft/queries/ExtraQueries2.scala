@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Second coverage sweep: multiset set operations, regex extraction,
+  * boolean/conditional aggregates, and moment statistics computed from
+  * order-independent exact sums. */
+object ExtraQueries2 {
+
+  /** INTERSECT ALL / EXCEPT ALL / UNION (distinct) — multiset semantics
+    * summarized per operator as (row count, key checksum) so one output
+    * covers all three. */
+  private val r36: Fn = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")).select("o_custkey")
+    val b = o.filter(col("o_totalprice") > 100000).select("o_custkey")
+    val ia = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+    val ea = a.exceptAll(b).withColumn("op", lit("except_all"))
+    val ud = a.union(b).distinct().withColumn("op", lit("union_distinct"))
+    ia.unionByName(ea).unionByName(ud)
+      .groupBy("op").agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("key_sum"))
+      .orderBy("op")
+  }
+  private val r36Sql =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |     b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      |SELECT op, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS key_sum FROM (
+      |  SELECT 'intersect_all' AS op, o_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t1
+      |  UNION ALL
+      |  SELECT 'except_all' AS op, o_custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t2
+      |  UNION ALL
+      |  SELECT 'union_distinct' AS op, o_custkey FROM (SELECT * FROM a UNION SELECT * FROM b) t3) u
+      |GROUP BY op ORDER BY op""".stripMargin
+
+  /** Regex scalar functions: rlike filter + group extraction. */
+  private val r37: Fn = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").rlike("^[a-z]+ widget$"))
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) widget$", 1).as("adjective"),
+        col("p_brand").rlike("Brand#1[0-9]").as("is_brand_1x"))
+      .orderBy("p_partkey")
+  private val r37Sql =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+) widget$', 1) AS adjective,
+      |  regexp_matches(p_brand, 'Brand#1[0-9]') AS is_brand_1x
+      |FROM part WHERE regexp_matches(p_name, '^[a-z]+ widget$')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Boolean / conditional aggregates. */
+  private val r38: Fn = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 150000).as("n_big"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        max(col("o_orderpriority") === "1-URGENT").as("max_bool"))
+      .orderBy("o_orderstatus")
+  private val r38Sql =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  max(o_orderpriority = '1-URGENT') AS max_bool
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Sample variance / stddev from order-independent exact sums
+    * (sum and sum-of-squares in exact decimal, identical double
+    * combining arithmetic on both sides — built-in stddev uses online
+    * accumulation whose result depends on partitioning order). */
+  private val r39: Fn = (s, d) => {
+    val qDec = col("l_quantity").cast(DecimalType(24, 2))
+    val qSqDec = (col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qDec).cast(DoubleType).as("s1"),
+        sum(qSqDec).cast(DoubleType).as("s2"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+  private val r39Sql =
+    """SELECT l_returnflag, n,
+      |  (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+      |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      |  FROM lineitem GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("r36_setops_multiset", r36, Some(r36Sql)),
+    Q("r37_regex_fns", r37, Some(r37Sql)),
+    Q("r38_bool_aggs", r38, Some(r38Sql)),
+    Q("r39_exact_moments", r39, Some(r39Sql)))
+}
