@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Executable plan regressions: the physical-plan properties the scale
+  * design depends on, asserted so a future refactor cannot silently
+  * lose them. */
+class PlanAssertionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02: predicates and column pruning reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThan(l_quantity,10.0)"))
+    // read schema is pruned: shipdate needed for the filter, but wide
+    // money columns not projected must be absent
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_tax"))
+  }
+
+  test("q05: tiny dimensions broadcast; no cartesian product anywhere") {
+    val p = planOf("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q08: global top-k avoids a full sort (TakeOrderedAndProject)") {
+    val p = planOf("q08_global_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val p = planOf("q01_pricing_summary")
+    // two HashAggregate phases around one exchange (formatted mode puts
+    // the partitioning on the Arguments line)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("s01: query side is broadcast, not shuffled") {
+    val p = planOf("s01_ann_bruteforce")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup queries never plan a cartesian product") {
+    Seq("d01_exact_dedup", "d02_bow_dedup", "d03_ngram_jaccard",
+      "d04_minhash_lsh", "d05_simhash", "d06_embedding_neardup").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("etl flatten plan is a single projection over the scan (no shuffle)") {
+    val p = planOf("etl_classify_all")
+    assert(!p.contains("hashpartitioning"))
+  }
+}
