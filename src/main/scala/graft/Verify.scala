@@ -1,9 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Session-tz timestamps dump as parquet `isAdjustedToUTC=true`
+    * (arrow: timestamp[us, tz=UTC]) while the DuckDB oracle produces
+    * naive timestamp[us]; the wall-clock values agree (session tz is
+    * UTC) but a physical/epoch-level hash can diverge. Canonicalize the
+    * dump to NTZ so both sides are byte-identical. */
+  private def ntz(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map {
+      case StructField(n, TimestampType, _, _) => col(n).cast(TimestampNTZType).as(n)
+      case StructField(n, _, _, _) => col(n)
+    }.toIndexedSeq: _*)
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,12 +25,16 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Without this, window-derived timestamps dump as legacy INT96
+      // (read back as nanos) while the oracle side is micros — the
+      // values agree but a physical/epoch-level hash diverges.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -52,12 +52,13 @@ object CoverageQueries {
         col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_fast_ships"), dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(count(lit(1)).as("n_fast_ships"),
+        dsum4(Relational.money(col("l_extendedprice")) * (Relational.oneD - Relational.pct(col("l_discount")))).as("revenue"))
       .orderBy("o_orderpriority")
   }
   private val r25Sql =
     """SELECT o_orderpriority, count(*) AS n_fast_ships,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL '30 days'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

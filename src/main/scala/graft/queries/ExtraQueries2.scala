@@ -75,7 +75,10 @@ object ExtraQueries2 {
     * accumulation whose result depends on partitioning order). */
   private val r39: Fn = (s, d) => {
     val qDec = col("l_quantity").cast(DecimalType(24, 2))
-    val qSqDec = (col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4))
+    // square in DECIMAL, not double: a double product rounded onto the
+    // scale-4 grid can land on a half-way point (engine-dependent tie).
+    val qSqDec = (col("l_quantity").cast(DecimalType(12, 2)) *
+      col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(28, 4))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -95,7 +98,7 @@ object ExtraQueries2 {
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
       |    CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS s1,
-      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS s2
       |  FROM lineitem GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 

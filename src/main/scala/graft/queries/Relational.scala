@@ -47,6 +47,18 @@ object Relational {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(24, scale))).cast(DecimalType(38, scale))
 
+  /** Exact money algebra: operands become DECIMAL *before* any multiply,
+    * so both engines do pure fixed-point arithmetic and no double product
+    * is ever rounded to a decimal grid (that rounding can land on a
+    * half-way point and is engine-version-dependent). Casting the <=2-
+    * decimal base columns themselves is unambiguous — the nearest scale-2
+    * grid point is never a tie. money*(1±pct) → DECIMAL(18,4); a further
+    * *(1±pct) → DECIMAL(24,6); both well inside 38 digits in Spark and
+    * DuckDB, so every step is exact. */
+  private[queries] def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  private[queries] def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+  private[queries] val oneD: Column = lit(1).cast(DecimalType(4, 2))
+
   private val ts = (s: String) => lit(s).cast(TimestampType)
 
   // ---------------------------------------------------------------- queries
@@ -61,8 +73,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity"), 2).as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        dsum(money(col("l_extendedprice")) * (oneD - pct(col("l_discount"))), 4).as("sum_disc_price"),
+        dsum(money(col("l_extendedprice")) * (oneD - pct(col("l_discount"))) * (oneD + pct(col("l_tax"))), 6).as("sum_charge"),
         (sum(col("l_quantity").cast(DecimalType(24, 2))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         (sum(col("l_extendedprice").cast(DecimalType(24, 2))).cast(DoubleType) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -72,8 +84,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) / count(*) AS avg_price,
       |  count(*) AS count_order
@@ -104,14 +116,14 @@ object Relational {
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .agg(dsum(money(col("l_extendedprice")) * (oneD - pct(col("l_discount"))), 4).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
   private val q03Sql =
     """SELECT l_orderkey,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
@@ -150,12 +162,12 @@ object Relational {
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .agg(dsum(money(col("l_extendedprice")) * (oneD - pct(col("l_discount"))), 4).as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
   }
   private val q05Sql =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -170,9 +182,9 @@ object Relational {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+      .agg(dsum(money(col("l_extendedprice")) * pct(col("l_discount")), 4).as("revenue"))
   private val q06Sql =
-    """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -403,7 +415,7 @@ object Relational {
       |  CAST(day(o_orderdate) AS INTEGER) AS dom,
       |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
       |  CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
-      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
