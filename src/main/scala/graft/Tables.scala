@@ -16,8 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, table): `spark.read.parquet` re-lists
+    * files and re-reads footers on every call, and with 65 registered
+    * queries that fixed planning cost dominates small-SF benchmarks.
+    * The fixture dirs are read-only, so reusing the analyzed relation is
+    * safe; keying by session keeps restarted test sessions isolated. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
