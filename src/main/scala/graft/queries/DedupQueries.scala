@@ -105,32 +105,44 @@ object DedupQueries {
 
   val MinhashPerms = 64
   val LshBands = 32 // 32 bands × 2 rows: P(candidate) ≈ 1-(1-j²)^32
+  /** Largest (band,bucket) / (chunk,value) group allowed into a candidate
+    * self-join. Within-bucket pair generation is quadratic in bucket size,
+    * so one hot bucket (boilerplate-heavy real corpus) would otherwise own
+    * a reducer at scale; members beyond the cap are overwhelmingly exact /
+    * near-exact copies that d01/d02 already collapse. */
+  val MaxBucket = 64
 
-  /** Per-document MinHash signature. The variable-length shingle string
-    * is hashed ONCE (the expensive part at scale); the 64 permutations
-    * are derived by re-hashing that fixed-width long with per-permutation
-    * seeds — 64 cheap word-mixes instead of 64 string traversals. Pure
-    * built-ins: the explode + 64 min-aggregates pattern keeps map-side
-    * partial aggregation and whole-stage codegen. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val mins = (0 until MinhashPerms).map(j =>
-      min(xxhash64(lit(j), col("h"))).as(s"h$j"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until MinhashPerms).map(j => col(s"h$j")): _*).as("sig"))
-  }
+  /** Keep at most [[MaxBucket]] deterministic (lowest-doc_id) members per
+    * bucket before pair generation — bounds candidates per bucket at
+    * MaxBucket²/2 regardless of corpus skew. */
+  private def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))))
+      .filter(col("_rn") <= MaxBucket).drop("_rn")
+
+  /** Per-document MinHash signature, computed entirely per-row (no
+    * shuffle): the variable-length shingle string is hashed ONCE into a
+    * long (the expensive part at scale); the 64 permutations are
+    * `array_min` over cheap per-seed re-mixes of those fixed-width longs —
+    * 64 long-array traversals instead of an explode + 64 min-aggregates
+    * shuffle. Stays inside whole-stage codegen. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), transform(col("shingles"), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(j =>
+          array_min(transform(col("hs"), h => xxhash64(lit(j), h)))): _*).as("sig"))
 
   /** MinHash-LSH near-dup: band the signature (32 bands × 2 rows), bucket
     * by band hash, generate candidate pairs per bucket, verify candidates
     * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified subset). */
   private val d04: Fn = (s, d) => {
     val sig = minhashSignatures(s, d)
-    val bands = sig.select(col("doc_id"),
+    val bands = capBuckets(sig.select(col("doc_id"),
       posexplode(array((0 until LshBands).map { b =>
         xxhash64(lit(b.toString), col("sig")(b * 2), col("sig")(b * 2 + 1))
-      }: _*)).as(Seq("band", "bucket")))
+      }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -165,9 +177,10 @@ object DedupQueries {
       .select(col("doc_id"),
         (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
           .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val chunks = capBuckets(sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v")))
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v"))),
+      Seq("chunk", "v"))
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
         col("a.doc_id") < col("b.doc_id"))
