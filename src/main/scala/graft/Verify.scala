@@ -29,6 +29,9 @@ object Verify {
       // (read back as nanos) while the oracle side is micros — the
       // values agree but a physical/epoch-level hash diverges.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Hardening knob: SPARK_GRAFT_ANSI=true runs the whole dump in
+      // ANSI mode, proving no query relies on silent overflow/coercion.
+      .config("spark.sql.ansi.enabled", sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

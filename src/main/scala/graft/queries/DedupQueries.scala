@@ -166,17 +166,24 @@ object DedupQueries {
     * bit voting), candidates must share one of four 16-bit chunks
     * (pigeonhole for hamming ≤ 3 guarantees; wider dists found
     * best-effort), verified by popcount(xor) ≤ 8. */
-  private val d05: Fn = (s, d) => {
+  /** Per-document 64-bit SimHash (sign-weighted bit voting over token
+    * hashes). Public so the spec can compute exact all-pairs hamming
+    * ground truth against the same signatures d05 buckets. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d).select(col("doc_id"), explode(toks).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$b")
     }
-    val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
           .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  private val d05: Fn = (s, d) => {
+    val sig = simhashSignatures(s, d)
     val chunks = capBuckets(sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v"))),

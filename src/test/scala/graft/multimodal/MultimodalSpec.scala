@@ -33,16 +33,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("decode feature matches a hand-computed histogram") {
-    val doc0 = graft.Tables.documents(spark, sf).filter(col("doc_id") === 0)
-      .select("text").collect().head.getString(0)
-    val bytes = doc0.getBytes("UTF-8")
-    val want = new Array[Float](Multimodal.FeatureDim)
-    bytes.foreach(b => want((b & 0xFF) % Multimodal.FeatureDim) += 1f)
-    val norm = want.map(_ / bytes.length)
-    val got = Multimodal.decodeFeatures(payloads).filter(col("doc_id") === 0)
-      .collect().head.getSeq[Float](2)
-    assert(got.toArray.toSeq == norm.toSeq)
+  test("decode features match hand-computed golden histograms (3 docs, all mimes)") {
+    val texts = graft.Tables.documents(spark, sf).filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.size == 3)
+    val got = Multimodal.decodeFeatures(payloads).filter(col("doc_id") < 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val want = new Array[Float](Multimodal.FeatureDim)
+      bytes.foreach(b => want((b & 0xFF) % Multimodal.FeatureDim) += 1f)
+      val norm = want.map(_ / bytes.length)
+      assert(got(id).toArray.toSeq == norm.toSeq, s"doc $id feature mismatch")
+    }
   }
 
   test("frameSample emits strided frame offsets for video payloads only") {

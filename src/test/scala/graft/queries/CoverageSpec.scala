@@ -9,15 +9,18 @@ class CoverageSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 10% of exact per group") {
+  test("approx_count_distinct within 10% of q11's exact distinct counts") {
     val approx = graft.SparkEntry.queries("r28_approx_distinct")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = graft.Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (k, (p, o)) =>
+    // parts side: the oracled q11 query IS the exact ground truth
+    val exactParts = graft.SparkEntry.queries("q11_distinct_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactOrders = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactParts.foreach { case (k, p) =>
       val (ap, ao) = approx(k)
+      val o = exactOrders(k)
       assert(math.abs(ap - p).toDouble / p < 0.10, s"$k parts: $ap vs $p")
       assert(math.abs(ao - o).toDouble / o < 0.10, s"$k orders: $ao vs $o")
     }

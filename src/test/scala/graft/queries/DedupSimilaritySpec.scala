@@ -59,6 +59,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pigeonhole guarantee: every pair with hamming <= 3 is found") {
+    // 3 bit flips can touch at most 3 of the 4 16-bit chunks, so one
+    // chunk always collides — such pairs are GUARANTEED candidates, not
+    // best-effort. Ground truth from the same signatures, all pairs.
+    val sigs = DedupQueries.simhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val guaranteed = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs
+      if d1 < d2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (d1, d2)).toSet
+    assert(guaranteed.nonEmpty, "fixture has no hamming<=3 pair; spec is vacuous")
+    val found = run("d05_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guaranteed.subsetOf(found), s"missed: ${guaranteed -- found}")
+  }
+
   test("fused cosine expression agrees with the built-in composition") {
     val e = graft.Tables.embeddings(spark, sf).limit(50)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
@@ -87,12 +102,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val bruteTop = run("s01_ann_bruteforce").collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
 
-  test("lsh ann returns verified-correct sims and positive recall vs brute force") {
+  test("lsh ann recall floor vs brute force (deterministic: seeded planes)") {
     val lsh = run("s02_ann_lsh").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = bruteTop.map(t => (t._1, t._3)).toSet
     assert(lsh.nonEmpty)
     val recall = (lsh & brute).size.toDouble / brute.size
-    assert(recall > 0.05, s"recall=$recall") // single-table LSH on random vectors: low but nonzero
+    // measured 0.22 on this fixture; the pipeline is fully deterministic
+    // (seed 42 hyperplanes), so a drop below 0.20 is a real regression,
+    // not noise. Random 64-dim vectors are LSH's hardest case.
+    assert(recall >= 0.20, s"recall=$recall")
+  }
+
+  test("ivf ann recall floor vs brute force (deterministic assignment)") {
+    val ivf = run("s03_ann_ivf").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = bruteTop.map(t => (t._1, t._3)).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // measured 0.22 probing 2 of the label cells on this fixture
+    assert(recall >= 0.20, s"recall=$recall")
   }
 
   test("ivf ann: neighbors never beat the brute-force best for their query") {
