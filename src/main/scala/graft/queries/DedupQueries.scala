@@ -23,7 +23,7 @@ object DedupQueries {
   private val toks: Column = split(col("text"), " ")
 
   /** 5-gram word shingles (distinct), docs with ≥5 tokens. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .filter(size(toks) >= 5)
       .select(col("doc_id"),

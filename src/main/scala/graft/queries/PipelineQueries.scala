@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Training-data pipeline operators beyond cleaning/dedup: quality
+  * filtering by repetition, deterministic dataset splitting, stratified
+  * sampling, and benchmark decontamination. These are the ops that turn
+  * a cleaned corpus into a *training set* at 100 TB, and every one is
+  * exactly reproducible (md5-derived buckets, no RNG state) so reruns,
+  * backfills, and audits agree byte-for-byte.
+  *
+  * Scale notes: hash split/sample are pure map-side projections (no
+  * shuffle at all — the filter pushes to the scan and the bucket is
+  * computed per row); repetition quality is one explode + two grouped
+  * aggregations on doc_id (partial agg applies); decontamination joins
+  * on shared shingles exactly like d03, with the benchmark side orders
+  * of magnitude smaller than the corpus (broadcast-ably so at scale).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private val toks: Column = split(col("text"), " ")
+
+  /** Engine-portable deterministic bucket in [0, mod): leading 6 hex
+    * digits of md5(salt || key) as an integer. Both engines hash the
+    * same string and parse the same hex digits — no engine-native
+    * hash (xxhash64/hash differ across engines) and no RNG. */
+  private def mdBucket(key: Column, salt: String, mod: Int): Column =
+    (conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 6), 16, 10)
+      .cast(LongType) % mod).cast(IntegerType)
+
+  private def mdBucketSql(key: String, salt: String, mod: Int): String =
+    s"CAST(CAST(concat('0x', substring(md5(concat('$salt', CAST($key AS VARCHAR))), 1, 6)) AS BIGINT) % $mod AS INTEGER)"
+
+  // -------------------------------------------------- t10 repetition quality
+
+  /** Gopher-style repetition filters: duplicate-word fraction and
+    * top-bigram fraction per document, plus the pass/fail verdict.
+    * Heavily repetitive documents are the classic low-quality failure
+    * mode boilerplate/spam filters catch first. Fractions are double
+    * divisions of identical integer operands — bitwise-equal across
+    * engines, so even the threshold comparisons agree exactly. */
+  private val t10: Fn = (s, d) => {
+    val base = docs(s, d).filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tok"),
+        size(array_distinct(toks)).cast(LongType).as("n_dist"),
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))).as("bigrams"))
+    val top = base.select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
+    base.join(top, "doc_id")
+      .select(
+        col("doc_id"),
+        (lit(1.0) - col("n_dist").cast(DoubleType) / col("n_tok").cast(DoubleType)).as("dup_word_frac"),
+        (col("top_bg").cast(DoubleType) / (col("n_tok") - 1).cast(DoubleType)).as("top_bigram_frac"))
+      .withColumn("passes",
+        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.18)
+      .orderBy("doc_id")
+  }
+  private val t10Sql =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                 i -> concat(w[i], ' ', w[i+1]))) AS bg
+      |  FROM base),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_bg
+      |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) t
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+      |  CAST(top_bg AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) AS top_bigram_frac,
+      |  (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) <= 0.6
+      |    AND (CAST(top_bg AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)) <= 0.18 AS passes
+      |FROM base b JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- p01 hash split
+
+  /** Deterministic train/val/test assignment: md5-bucket of the doc key
+    * into 100 slots → 80/10/10. Reruns at any parallelism, any engine,
+    * any day produce the identical split — the property that makes
+    * dataset versioning and leak-free eval possible. Pure projection:
+    * zero shuffles, and a `split = 'train'` filter composed on top
+    * prunes at the scan. */
+  private val p01: Fn = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), mdBucket(col("doc_id"), "split:", 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+  private val p01Sql = {
+    val b = mdBucketSql("doc_id", "split:", 100)
+    s"""SELECT doc_id, $b AS bucket,
+       |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ p02 stratified sample
+
+  /** Deterministic ~12% sample stratified by language: an independent
+    * md5-bucket (different salt than p01) per doc, kept iff < 120/1000.
+    * Per-stratum rates stay proportional without a shuffle; the output
+    * reports each stratum's kept count against its total so skew is
+    * visible. One aggregation, no RNG, rerun-stable. */
+  private val p02: Fn = (s, d) =>
+    docs(s, d)
+      .select(col("lang"),
+        when(mdBucket(col("doc_id"), "sample:", 1000) < 120, 1L).otherwise(0L).as("kept"))
+      .groupBy("lang")
+      .agg(sum(col("kept")).as("n_sampled"), count(lit(1)).as("n_total"))
+      .withColumn("rate", col("n_sampled").cast(DoubleType) / col("n_total").cast(DoubleType))
+      .orderBy("lang")
+  private val p02Sql = {
+    val b = mdBucketSql("doc_id", "sample:", 1000)
+    s"""SELECT lang,
+       |  CAST(sum(CASE WHEN $b < 120 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  count(*) AS n_total,
+       |  CAST(sum(CASE WHEN $b < 120 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------------------------------- d07 decontamination
+
+  /** Benchmark decontamination: training docs sharing ≥3 distinct
+    * 5-gram shingles with any "benchmark" doc (fixture stand-in: the
+    * src0 slice) are flagged with their worst-offending overlap. The
+    * join is on shared shingles — same shape as d03, but one side is
+    * the benchmark set, which at real scale is tiny vs the corpus and
+    * broadcastable; never an all-pairs comparison. */
+  private val d07: Fn = (s, d) => {
+    val sh = DedupQueries.shingled(s, d)
+      .join(docs(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("sg"))
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"), col("sg"))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("sg"))
+    train.join(bench, "sg")
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("n_shared")).as("worst_overlap"))
+      .orderBy("train_id")
+  }
+  private val d07Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS sg
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |overlap AS (
+      |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+      |  FROM sh t JOIN sh b ON t.sg = b.sg
+      |  WHERE t.source <> 'src0' AND b.source = 'src0'
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 3)
+      |SELECT train_id, count(*) AS n_bench_hits, max(n_shared) AS worst_overlap
+      |FROM overlap GROUP BY train_id ORDER BY train_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t10_repetition_quality", t10, Some(t10Sql)),
+    Q("p01_hash_split", p01, Some(p01Sql)),
+    Q("p02_stratified_sample", p02, Some(p02Sql)),
+    Q("d07_decontaminate", d07, Some(d07Sql)))
+}
