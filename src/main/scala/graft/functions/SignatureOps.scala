@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import graft.expressions.{MinHashSignature, SimHashSignature}
+
+/** Column wrappers for the fused signature expressions (same pattern as
+  * [[VectorOps]]: built-in compositions remain in `DedupQueries` as the
+  * reference implementations the spec compares against bit-for-bit). */
+object SignatureOps {
+
+  /** 64-permutation MinHash signature of an array<string> of shingles. */
+  def minhash(shingles: Column): Column =
+    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingles)))
+
+  /** 64-bit SimHash of an array<string> of token occurrences. */
+  def simhash(tokens: Column): Column =
+    GraftSqlBridge.column(SimHashSignature(GraftSqlBridge.expression(tokens)))
+}

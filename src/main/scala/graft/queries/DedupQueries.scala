@@ -22,13 +22,18 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private val toks: Column = split(col("text"), " ")
 
-  /** 5-gram word shingles (distinct), docs with ≥5 tokens. */
+  /** 5-gram word shingles (distinct), docs with ≥5 tokens. The token
+    * array is materialized as a column FIRST: `slice(split(...), i, 5)`
+    * inside the transform lambda would re-run the split per shingle
+    * (the lambda body is a fresh expression tree each invocation —
+    * O(tokens²) splits per document). */
   private[queries] def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .filter(size(toks) >= 5)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 5)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(toks) - 4),
-          i => array_join(slice(toks, i, lit(5)), " "))).as("shingles"))
+        array_distinct(transform(sequence(lit(1), size(col("w")) - 4),
+          i => array_join(slice(col("w"), i, lit(5)), " "))).as("shingles"))
 
   /** Exact dedup: survivor = min doc_id per identical text (hash-groupBy;
     * the dropDuplicates plan shape with an explicit deterministic keeper). */
@@ -121,13 +126,21 @@ object DedupQueries {
           .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))))
       .filter(col("_rn") <= MaxBucket).drop("_rn")
 
-  /** Per-document MinHash signature, computed entirely per-row (no
-    * shuffle): the variable-length shingle string is hashed ONCE into a
-    * long (the expensive part at scale); the 64 permutations are
-    * `array_min` over cheap per-seed re-mixes of those fixed-width longs —
-    * 64 long-array traversals instead of an explode + 64 min-aggregates
-    * shuffle. Stays inside whole-stage codegen. */
+  /** Per-document MinHash signature via the fused codegen'd
+    * [[graft.expressions.MinHashSignature]] kernel: one traversal of the
+    * once-hashed shingles per document, no shuffle, no intermediate
+    * arrays — the signature stage is pure map work at any scale. Output
+    * is bit-identical to [[minhashSignaturesBuiltin]] (same xxhash64
+    * seed chain; asserted in SignatureExpressionsSpec). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), graft.functions.SignatureOps.minhash(col("shingles")).as("sig"))
+
+  /** Built-ins-only reference implementation of the same signature
+    * (64 `array_min`/`transform` passes over per-seed re-mixes): proof
+    * the semantics need no extension, and the bit-for-bit comparison
+    * target for the fused kernel. */
+  def minhashSignaturesBuiltin(s: SparkSession, d: String): DataFrame =
     shingled(s, d)
       .select(col("doc_id"), transform(col("shingles"), x => xxhash64(x)).as("hs"))
       .select(col("doc_id"),
@@ -166,10 +179,21 @@ object DedupQueries {
     * bit voting), candidates must share one of four 16-bit chunks
     * (pigeonhole for hamming ≤ 3 guarantees; wider dists found
     * best-effort), verified by popcount(xor) ≤ 8. */
-  /** Per-document 64-bit SimHash (sign-weighted bit voting over token
-    * hashes). Public so the spec can compute exact all-pairs hamming
-    * ground truth against the same signatures d05 buckets. */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+  /** Per-document 64-bit SimHash via the fused codegen'd
+    * [[graft.expressions.SimHashSignature]] kernel: one pass over the
+    * token occurrences per row replaces TWO aggregation shuffles (token
+    * weights, then 64 bit-vote sums) — at scale the signature stage goes
+    * from two exchanges to zero. Public so the spec can compute exact
+    * all-pairs hamming ground truth against the same signatures d05
+    * buckets; bit-identical to [[simhashSignaturesBuiltin]]. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.functions.SignatureOps.simhash(toks).as("simhash"))
+
+  /** Built-ins-only reference implementation (explode → per-token
+    * weights → 64 signed bit-vote aggregates): the comparison target
+    * proving the fused kernel's semantics. */
+  def simhashSignaturesBuiltin(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d).select(col("doc_id"), explode(toks).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64(col("t")))
