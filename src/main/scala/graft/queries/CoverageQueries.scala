@@ -119,6 +119,31 @@ object CoverageQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Batch form of the stream-stream interval join (st2): errors joined
+    * to same-user signups at most 1 h earlier. The streaming twin
+    * (`StreamingOps.intervalJoin`, MemoryStream-driven in StreamingSpec)
+    * is the same function shape with watermarks; this batch form is the
+    * DuckDB-oracled ground truth. Equi-key on user_id keeps the shuffle
+    * keyed; the band predicate is a post-join filter. */
+  private val st2: Fn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("error_ts"))
+    err.join(sgn, col("user_id") === col("s_user") &&
+        col("error_ts") >= col("signup_ts") &&
+        col("error_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select("event_id", "user_id", "signup_ts", "error_ts")
+      .orderBy("event_id", "signup_ts")
+  }
+  private val st2Sql =
+    """SELECT e.event_id, e.user_id, s.ts AS signup_ts, e.ts AS error_ts
+      |FROM events e JOIN events s
+      |  ON e.user_id = s.user_id AND s.event_type = 'signup' AND e.event_type = 'error'
+      | AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL '1 hour'
+      |ORDER BY e.event_id, signup_ts""".stripMargin
+
   /** Multimodal metadata projection over binary payloads (decode runs in
     * Multimodal.decodeFeatures; metadata/pruning layer is plain SQL). */
   private val m01: Fn = (s, d) =>
@@ -160,6 +185,7 @@ object CoverageQueries {
     Q("r26_percentiles", r26, Some(r26Sql)),
     Q("r27_pivot", r27, Some(r27Sql)),
     Q("st1_session_window", st1, Some(st1Sql)),
+    Q("st2_interval_join", st2, Some(st2Sql)),
     Q("m01_multimodal_meta", m01, Some(m01Sql)),
     Q("r28_approx_distinct", r28, None),
     Q("m02_decode_features", m02, None))

@@ -52,6 +52,24 @@ object StreamingOps {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each error event joined to the same
+    * user's signup events at most one hour earlier. Both sides carry
+    * watermarks and the join condition carries the time bound, so the
+    * state store can evict rows once the watermark passes — the property
+    * that keeps stream-stream join state bounded at production ingest
+    * rates. The same function serves batch (oracled as st2) and
+    * readStream inputs. */
+  def intervalJoin(signups: DataFrame, errors: DataFrame): DataFrame = {
+    val s = signups.select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val e = errors.select(col("event_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "1 hour")
+    e.join(s, col("user_id") === col("s_user") &&
+        col("error_ts") >= col("signup_ts") &&
+        col("error_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("signup_ts"), col("error_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: Timestamp)

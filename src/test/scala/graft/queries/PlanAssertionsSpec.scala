@@ -60,4 +60,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = planOf("etl_classify_all")
     assert(!p.contains("hashpartitioning"))
   }
+
+  test("signature stages are map-only: no exchange below the first join/window") {
+    // the fused kernels moved MinHash/SimHash signatures into pure
+    // projections — the ONLY exchanges left in d05 are the bucket-cap
+    // window and the candidate join machinery, none for signatures
+    val sig = DedupQueries.simhashSignatures(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!sig.contains("Exchange"), "simhash signature stage must not shuffle")
+    val mh = DedupQueries.minhashSignatures(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!mh.contains("Exchange"), "minhash signature stage must not shuffle")
+  }
+
+  test("t10/p01: pipeline stats and split are map-only up to the output sort") {
+    // one allowed exchange: the final total-order rangepartitioning
+    Seq("t10_repetition_quality", "p01_hash_split").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("hashpartitioning"), s"$q must not hash-shuffle")
+    }
+  }
+
+  test("d07: decontamination joins on shingles, never all-pairs") {
+    assert(!planOf("d07_decontaminate").contains("CartesianProduct"))
+  }
 }

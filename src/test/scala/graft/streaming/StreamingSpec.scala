@@ -63,6 +63,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 20)
   }
 
+  test("stream-stream interval join equals the oracled batch st2") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")).as[E].collect()
+    val signups = MemoryStream[E]; val errors = MemoryStream[E]
+    signups.addData(rows.filter(_.event_type == "signup").toSeq)
+    errors.addData(rows.filter(_.event_type == "error").toSeq)
+    val q = StreamingOps.intervalJoin(signups.toDF(), errors.toDF()).writeStream
+      .format("memory").queryName("ssjoin_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val want = graft.SparkEntry.queries("st2_interval_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("custom flatMapGroupsWithState sessionizer matches q23 session structure") {
     import spark.implicits._
     val evs = eventsBatch.select(col("user_id"), col("ts")).as[StreamingOps.Ev]
