@@ -145,6 +145,43 @@ object PipelineQueries {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------- p03 sequence packing
+
+  /** Sequence packing: concatenate documents in a deterministic order and
+    * cut bins at a fixed token budget (2048), the way LLM training data
+    * is packed into fixed-length contexts. A document's bin is where its
+    * first token lands (overflow-tolerant packing: a doc may straddle its
+    * bin boundary rather than open a new bin — the variant that is a pure
+    * running-sum, needs no sequential fold, and therefore scales).
+    * Packing is per-source so the window is partitioned — no global
+    * single-partition sort at any corpus size. Output: per-bin occupancy.
+    * Deterministic ⇒ oracled (same window cumsum in DuckDB). */
+  private val p03: Fn = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val budget = 2048
+    val withBin = docs(s, d)
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tok")) / budget).cast(LongType))
+    withBin.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("source", "bin")
+  }
+  private val p03Sql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+      |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   // ------------------------------------------------- d07 decontamination
 
   /** Benchmark decontamination: training docs sharing ≥3 distinct
@@ -188,5 +225,6 @@ object PipelineQueries {
     Q("t10_repetition_quality", t10, Some(t10Sql)),
     Q("p01_hash_split", p01, Some(p01Sql)),
     Q("p02_stratified_sample", p02, Some(p02Sql)),
+    Q("p03_sequence_packing", p03, Some(p03Sql)),
     Q("d07_decontaminate", d07, Some(d07Sql)))
 }

@@ -62,6 +62,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getBoolean(3) == (dup <= 0.6 && topBg <= 0.18))
   }
 
+  test("sequence packing: bin assignment re-derived from a sequential fold") {
+    val got = run("p03_sequence_packing").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val assigned: Seq[((String, Long), Long)] = docs.groupBy(_._1).toSeq.flatMap {
+      case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).toSeq.map { case (_, _, n) =>
+          val bin = cum / 2048; cum += n; ((src, bin), n)
+        }
+    }
+    val want = assigned.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    assert(got == want && got.nonEmpty)
+    // bins are contiguous from 0 per source
+    got.keys.groupBy(_._1).values.foreach { bins =>
+      val ids = bins.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.size).toSeq)
+    }
+  }
+
   test("decontamination: flagged docs truly share >=3 shingles with src0") {
     val flagged = run("d07_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
