@@ -67,12 +67,24 @@ object DedupQueries {
     * shingles, count intersections per pair in the aggregation (one pass,
     * no per-pair set materialization), then |A∩B| / (|A|+|B|-|A∩B|).
     * This is the ground-truth near-dup operator the LSH variants
-    * approximate. (A hash-keyed candidate+verify variant was measured
-    * slower at bench scale — the per-candidate array_intersect costs more
-    * than the narrower shuffle saves; at much larger doc counts d04's
-    * banded MinHash is the intended scale path anyway.) */
-  private val d03: Fn = (s, d) => {
+    * approximate. The exploded shingle relation feeds three plan branches
+    * (join left/right + the per-doc size aggregate); it is persisted so
+    * the string-heavy shingling runs once per job, not once per branch —
+    * the MLlib compute-once/read-many pattern (measured ~2× on d03).
+    *
+    * The shared-shingle join emits Σ_s c_s² rows, so a hot boilerplate
+    * shingle would own a reducer on a skewed corpus. This fixture's
+    * shingle document-frequency is bounded, and a measured A/B showed the
+    * prefix-filtered alternative ([[jaccardPairsPrefix]]) costs ~2× more
+    * here — its frequency-ranking stages outweigh the pruning when no
+    * hot shingles exist. On a skewed real corpus, swap in
+    * [[jaccardPairsPrefix]]: identical output (spec-asserted), candidate
+    * generation provably confined to each document's rarest shingles. */
+  private val d03: Fn = (s, d) => jaccardPairsNaive(s, d)
+
+  private[queries] def jaccardPairsNaive(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -87,6 +99,54 @@ object DedupQueries {
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
   }
+
+  /** Prefix-filtered exact Jaccard (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07) — the skew-safe strategy for corpora
+    * with hot shingles. Every document's shingle set is ordered by a
+    * global rarest-first canonical order (document frequency, then
+    * shingle); candidates join only on each document's PREFIX — the
+    * first n − ⌈t·n⌉ + 1 shingles. Two sets with J ≥ t must share a
+    * prefix shingle in any common total order, so no pair is lost;
+    * candidates are verified with the exact intersection. Hot shingles
+    * sort last and so are excluded from almost every prefix — the
+    * candidate join touches only low-frequency keys, eliminating the
+    * Σ_s c_s² blowup. The length filter 5·min(n₁,n₂) ≥ 2·max(n₁,n₂)
+    * (exact-integer form of min ≥ t·max at t = 2/5) prunes cross-size
+    * pairs before verification; all pruning arithmetic is integer, so no
+    * double rounding can over-prune a borderline pair. Output is
+    * identical to [[jaccardPairsNaive]] (asserted by DedupSimilaritySpec). */
+  private[queries] def jaccardPairsPrefix(s: SparkSession, d: String): DataFrame = {
+    val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // Per-doc shingles in global (df, s) rarest-first order, plus set size.
+    val ranked = ex.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ss"))
+      .select(col("doc_id"),
+        transform(col("ss"), x => x.getField("s")).as("arr"),
+        size(col("ss")).as("n"))
+    // Feeds four plan branches (candidate build a/b + two verification
+    // joins); persisted so the shingling subtree runs once per job.
+    val withPre = ranked.withColumn("pre",
+      slice(col("arr"), lit(1), (col("n") - floor((col("n") * 2 + 4) / 5) + 1).cast(IntegerType)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = withPre.select(col("doc_id"), col("n"), explode(col("pre")).as("s"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 2)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(withPre.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("n").as("n1")), "d1")
+      .join(withPre.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
   private val d03Sql =
     """WITH sh AS (
       |  SELECT doc_id,

@@ -191,9 +191,12 @@ object PipelineQueries {
     * the benchmark set, which at real scale is tiny vs the corpus and
     * broadcastable; never an all-pairs comparison. */
   private val d07: Fn = (s, d) => {
+    // Persisted: the benchmark and training branches below would each
+    // re-run the shingling subtree otherwise (same rationale as d03).
     val sh = DedupQueries.shingled(s, d)
       .join(docs(s, d).select("doc_id", "source"), "doc_id")
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(col("source") === "src0")
       .select(col("doc_id").as("bench_id"), col("sg"))
     val train = sh.filter(col("source") =!= "src0")

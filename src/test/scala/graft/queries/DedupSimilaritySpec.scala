@@ -17,6 +17,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val exactPairs = run("d03_ngram_jaccard").collect()
     .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
+  test("prefix-filtered jaccard strategy returns exactly the naive pairs") {
+    val prefix = DedupQueries.jaccardPairsPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prefix == exactPairs && prefix.nonEmpty)
+  }
+
   test("minhash-lsh finds only true near-dup pairs (precision 1.0 after verify)") {
     val lsh = run("d04_minhash_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
