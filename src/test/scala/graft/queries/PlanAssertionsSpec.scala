@@ -84,4 +84,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("d07: decontamination joins on shingles, never all-pairs") {
     assert(!planOf("d07_decontaminate").contains("CartesianProduct"))
   }
+
+  test("p02: stratified sample is one partial-agg shuffle, no join") {
+    val p = planOf("p02_stratified_sample")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "needs map-side partial agg")
+    assert(!p.contains("Join"))
+  }
+
+  test("p03: packing window is partitioned by source — never a global window") {
+    val p = planOf("p03_sequence_packing")
+    assert(p.contains("Window"))
+    // a partition-less window plans Exchange SinglePartition under WindowExec
+    assert(!p.contains("SinglePartition"), "packing must not serialize the corpus")
+  }
+
+  test("st2: interval join stays an equi-hash join on user_id, not a loop join") {
+    val p = planOf("st2_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join"), "expected a keyed join on user_id")
+  }
+
+  test("prefix-jaccard strategy: no cartesian; candidate join is keyed") {
+    val p = DedupQueries.jaccardPairsPrefix(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
