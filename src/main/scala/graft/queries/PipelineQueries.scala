@@ -182,6 +182,105 @@ object PipelineQueries {
       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  // ------------------------------------------------ p04 mixture sampling
+
+  /** Source-mixture sampling: hit a global token budget (50% of the
+    * corpus) at prescribed per-source weights — the operator that turns
+    * "we have 5 crawls" into "the training mixture is 35% src0, 25%
+    * src1, …". Per-source acceptance rate r_s = min(1, B·ŵ_s / T_s)
+    * where T_s is the source's token count and ŵ_s the weight normalized
+    * over the sources actually present; each document keeps iff its
+    * md5 bucket (salt `mix:`, mod 10⁴) < ⌊r_s·10⁴⌋ — deterministic,
+    * rerun-stable, no RNG. Oversubscribed sources clamp at 1 (visible in
+    * the output so mixture debugging is possible).
+    *
+    * Scale shape: one partial-agg shuffle for T_s (5 rows), the rate
+    * relation broadcast back onto the corpus (plan-asserted), one
+    * partial-agg shuffle for the report. The per-doc keep decision is
+    * map-side — no per-row join against anything big. */
+  private val p04: Fn = (s, d) => {
+    val tok = docs(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+      mdBucket(col("doc_id"), "mix:", 10000).as("bucket"))
+    val weight = when(col("source") === "src0", 0.35)
+      .when(col("source") === "src1", 0.25)
+      .when(col("source") === "src2", 0.20)
+      .when(col("source") === "src3", 0.15)
+      .otherwise(0.05)
+    val totals = tok.groupBy("source").agg(sum(col("n_tok")).as("tok_total"))
+    val grand = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // rates: 5 rows — the unpartitioned window runs on the aggregate,
+    // never the corpus; the join back is broadcast by size.
+    val rates = totals
+      .withColumn("rate",
+        least(lit(1.0), lit(0.5) * sum(col("tok_total")).over(grand) *
+          (weight / sum(weight).over(grand)) / col("tok_total")))
+      .withColumn("cut", floor(col("rate") * 10000).cast(LongType))
+    tok.join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(
+        max(col("cut")).as("cut"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("cut"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("bucket") < col("cut"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy("source")
+  }
+  private val p04Sql = {
+    val b = mdBucketSql("doc_id", "mix:", 10000)
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         $b AS bucket
+       |  FROM documents),
+       |rates AS (
+       |  SELECT source, sum(n_tok) AS tok_total,
+       |         CAST(floor(least(1.0, 0.5 * sum(sum(n_tok)) OVER () *
+       |           ((CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
+       |                         WHEN 'src2' THEN 0.20 WHEN 'src3' THEN 0.15
+       |                         ELSE 0.05 END) /
+       |            sum(CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
+       |                            WHEN 'src2' THEN 0.20 WHEN 'src3' THEN 0.15
+       |                            ELSE 0.05 END) OVER ()) / sum(n_tok)) * 10000) AS BIGINT) AS cut
+       |  FROM tok GROUP BY source)
+       |SELECT t.source, max(r.cut) AS cut, count(*) AS n_total,
+       |       CAST(sum(CASE WHEN t.bucket < r.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN t.bucket < r.cut THEN t.n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+       |FROM tok t JOIN rates r USING (source)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
+  // ------------------------------------------- p05 deterministic shuffle
+
+  /** Deterministic global training-order shuffle + shard assignment:
+    * every doc gets a pseudo-random md5 key; its shard is a bucket of
+    * that key, its position within the shard is the key's rank there.
+    * Reruns produce the identical order at any parallelism — and the
+    * rank window is PARTITIONED BY SHARD, so no stage ever sees the
+    * whole corpus (8 shards here; thousands at 100 TB, each a training
+    * file written independently). */
+  private val p05: Fn = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"))
+    docs(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuffle:"), col("doc_id").cast(StringType))).as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 6), 16, 10).cast(LongType) % 8).cast(IntegerType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select("shard", "pos", "skey", "doc_id")
+      .orderBy("shard", "pos")
+  }
+  private val p05Sql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |         md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS skey,
+      |         CAST(CAST(concat('0x', substring(md5(concat('shuffle:', CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) % 8 AS INTEGER) AS shard
+      |  FROM documents)
+      |SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos,
+      |       skey, doc_id
+      |FROM k ORDER BY shard, pos""".stripMargin
+
   // ------------------------------------------------- d07 decontamination
 
   /** Benchmark decontamination: training docs sharing ≥3 distinct
@@ -229,5 +328,7 @@ object PipelineQueries {
     Q("p01_hash_split", p01, Some(p01Sql)),
     Q("p02_stratified_sample", p02, Some(p02Sql)),
     Q("p03_sequence_packing", p03, Some(p03Sql)),
+    Q("p04_mixture_sample", p04, Some(p04Sql)),
+    Q("p05_corpus_shuffle", p05, Some(p05Sql)),
     Q("d07_decontaminate", d07, Some(d07Sql)))
 }

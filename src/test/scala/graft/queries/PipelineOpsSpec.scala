@@ -86,6 +86,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // Engine-independent re-derivation of the md5 bucket (pure JVM, no
+  // Spark expressions): leading 6 hex digits of md5(salt || key) % mod.
+  private def jvmBucket(salt: String, key: String, mod: Int): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + key).getBytes("UTF-8"))
+    val hex = dig.take(3).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+
+  test("mixture sample: cuts and kept counts re-derived outside Spark") {
+    val got = run("p04_mixture_sample").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def weight(src: String): Double = src match {
+      case "src0" => 0.35; case "src1" => 0.25; case "src2" => 0.20
+      case "src3" => 0.15; case _ => 0.05
+    }
+    val bySrc = docs.groupBy(_._2)
+    val grandTok = docs.map(_._3).sum.toDouble
+    val wSum = bySrc.keys.toSeq.map(weight).sum
+    val want = bySrc.map { case (src, ds) =>
+      val tokTotal = ds.map(_._3).sum.toDouble
+      val rate = math.min(1.0, 0.5 * grandTok * (weight(src) / wSum) / tokTotal)
+      val cut = math.floor(rate * 10000).toLong
+      val kept = ds.filter(dd => jvmBucket("mix:", dd._1.toString, 10000) < cut)
+      src -> ((cut, ds.size.toLong, kept.size.toLong, kept.map(_._3).sum))
+    }
+    assert(got == want && got.nonEmpty)
+    // at least one source must actually be downsampled, else the test is vacuous
+    assert(got.values.exists(_._1 < 10000))
+  }
+
+  test("corpus shuffle: shard, order, and positions re-derived outside Spark") {
+    val got = run("p05_corpus_shuffle").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = got.map(_._4).sorted.map { id =>
+      val k = md5hex("shuffle:" + id)
+      (java.lang.Long.parseLong(k.take(6), 16) % 8).toInt -> (k, id)
+    }.groupBy(_._1).toSeq.flatMap { case (shard, ms) =>
+      ms.map(_._2).sortBy(_._1).zipWithIndex.map { case ((k, id), i) =>
+        (shard, (i + 1).toLong, k, id)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want && got.nonEmpty)
+    // every doc appears exactly once across shards
+    assert(got.map(_._4).distinct.length == got.length)
+  }
+
   test("decontamination: flagged docs truly share >=3 shingles with src0") {
     val flagged = run("d07_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -104,6 +104,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Join"), "expected a keyed join on user_id")
   }
 
+  test("p04: rate relation broadcasts back onto the corpus") {
+    val p = planOf("p04_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), "5-row rates must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p05: shuffle-order window is partitioned by shard") {
+    val p = planOf("p05_corpus_shuffle")
+    assert(p.contains("hashpartitioning(shard"), "rank must window per shard")
+  }
+
   test("prefix-jaccard strategy: no cartesian; candidate join is keyed") {
     val p = DedupQueries.jaccardPairsPrefix(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
