@@ -149,9 +149,65 @@ object SimilarityQueries {
       |FROM embeddings, range(1, 9) t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  // --------------- scalar quantization (int8) + exact re-rank -----------
+
+  val RerankDepth = 3 * K
+
+  /** Per-vector symmetric int8 quantization: q_i = trunc(x_i·127/amax)
+    * (trunc, not round — identical across engines and JVM). Exposed for
+    * the spec's error-bound check. */
+  private[queries] def quantized(e: DataFrame): DataFrame =
+    e.withColumn("amax",
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast(DoubleType)))))
+      .withColumn("qvec",
+        when(col("amax") === 0.0,
+          transform(col("embedding"), _ => lit(0).cast(ShortType)))
+          .otherwise(transform(col("embedding"),
+            x => (x.cast(DoubleType) * 127.0 / col("amax")).cast(ShortType))))
+      .withColumn("qnorm",
+        sqrt(aggregate(col("qvec"), lit(0L),
+          (acc, x) => acc + x.cast(LongType) * x.cast(LongType)).cast(DoubleType)))
+
+  /** Scalar-quantized ANN: the corpus scan runs entirely on int8 vectors
+    * (4× smaller than float32 — at 100 TB the scan is memory-bandwidth
+    * bound, so quantization is ~4× throughput before any pruning), with
+    * integer dot products; only the top [[RerankDepth]] candidates per
+    * query are re-scored against the exact float vectors. Approximate:
+    * recall vs s01 measured in DedupSimilaritySpec; quantization error
+    * bound (≤ amax/127 per element) proven there too. */
+  private val s05: Fn = (s, d) => {
+    val base = quantized(emb(s, d))
+      .select(col("vec_id"), col("qvec"), col("qnorm"))
+    val q = quantized(queriesDf(s, d).withColumnRenamed("qv", "embedding"))
+      .select(col("q_id"), col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dotq",
+        aggregate(zip_with(col("qvec"), col("q_qvec"),
+          (a, b) => a.cast(LongType) * b.cast(LongType)), lit(0L), (acc, z) => acc + z))
+      .withColumn("qsim",
+        when(col("qnorm") === 0.0 || col("q_qnorm") === 0.0, 0.0)
+          .otherwise(col("dotq").cast(DoubleType) / (col("qnorm") * col("q_qnorm"))))
+    val wq = Window.partitionBy(col("q_id")).orderBy(desc("qsim"), col("vec_id"))
+    val cand = scored.withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= RerankDepth)
+      .select("q_id", "vec_id")
+    // exact re-rank of the short candidate list only
+    val exact = cand
+      .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    exact.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select("q_id", "rk", "vec_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, None),
     Q("s03_ann_ivf", s03, None),
-    Q("s04_label_centroids", s04, Some(s04Sql)))
+    Q("s04_label_centroids", s04, Some(s04Sql)),
+    Q("s05_ann_quantized", s05, None))
 }

@@ -134,6 +134,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ivf.foreach { case (q, sim) => assert(sim <= best(q) + 1e-9) }
   }
 
+  test("quantized ann: high recall vs brute force after exact re-rank") {
+    val sq = run("s05_ann_quantized").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = bruteTop.map(t => (t._1, t._3)).toSet
+    val recall = (sq & brute).size.toDouble / brute.size
+    // int8 on 64-dim vectors + 3k-deep exact re-rank is near-lossless;
+    // measured 1.0 on this fixture — below 0.9 is a real regression.
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("quantized ann: re-ranked sims are exact (appear in brute-force scores)") {
+    // after re-rank the reported sim must equal the exact cosine, so any
+    // (q, vec) pair shared with s01 must carry the identical rounded sim
+    val bruteSim = bruteTop.map(t => (t._1, t._3) -> t._4).toMap
+    val sq = run("s05_ann_quantized").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(sq.nonEmpty)
+    sq.foreach { case (k, sim) =>
+      bruteSim.get(k).foreach(b => assert(b == sim, s"$k: $sim != $b")) }
+  }
+
+  test("int8 quantization error is bounded by one step (amax/127) per element") {
+    val rows = SimilarityQueries.quantized(
+        graft.Tables.embeddings(spark, sf).limit(50))
+      .select(col("embedding"), col("amax"), col("qvec")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getSeq[Float](0); val amax = r.getDouble(1); val q = r.getSeq[Short](2)
+      val step = if (amax == 0.0) 0.0 else amax / 127.0
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(qi * step - xi.toDouble) <= step + 1e-9,
+          s"dequant err ${math.abs(qi * step - xi)} > step $step")
+      }
+    }
+  }
+
   test("label centroids match a directly computed average (first dim)") {
     val got = run("s04_label_centroids").collect()
       .filter(_.getInt(1) == 0).map(r => r.getInt(0) -> r.getDouble(2)).toMap

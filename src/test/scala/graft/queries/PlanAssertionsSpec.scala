@@ -115,6 +115,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"), "rank must window per shard")
   }
 
+  test("s05: quantized scan broadcasts queries; no cartesian") {
+    val p = planOf("s05_ann_quantized")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("prefix-jaccard strategy: no cartesian; candidate join is keyed") {
     val p = DedupQueries.jaccardPairsPrefix(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
