@@ -44,15 +44,17 @@ object PipelineQueries {
     * mode boilerplate/spam filters catch first. Fractions are double
     * divisions of identical integer operands — bitwise-equal across
     * engines, so even the threshold comparisons agree exactly. */
-  private val t10: Fn = (s, d) => {
-    // top-bigram multiplicity per row WITHOUT a shuffle: sort the bigram
-    // array and take the longest equal-run via an aggregate fold —
-    // map-only, vs the explode + two grouped aggregations formulation
-    // (measured 5.6s -> map-side at sf0.1). The VALUE is engine-
-    // independent, so the DuckDB oracle can keep the unnest+groupBy form.
-    // materialize the token array ONCE per row: element_at(split(...), i)
-    // inside a transform lambda would re-run the split per element (the
-    // lambda body is a fresh expression tree each invocation — O(n²))
+  /** doc_id → repetition-quality verdict (shared by t10 and p06).
+    *
+    * Top-bigram multiplicity per row WITHOUT a shuffle: sort the bigram
+    * array and take the longest equal-run via an aggregate fold —
+    * map-only, vs the explode + two grouped aggregations formulation
+    * (measured 5.6s -> map-side at sf0.1). The VALUE is engine-
+    * independent, so the DuckDB oracle can keep the unnest+groupBy form.
+    * materialize the token array ONCE per row: element_at(split(...), i)
+    * inside a transform lambda would re-run the split per element (the
+    * lambda body is a fresh expression tree each invocation — O(n²)) */
+  private[queries] def qualityVerdicts(s: SparkSession, d: String): DataFrame = {
     val w = col("w")
     val bigrams = transform(sequence(lit(1), size(w) - 1),
       i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
@@ -78,8 +80,9 @@ object PipelineQueries {
         (col("top_bg").cast(DoubleType) / (col("n_tok") - 1).cast(DoubleType)).as("top_bigram_frac"))
       .withColumn("passes",
         col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.18)
-      .orderBy("doc_id")
   }
+
+  private val t10: Fn = (s, d) => qualityVerdicts(s, d).orderBy("doc_id")
   private val t10Sql =
     """WITH base AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -198,25 +201,31 @@ object PipelineQueries {
     * relation broadcast back onto the corpus (plan-asserted), one
     * partial-agg shuffle for the report. The per-doc keep decision is
     * map-side — no per-row join against anything big. */
+  private val mixWeight: Column = when(col("source") === "src0", 0.35)
+    .when(col("source") === "src1", 0.25)
+    .when(col("source") === "src2", 0.20)
+    .when(col("source") === "src3", 0.15)
+    .otherwise(0.05)
+
+  /** (source, tok_total, rate, cut) for a given eligible pool — shared
+    * by p04 (whole corpus) and p06 (post-filter pool). The unpartitioned
+    * window runs on the few-row aggregate, never the corpus. */
+  private[queries] def mixtureCuts(tok: DataFrame): DataFrame = {
+    val grand = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    tok.groupBy("source").agg(sum(col("n_tok")).as("tok_total"))
+      .withColumn("rate",
+        least(lit(1.0), lit(0.5) * sum(col("tok_total")).over(grand) *
+          (mixWeight / sum(mixWeight).over(grand)) / col("tok_total")))
+      .withColumn("cut", floor(col("rate") * 10000).cast(LongType))
+  }
+
   private val p04: Fn = (s, d) => {
     val tok = docs(s, d).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast(LongType).as("n_tok"),
       mdBucket(col("doc_id"), "mix:", 10000).as("bucket"))
-    val weight = when(col("source") === "src0", 0.35)
-      .when(col("source") === "src1", 0.25)
-      .when(col("source") === "src2", 0.20)
-      .when(col("source") === "src3", 0.15)
-      .otherwise(0.05)
-    val totals = tok.groupBy("source").agg(sum(col("n_tok")).as("tok_total"))
-    val grand = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    // rates: 5 rows — the unpartitioned window runs on the aggregate,
-    // never the corpus; the join back is broadcast by size.
-    val rates = totals
-      .withColumn("rate",
-        least(lit(1.0), lit(0.5) * sum(col("tok_total")).over(grand) *
-          (weight / sum(weight).over(grand)) / col("tok_total")))
-      .withColumn("cut", floor(col("rate") * 10000).cast(LongType))
+    // rates: 5 rows — broadcast back by size.
+    val rates = mixtureCuts(tok)
     tok.join(broadcast(rates), "source")
       .groupBy("source")
       .agg(
@@ -281,6 +290,116 @@ object PipelineQueries {
       |       skey, doc_id
       |FROM k ORDER BY shard, pos""".stripMargin
 
+  // ------------------------------------------- p06 full assembly capstone
+
+  /** The whole training-set assembly as ONE declarative plan — the
+    * pipeline a user actually runs end-to-end:
+    *   exact dedup (d01 keep-list) → repetition-quality filter (t10)
+    *   → drop the benchmark source + decontaminate vs it (d07)
+    *   → train split (p01) → mixture sampling on the surviving pool
+    *   (p04 machinery) → shard assignment (p05) → per-shard report.
+    * Every stage is hash-deterministic and individually oracled; the
+    * capstone proves they compose into a single Catalyst plan with no
+    * materialization barriers between stages (filters/joins reorder and
+    * push freely — the reason to declare the pipeline instead of
+    * scripting it step by step as the reference does).
+    *
+    * Scale shape: dedup is one window keyed by content fingerprint,
+    * quality is map-side, decontamination joins on shared shingles,
+    * split/mixture/shard decisions are per-row md5 arithmetic with a
+    * broadcast rate relation; the only corpus-wide shuffles are keyed
+    * (fingerprint, shingle, final shard agg). */
+  private val p06: Fn = (s, d) => {
+    val winFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val deduped = docs(s, d)
+      .withColumn("keep_id", min(col("doc_id")).over(winFp))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val passing = qualityVerdicts(s, d).filter(col("passes")).select("doc_id")
+    val contaminated = contaminationPairs(s, d).select("train_id").distinct()
+    val eligible = deduped
+      .join(passing, "doc_id")
+      .filter(col("source") =!= "src0")
+      .join(contaminated, col("doc_id") === col("train_id"), "left_anti")
+      .filter(mdBucket(col("doc_id"), "split:", 100) < 80)
+    val rates = mixtureCuts(eligible)
+    val sampled = eligible
+      .join(broadcast(rates.select("source", "cut")), "source")
+      .filter(mdBucket(col("doc_id"), "mix:", 10000) < col("cut"))
+    sampled
+      .withColumn("shard",
+        (conv(substring(md5(concat(lit("shuffle:"), col("doc_id").cast(StringType))), 1, 6), 16, 10)
+          .cast(LongType) % 8).cast(IntegerType))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy("shard")
+  }
+  private val p06Sql = {
+    val split = mdBucketSql("doc_id", "split:", 100)
+    val mix = mdBucketSql("doc_id", "mix:", 10000)
+    val shard = "CAST(CAST(concat('0x', substring(md5(concat('shuffle:', CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) % 8 AS INTEGER)"
+    s"""WITH deduped AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |        FROM documents)
+       |  WHERE doc_id = keep_id),
+       |base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |                 i -> concat(w[i], ' ', w[i+1]))) AS bg
+       |  FROM base),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_bg
+       |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) t
+       |  GROUP BY doc_id),
+       |passing AS (
+       |  SELECT b.doc_id FROM base b JOIN top USING (doc_id)
+       |  WHERE (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) <= 0.6
+       |    AND (CAST(top_bg AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)) <= 0.18),
+       |sh AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+       |                i -> array_to_string(w[i:i+4], ' ')))) AS sg
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 5),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id AS train_id
+       |  FROM sh t JOIN sh b ON t.sg = b.sg
+       |  WHERE t.source <> 'src0' AND b.source = 'src0'
+       |  GROUP BY t.doc_id, b.doc_id
+       |  HAVING count(*) >= 3),
+       |eligible AS (
+       |  SELECT d.doc_id, d.source, d.n_tok
+       |  FROM deduped d JOIN passing USING (doc_id)
+       |  WHERE d.source <> 'src0'
+       |    AND d.doc_id NOT IN (SELECT train_id FROM contaminated)
+       |    AND $split < 80),
+       |rates AS (
+       |  SELECT source,
+       |         CAST(floor(least(1.0, 0.5 * sum(sum(n_tok)) OVER () *
+       |           ((CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
+       |                         WHEN 'src2' THEN 0.20 WHEN 'src3' THEN 0.15
+       |                         ELSE 0.05 END) /
+       |            sum(CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
+       |                            WHEN 'src2' THEN 0.20 WHEN 'src3' THEN 0.15
+       |                            ELSE 0.05 END) OVER ()) / sum(n_tok)) * 10000) AS BIGINT) AS cut
+       |  FROM eligible GROUP BY source),
+       |sampled AS (
+       |  SELECT e.doc_id, e.source, e.n_tok
+       |  FROM eligible e JOIN rates r USING (source)
+       |  WHERE $mix < r.cut)
+       |SELECT $shard AS shard, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM sampled GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   // ------------------------------------------------- d07 decontamination
 
   /** Benchmark decontamination: training docs sharing ≥3 distinct
@@ -289,7 +408,9 @@ object PipelineQueries {
     * join is on shared shingles — same shape as d03, but one side is
     * the benchmark set, which at real scale is tiny vs the corpus and
     * broadcastable; never an all-pairs comparison. */
-  private val d07: Fn = (s, d) => {
+  /** (train_id, bench_id, n_shared) pairs with ≥3 shared shingles
+    * against the benchmark (src0) slice — shared by d07 and p06. */
+  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame = {
     // Persisted: the benchmark and training branches below would each
     // re-run the shingling subtree otherwise (same rationale as d03).
     val sh = DedupQueries.shingled(s, d)
@@ -303,10 +424,13 @@ object PipelineQueries {
     train.join(bench, "sg")
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
+  }
+
+  private val d07: Fn = (s, d) =>
+    contaminationPairs(s, d)
       .groupBy("train_id")
       .agg(count(lit(1)).as("n_bench_hits"), max(col("n_shared")).as("worst_overlap"))
       .orderBy("train_id")
-  }
   private val d07Sql =
     """WITH sh AS (
       |  SELECT doc_id, source,
@@ -330,5 +454,6 @@ object PipelineQueries {
     Q("p03_sequence_packing", p03, Some(p03Sql)),
     Q("p04_mixture_sample", p04, Some(p04Sql)),
     Q("p05_corpus_shuffle", p05, Some(p05Sql)),
+    Q("p06_assemble_training_set", p06, Some(p06Sql)),
     Q("d07_decontaminate", d07, Some(d07Sql)))
 }

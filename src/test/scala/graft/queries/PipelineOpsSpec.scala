@@ -138,6 +138,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._4).distinct.length == got.length)
   }
 
+  test("assembly capstone: per-shard report re-derived from the stage outputs") {
+    val got = run("p06_assemble_training_set").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // stage outputs from the individually-oracled queries
+    val keepIds = run("d01_exact_dedup").collect().map(_.getLong(0)).toSet
+    val passIds = run("t10_repetition_quality").collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val contaminated = run("d07_decontaminate").collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val eligible = docs.filter { case (id, src, _) =>
+      keepIds(id) && passIds(id) && src != "src0" && !contaminated(id) &&
+        jvmBucket("split:", id.toString, 100) < 80
+    }
+    def weight(src: String): Double = src match {
+      case "src0" => 0.35; case "src1" => 0.25; case "src2" => 0.20
+      case "src3" => 0.15; case _ => 0.05
+    }
+    val bySrc = eligible.groupBy(_._2)
+    val grandTok = eligible.map(_._3).sum.toDouble
+    val wSum = bySrc.keys.toSeq.map(weight).sum
+    val cuts = bySrc.map { case (src, ds) =>
+      val t = ds.map(_._3).sum.toDouble
+      src -> math.floor(math.min(1.0, 0.5 * grandTok * (weight(src) / wSum) / t) * 10000).toLong
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val sampled = eligible.filter { case (id, src, _) =>
+      jvmBucket("mix:", id.toString, 10000) < cuts(src)
+    }
+    val want = sampled.groupBy { case (id, _, _) =>
+      (java.lang.Long.parseLong(md5hex("shuffle:" + id).take(6), 16) % 8).toInt
+    }.map { case (shard, ds) =>
+      shard -> ((ds.size.toLong, ds.map(_._3).sum, ds.map(_._2).distinct.size.toLong))
+    }
+    assert(got == want && got.nonEmpty)
+    // the pipeline must actually remove something at every stage on this
+    // fixture, else the composition test is vacuous
+    assert(docs.length > eligible.length && eligible.length > sampled.length)
+    assert(contaminated.nonEmpty)
+  }
+
   test("decontamination: flagged docs truly share >=3 shingles with src0") {
     val flagged = run("d07_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
