@@ -306,11 +306,87 @@ object DedupQueries {
       |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------- d08 near-dup clusters (connected components) -----
+
+  /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (d03), so transitively-linked near-dups (A≈B≈C with A,C
+    * below threshold) still collapse to one keeper — the step pair-wise
+    * dedup misses. Pregel-style iterative min-label propagation, the
+    * Spark-idiomatic form of an iterative graph algorithm: each round is
+    * one keyed join (labels onto the bidirectional edge list) + one
+    * aggregation (min over own label and neighbor labels), persisted per
+    * round, run until a fixpoint action reports zero changes. Rounds
+    * needed = graph diameter in the worst case — near-dup components are
+    * shallow (duplicates of a common ancestor), so convergence is fast at
+    * any corpus size; every round is shuffle-keyed on doc_id, nothing is
+    * ever single-partition. Output: one row per cluster (keeper = min
+    * doc_id), member list, size. Deterministic ⇒ oracled (DuckDB
+    * WITH RECURSIVE transitive closure computes the same components). */
+  private val d08: Fn = (s, d) => {
+    val pairs = jaccardPairsNaive(s, d).select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label").as("nlabel"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .groupBy("id")
+        .agg(least(min(col("label")), min(col("nlabel"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("id"))), _.cast(StringType)), ",").as("members"))
+      .orderBy("cluster")
+  }
+  private val d08Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM (SELECT i.d1, i.d2, i.inter, s1.n AS n1, s2.n AS n2
+      |        FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id) t
+      |  WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+      |SELECT cluster, count(*) AS n_docs,
+      |       array_to_string(list_sort(list(id)), ',') AS members
+      |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_bow_dedup", d02, Some(d02Sql)),
     Q("d03_ngram_jaccard", d03, Some(d03Sql)),
     Q("d04_minhash_lsh", d04, None),
     Q("d05_simhash", d05, None),
-    Q("d06_embedding_neardup", d06, Some(d06Sql)))
+    Q("d06_embedding_neardup", d06, Some(d06Sql)),
+    Q("d08_dedup_clusters", d08, Some(d08Sql)))
 }

@@ -134,6 +134,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ivf.foreach { case (q, sim) => assert(sim <= best(q) + 1e-9) }
   }
 
+  test("dedup clusters are exactly the connected components of the pair graph") {
+    val clusters = run("d08_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong).toSet))
+    val edges = exactPairs.keys.toSeq
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).toSet
+    // members partition the pair-graph node set; keeper = min member
+    assert(clusters.flatMap(_._3).toSet == nodes)
+    assert(clusters.map(_._3.size).sum == nodes.size)
+    clusters.foreach { case (id, n, ms) =>
+      assert(id == ms.min && n == ms.size)
+    }
+    // no pair spans two clusters, and every cluster is internally connected
+    val byDoc = clusters.flatMap(c => c._3.map(_ -> c._1)).toMap
+    edges.foreach { case (a, b) => assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split") }
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    clusters.foreach { case (_, _, ms) =>
+      var seen = Set(ms.min); var frontier = Set(ms.min)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      assert(seen == ms, s"cluster $ms not connected (reached $seen)")
+    }
+  }
+
   test("quantized ann: high recall vs brute force after exact re-rank") {
     val sq = run("s05_ann_quantized").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = bruteTop.map(t => (t._1, t._3)).toSet
