@@ -85,6 +85,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!planOf("d07_decontaminate").contains("CartesianProduct"))
   }
 
+  test("p06/d08: composed pipeline and cluster plans stay keyed (no cartesian)") {
+    Seq("p06_assemble_training_set", "d08_dedup_clusters").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), q)
+    }
+  }
+
   test("p02: stratified sample is one partial-agg shuffle, no join") {
     val p = planOf("p02_stratified_sample")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "needs map-side partial agg")
