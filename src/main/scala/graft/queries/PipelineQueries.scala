@@ -38,27 +38,16 @@ object PipelineQueries {
 
   // -------------------------------------------------- t10 repetition quality
 
-  /** Gopher-style repetition filters: duplicate-word fraction and
-    * top-bigram fraction per document, plus the pass/fail verdict.
-    * Heavily repetitive documents are the classic low-quality failure
-    * mode boilerplate/spam filters catch first. Fractions are double
-    * divisions of identical integer operands — bitwise-equal across
-    * engines, so even the threshold comparisons agree exactly. */
-  /** doc_id → repetition-quality verdict (shared by t10 and p06).
-    *
-    * Top-bigram multiplicity per row WITHOUT a shuffle: sort the bigram
-    * array and take the longest equal-run via an aggregate fold —
-    * map-only, vs the explode + two grouped aggregations formulation
-    * (measured 5.6s -> map-side at sf0.1). The VALUE is engine-
-    * independent, so the DuckDB oracle can keep the unnest+groupBy form.
-    * materialize the token array ONCE per row: element_at(split(...), i)
-    * inside a transform lambda would re-run the split per element (the
-    * lambda body is a fresh expression tree each invocation — O(n²)) */
-  private[queries] def qualityVerdicts(s: SparkSession, d: String): DataFrame = {
-    val w = col("w")
+  /** Longest equal-run in the sorted bigram array of token column `w` —
+    * the top-bigram multiplicity WITHOUT a shuffle, via an aggregate
+    * fold. The caller MUST pass a materialized array COLUMN: building
+    * bigrams from an inline `split(...)` would re-run the split per
+    * element (a lambda body is a fresh expression tree each invocation —
+    * O(tokens²) per document). */
+  private def topRunOfBigrams(w: Column): Column = {
     val bigrams = transform(sequence(lit(1), size(w) - 1),
       i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
-    val topBg = aggregate(
+    aggregate(
       array_sort(bigrams),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
@@ -67,17 +56,52 @@ object PipelineQueries {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+  }
+
+  /** Gopher-style repetition filters (doc_id → verdict; shared by t10
+    * and p06): duplicate-word fraction and top-bigram fraction per
+    * document, plus the pass/fail verdict. Heavily repetitive documents
+    * are the classic low-quality failure mode boilerplate/spam filters
+    * catch first. Fractions are double divisions of identical integer
+    * operands — bitwise-equal across engines, so even the threshold
+    * comparisons agree exactly. Map-only (measured 5.6s -> map-side at
+    * sf0.1 vs the explode + two grouped aggregations formulation); the
+    * VALUE is engine-independent, so the DuckDB oracle keeps the
+    * unnest+groupBy form. */
+  private[queries] def qualityVerdicts(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
     docs(s, d).select(col("doc_id"), toks.as("w"))
       .filter(size(w) >= 2)
       .select(
         col("doc_id"),
         size(w).cast(LongType).as("n_tok"),
         size(array_distinct(w)).cast(LongType).as("n_dist"),
-        topBg.as("top_bg"))
+        topRunOfBigrams(w).as("top_bg"))
       .select(
         col("doc_id"),
         (lit(1.0) - col("n_dist").cast(DoubleType) / col("n_tok").cast(DoubleType)).as("dup_word_frac"),
         (col("top_bg").cast(DoubleType) / (col("n_tok") - 1).cast(DoubleType)).as("top_bigram_frac"))
+      .withColumn("passes",
+        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.18)
+  }
+
+  /** Column-appending form of the quality verdict for composition into
+    * arbitrary (incl. streaming) pipelines: keeps every input column,
+    * adds dup_word_frac / top_bigram_frac / passes. Docs under 2 tokens
+    * get passes=false (top_bigram_frac pinned to 1.0) instead of being
+    * dropped. Purely map-side — streaming-safe in append mode. */
+  def withQualityVerdict(df: DataFrame): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    val w = col("__w")
+    df.select(others :+ split(col("text"), " ").as("__w"): _*)
+      .select(others ++ Seq(
+        size(w).cast(LongType).as("__n_tok"),
+        size(array_distinct(w)).cast(LongType).as("__n_dist"),
+        topRunOfBigrams(w).as("__top_bg")): _*)
+      .select(others ++ Seq(
+        (lit(1.0) - col("__n_dist").cast(DoubleType) / col("__n_tok").cast(DoubleType)).as("dup_word_frac"),
+        when(col("__n_tok") < 2, 1.0)
+          .otherwise(col("__top_bg").cast(DoubleType) / (col("__n_tok") - 1).cast(DoubleType)).as("top_bigram_frac")): _*)
       .withColumn("passes",
         col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.18)
   }

@@ -70,6 +70,31 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("signup_ts"), col("error_ts"))
   }
 
+  /** Streaming ingest front-end for a document corpus: content-
+    * fingerprint dedup-on-arrival (first arrival wins, cross-batch via
+    * streaming state), repetition-quality verdict, and deterministic
+    * train/val/test + shard assignment — the always-on twin of the batch
+    * assembly pipeline's first stages (d01/t10/p01/p05 semantics).
+    * Everything except the dedup state is map-side, so the output
+    * supports append mode and a partitioned exactly-once file sink
+    * (partitionBy(split), the file-sink commit log guarantees no
+    * duplicates on restart). Dedup state is keyed by the fingerprint;
+    * on a stream that carries an ingest timestamp, bound it with
+    * `dropDuplicatesWithinWatermark` instead (see [[dedupWithinWatermark]]). */
+  def ingestDocs(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .withColumn("content_fp", md5(col("text")))
+      .dropDuplicates("content_fp")
+    val bucket = (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 100).cast("int")
+    graft.queries.PipelineQueries.withQualityVerdict(keyed)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("shard",
+        (conv(substring(md5(concat(lit("shuffle:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 8).cast("int"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: Timestamp)
