@@ -102,9 +102,41 @@ object ExtraQueries2 {
       |  FROM lineitem GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 
+  /** u01: the schema-driven one-pass profiler pointed at lineitem —
+    * exercises [[graft.operators.Profiler]] against a hand-written
+    * per-column oracle. */
+  private val u01: Fn = (s, d) =>
+    graft.operators.Profiler.profile(graft.Tables.lineitem(s, d))
+
+  private val u01Sql = {
+    def num(c: String, t: String) =
+      s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(trunc(CAST(min($c) AS DOUBLE) * 1e6) AS BIGINT) AS min_fp6,
+         |  CAST(trunc(CAST(max($c) AS DOUBLE) * 1e6) AS BIGINT) AS max_fp6,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def str(c: String, t: String) =
+      s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS BIGINT) AS min_fp6, CAST(NULL AS BIGINT) AS max_fp6,
+         |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    Seq(
+      num("l_orderkey", "bigint"), num("l_partkey", "bigint"),
+      num("l_suppkey", "bigint"), num("l_linenumber", "int"),
+      num("l_quantity", "double"), num("l_extendedprice", "double"),
+      num("l_discount", "double"), num("l_tax", "double"),
+      str("l_returnflag", "string"), str("l_linestatus", "string"),
+      str("l_shipdate", "timestamp_ntz")).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val all: Seq[Q] = Seq(
     Q("r36_setops_multiset", r36, Some(r36Sql)),
     Q("r37_regex_fns", r37, Some(r37Sql)),
     Q("r38_bool_aggs", r38, Some(r38Sql)),
-    Q("r39_exact_moments", r39, Some(r39Sql)))
+    Q("r39_exact_moments", r39, Some(r39Sql)),
+    Q("u01_profile_table", u01, Some(u01Sql)))
 }
