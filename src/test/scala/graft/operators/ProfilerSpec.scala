@@ -30,11 +30,16 @@ class ProfilerSpec extends AnyFunSuite {
     assert(s.isNullAt(5) && s.isNullAt(6))
   }
 
-  test("profiler: one pass — a single scan feeds every column's stats") {
+  test("profiler: no distinct-rewrite Expand; distinct scans are column-pruned") {
     val p = graft.SparkEntry.queries("u01_profile_table")(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    // formatted mode lists each node once in the tree and once in the
-    // details section — count the numbered detail entries
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, "profiler must scan once")
+    // the N-way count_distinct formulation plans an Expand that
+    // amplifies the scan (N+1)x through SortAggregates — never again
+    assert(!p.contains("Expand"), "distinct rewrite must not amplify the scan")
+    // each distinct aggregate reads exactly one column
+    val readSchemas = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.count(s => !s.contains(",")) >= 11,
+      s"expected 11 single-column pruned scans, got: $readSchemas")
   }
 }
