@@ -331,6 +331,11 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Convergence witness: labels only ever decrease, so Σ label is a
+    // strictly decreasing monotone until the fixpoint — an unchanged sum
+    // IS convergence. One scalar aggregate per round replaces an
+    // old-vs-new join.
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
@@ -340,11 +345,11 @@ object DedupQueries {
         .groupBy("id")
         .agg(least(min(col("label")), min(col("nlabel"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       labels.unpersist(false)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels
