@@ -226,7 +226,50 @@ object TextQueries {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t11: boilerplate exposure per document — the fraction of a doc's
+    * 5-gram shingles shared by ≥3 documents — C4-style boilerplate
+    * removal at shingle level. (Production corpora use a relative cut,
+    * e.g. df > 0.1%·N; this fixture's df tops out at 4 regardless of
+    * scale factor, so the operator pins the absolute form.) Downstream, docs
+    * above a boilerplate threshold are dropped or stripped; the operator
+    * reports the per-doc fraction plus the flag. Two keyed shuffles
+    * (shingle df, per-doc regroup) — the same shape as d03's frequency
+    * stage; integer-ratio double division for cross-engine parity. */
+  private val t11: Fn = (s, d) => {
+    val sh = DedupQueries.shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("sg"))
+    sh.join(hot.withColumn("is_hot", lit(1L)), Seq("sg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+      .withColumn("boilerplate_frac",
+        col("n_hot").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .withColumn("flagged", col("boilerplate_frac") > 0.5)
+      .orderBy("doc_id")
+  }
+  private val t11Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS sg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |hot AS (
+      |  SELECT sg FROM sh GROUP BY sg
+      |  HAVING count(*) >= 3)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN h.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+      |       CAST(sum(CASE WHEN h.sg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boilerplate_frac,
+      |       (CAST(sum(CASE WHEN h.sg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) > 0.5 AS flagged
+      |FROM sh s LEFT JOIN hot h USING (sg)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t11_boilerplate", t11, Some(t11Sql)),
     Q("t01_text_stats", t01, Some(t01Sql)),
     Q("t02_lang_stats", t02, Some(t02Sql)),
     Q("t03_token_topk", t03, Some(t03Sql)),

@@ -181,6 +181,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(contaminated.nonEmpty)
   }
 
+  test("boilerplate: fractions re-derived from a local shingle frequency map") {
+    val got = run("t11_boilerplate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    val df = all.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = all.map { case (id, ss) =>
+      val hot = ss.count(df(_) >= 3).toLong
+      id -> ((ss.size.toLong, hot, hot.toDouble / ss.size > 0.5))
+    }.toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(_._3), "fixture must flag at least one doc")
+  }
+
   test("decontamination: flagged docs truly share >=3 shingles with src0") {
     val flagged = run("d07_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
