@@ -160,6 +160,23 @@ object CoverageQueries {
       |  source AS origin
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Strided frame sampling over video payloads — the Spark-side
+    * plumbing (explode shape, stride filter, byte offsets) is real and
+    * oracled even though the codec is stubbed: offsets derive only from
+    * payload length. */
+  private val m03: Fn = (s, d) =>
+    graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
+      .orderBy("doc_id", "frame_no")
+  private val m03Sql =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+      |       CAST(i * 64 AS INTEGER) AS byte_offset
+      |FROM (SELECT doc_id,
+      |        unnest(range(0, (octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) AS i
+      |      FROM documents WHERE source NOT IN ('src0', 'src1')) t
+      |WHERE i % 4 = 0
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   /** HLL approximate distinct (rows-only: sketch internals are
     * engine-specific; CoverageSpec bounds the error vs exact). */
   private val r28: Fn = (s, d) =>
@@ -188,5 +205,6 @@ object CoverageQueries {
     Q("st2_interval_join", st2, Some(st2Sql)),
     Q("m01_multimodal_meta", m01, Some(m01Sql)),
     Q("r28_approx_distinct", r28, None),
-    Q("m02_decode_features", m02, None))
+    Q("m02_decode_features", m02, None),
+    Q("m03_frame_sample", m03, Some(m03Sql)))
 }
