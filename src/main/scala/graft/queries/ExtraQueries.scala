@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.queries.Relational.{Fn, Q}
 
@@ -164,7 +165,34 @@ object ExtraQueries {
       |  nullif(o_orderstatus, 'P') IS NULL AS is_p
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** r40: unpivot/melt — the wide→long reshape (`Dataset.unpivot`,
+    * Spark's native melt; zero shuffle, row-local). Charges per line
+    * item go long as (measure, value); values are cast to DECIMAL(12,2)
+    * BEFORE unpivot so both engines agree exactly (parity rule 8). */
+  private val r40: Fn = (s, d) =>
+    graft.Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("extendedprice"),
+        col("l_discount").cast(DecimalType(12, 2)).as("discount"),
+        col("l_tax").cast(DecimalType(12, 2)).as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("extendedprice"), col("discount"), col("tax")),
+        "measure", "amount")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  private val r40Sql =
+    """SELECT l_orderkey, l_linenumber, measure, amount FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS extendedprice,
+      |         CAST(l_discount AS DECIMAL(12,2)) AS discount,
+      |         CAST(l_tax AS DECIMAL(12,2)) AS tax
+      |  FROM lineitem WHERE l_orderkey < 100) t
+      |UNPIVOT (amount FOR measure IN (extendedprice, discount, tax))
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r40_unpivot", r40, Some(r40Sql)),
     Q("r29_minmax_by", r29, Some(r29Sql)),
     Q("r30_string_agg", r30, Some(r30Sql)),
     Q("r31_subqueries", r31, Some(r31Sql)),
