@@ -133,7 +133,42 @@ object ExtraQueries2 {
       str("l_shipdate", "timestamp_ntz")).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** r41: MAP-typed columns in-plan — build priority→count maps per
+    * order status (map_from_entries over a sorted entry list, so key
+    * order is deterministic in both engines), then key lookup,
+    * cardinality, key join, and a value fold. */
+  private val r41: Fn = (s, d) => {
+    val ent = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderpriority"), col("n"))))).as("m"))
+    ent.select(
+        col("o_orderstatus"),
+        size(map_keys(col("m"))).cast("int").as("n_keys"),
+        element_at(col("m"), "1-URGENT").as("urgent"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"))
+      .orderBy("o_orderstatus")
+  }
+  private val r41Sql =
+    """WITH e AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |mm AS (
+      |  SELECT o_orderstatus,
+      |         map_from_entries(list_sort(list((o_orderpriority, n)))) AS m
+      |  FROM e GROUP BY o_orderstatus)
+      |SELECT o_orderstatus,
+      |  CAST(cardinality(m) AS INTEGER) AS n_keys,
+      |  m['1-URGENT'][1] AS urgent,
+      |  array_to_string(map_keys(m), ',') AS keys,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), map_values(m)), (a, x) -> a + x) AS total
+      |FROM mm ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r41_map_fns", r41, Some(r41Sql)),
     Q("r36_setops_multiset", r36, Some(r36Sql)),
     Q("r37_regex_fns", r37, Some(r37Sql)),
     Q("r38_bool_aggs", r38, Some(r38Sql)),
