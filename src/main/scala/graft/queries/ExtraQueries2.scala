@@ -167,7 +167,53 @@ object ExtraQueries2 {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), map_values(m)), (a, x) -> a + x) AS total
       |FROM mm ORDER BY o_orderstatus""".stripMargin
 
+  /** r42: MERGE/upsert semantics as one declarative plan — the batch
+    * snapshot-maintenance pattern (Delta-style MERGE without a table
+    * format): base FULL OUTER JOIN updates on the key, coalesce toward
+    * the update, tag each row kept/updated/inserted. The join shuffles
+    * once on the key — with the base bucketed by key
+    * (ScaleOps.writeBucketed) the nightly upsert at 100 TB is
+    * shuffle-free on the base side. Updates here are derived
+    * deterministically from the base (every 97th key gets +100 price;
+    * five synthetic inserts) so the query is self-contained and
+    * oracle-able. */
+  private val r42: Fn = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val upd = base.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+      .unionByName(s.range(1, 6).select(
+        (col("id") + 10000000L).as("o_orderkey"),
+        lit(1000.5).as("o_totalprice"), lit("N").as("o_orderstatus")))
+    base.as("b").join(upd.as("u"), col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("b.o_orderkey"), col("u.o_orderkey")).as("o_orderkey"),
+        coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("o_totalprice"),
+        coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+        when(col("b.o_orderkey").isNotNull && col("u.o_orderkey").isNotNull, "updated")
+          .when(col("u.o_orderkey").isNotNull, "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy("o_orderkey")
+  }
+  private val r42Sql =
+    """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, 'U' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT i + 10000000, 1000.5, 'N' FROM range(1, 6) t(i))
+      |SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+      |       coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+      |       coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      |       CASE WHEN b.o_orderkey IS NOT NULL AND u.o_orderkey IS NOT NULL THEN 'updated'
+      |            WHEN u.o_orderkey IS NOT NULL THEN 'inserted'
+      |            ELSE 'kept' END AS action
+      |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r42_merge_upsert", r42, Some(r42Sql)),
     Q("r41_map_fns", r41, Some(r41Sql)),
     Q("r36_setops_multiset", r36, Some(r36Sql)),
     Q("r37_regex_fns", r37, Some(r37Sql)),
