@@ -25,16 +25,13 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private val toks: Column = split(col("text"), " ")
 
-  /** Engine-portable deterministic bucket in [0, mod): leading 6 hex
-    * digits of md5(salt || key) as an integer. Both engines hash the
-    * same string and parse the same hex digits — no engine-native
-    * hash (xxhash64/hash differ across engines) and no RNG. */
+  // Deterministic hash assignments shared with the streaming ingest
+  // front-end — single definition in graft.functions.DetHash.
   private def mdBucket(key: Column, salt: String, mod: Int): Column =
-    (conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 6), 16, 10)
-      .cast(LongType) % mod).cast(IntegerType)
+    graft.functions.DetHash.mdBucket(key, salt, mod)
 
   private def mdBucketSql(key: String, salt: String, mod: Int): String =
-    s"CAST(CAST(concat('0x', substring(md5(concat('$salt', CAST($key AS VARCHAR))), 1, 6)) AS BIGINT) % $mod AS INTEGER)"
+    graft.functions.DetHash.mdBucketSql(key, salt, mod)
 
   // -------------------------------------------------- t10 repetition quality
 
@@ -297,7 +294,7 @@ object PipelineQueries {
       .partitionBy(col("shard")).orderBy(col("skey"))
     docs(s, d)
       .select(col("doc_id"),
-        md5(concat(lit("shuffle:"), col("doc_id").cast(StringType))).as("skey"))
+        graft.functions.DetHash.shuffleKey(col("doc_id")).as("skey"))
       .withColumn("shard",
         (conv(substring(col("skey"), 1, 6), 16, 10).cast(LongType) % 8).cast(IntegerType))
       .withColumn("pos", row_number().over(w).cast(LongType))
@@ -353,9 +350,7 @@ object PipelineQueries {
       .join(broadcast(rates.select("source", "cut")), "source")
       .filter(mdBucket(col("doc_id"), "mix:", 10000) < col("cut"))
     sampled
-      .withColumn("shard",
-        (conv(substring(md5(concat(lit("shuffle:"), col("doc_id").cast(StringType))), 1, 6), 16, 10)
-          .cast(LongType) % 8).cast(IntegerType))
+      .withColumn("shard", graft.functions.DetHash.shardOf(col("doc_id")))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         count_distinct(col("source")).as("n_sources"))

@@ -85,14 +85,9 @@ object StreamingOps {
     val keyed = docs
       .withColumn("content_fp", md5(col("text")))
       .dropDuplicates("content_fp")
-    val bucket = (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long") % 100).cast("int")
     graft.queries.PipelineQueries.withQualityVerdict(keyed)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-      .withColumn("shard",
-        (conv(substring(md5(concat(lit("shuffle:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-          .cast("long") % 8).cast("int"))
+      .withColumn("split", graft.functions.DetHash.splitOf(col("doc_id")))
+      .withColumn("shard", graft.functions.DetHash.shardOf(col("doc_id")))
   }
 
   // ---- custom state: flatMapGroupsWithState sessionizer ----
