@@ -352,6 +352,9 @@ object DedupQueries {
       prevSum = nextSum
       iter += 1
     }
+    if (!converged) System.err.println(
+      s"[d08] label propagation stopped at $iter rounds before the fixpoint " +
+        "(component diameter exceeds the bound); cluster ids may be non-minimal")
     labels
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"),
