@@ -27,6 +27,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("dynamic partition overwrite backfills one partition, leaves the rest") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dyn_overwrite").toString + "/t"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+    docs.write.partitionBy("source").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // backfill exactly one source partition with halved rows
+    val one = docs.filter(col("source") === "src0").filter(col("doc_id") % 40 === 0)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try one.write.mode("overwrite").partitionBy("source").parquet(dir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val after = spark.read.parquet(dir)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("src0") == one.count() && after("src0") < before("src0"))
+    (before.keySet - "src0").foreach(srcKey => assert(after(srcKey) == before(srcKey), srcKey))
+  }
+
   test("orc sink round-trips the flattened studies") {
     val dir = Files.createTempDirectory("studies_orc").toString
     val flat = graft.etl.Flatten(

@@ -132,6 +132,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest survives a restart from checkpoint without duplicates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_restart").toString
+    val docs = (1L to 30L).map(i => Doc(i, "srcA", s"word$i alpha beta gamma plus tail $i"))
+    // file source (restartable, unlike MemoryStream): each incarnation
+    // reads newly arrived json files from the same input dir
+    val schema = org.apache.spark.sql.Encoders.product[Doc].schema
+    def startQuery() =
+      StreamingOps.ingestDocs(spark.readStream.schema(schema).json(s"$dir/in")).writeStream
+        .format("parquet").option("path", s"$dir/data")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .partitionBy("split").outputMode("append").start()
+    // first incarnation sees half, then stops (simulated crash+restart)
+    docs.take(15).toDF().coalesce(1).write.mode("append").json(s"$dir/in")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // a new file re-delivers the first 15 docs (replay) plus 15 new ones;
+    // the checkpoint-recovered dedup state must suppress the replays
+    docs.toDF().coalesce(1).write.mode("append").json(s"$dir/in")
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 30)
+    assert(back.select("doc_id").distinct().count() == 30)
+  }
+
   test("streaming ingest e2e: partitioned exactly-once file sink round-trips") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
