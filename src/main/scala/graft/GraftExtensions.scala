@@ -12,20 +12,27 @@ import graft.expressions.{CosineSimilarity, MinHashSignature, SimHashSignature}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int)(
+        exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      exprs
+    }
     e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = arity("cosine_similarity", 2)(exprs); CosineSimilarity(a(0), a(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSignature(exprs.head)))
+        MinHashSignature(arity("minhash_signature", 1)(exprs).head)))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashSignature(exprs.head)))
+        SimHashSignature(arity("simhash64", 1)(exprs).head)))
   }
 }

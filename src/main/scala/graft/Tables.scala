@@ -17,16 +17,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Memoized per (session, dir, table): `spark.read.parquet` re-lists
-    * files and re-reads footers on every call, and with 65 registered
+    * files and re-reads footers on every call, and with 80+ registered
     * queries that fixed planning cost dominates small-SF benchmarks.
-    * The fixture dirs are read-only, so reusing the analyzed relation is
-    * safe; keying by session keeps restarted test sessions isolated. */
+    * CONTRACT: a dir is treated as immutable once loaded — the memo
+    * returns the original file listing even if the path is rewritten
+    * (call [[invalidate]] after rewriting a cached path). Entries for
+    * stopped sessions are dropped lazily on the next load. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // lazy eviction: drop relations belonging to stopped sessions so a
+    // long-lived JVM that cycles sessions does not retain them forever
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Forget memoized relations (all, or one dir's) — required after
+    * rewriting parquet under a previously-loaded path. */
+  def invalidate(dir: Option[String] = None): Unit = dir match {
+    case None => cache.clear()
+    case Some(d) => cache.keySet.removeIf(_._2 == d)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -68,13 +68,22 @@ object PageFetcher {
   // time — not a per-row hot path.
   private val mapper = new ObjectMapper()
 
-  /** `nextPageToken` of a page body, if present and non-empty. A body
-    * that fails to parse counts as a protocol failure (None is handled
-    * by the caller via the page itself failing later in spark.read). */
+  /** Token parse with failure distinguished from absence: Left = the
+    * body is not JSON at all (protocol failure — e.g. an HTML error page
+    * behind a 200), Right(None) = a well-formed final page, Right(token)
+    * = more pages. The distinction matters: a malformed body must abort
+    * the whole extract (partial results are discarded, etl.py:124-127),
+    * not silently terminate the chain with garbage kept. */
+  private[etl] def parseToken(body: String): Either[Unit, Option[String]] =
+    try {
+      val node = mapper.readTree(body)
+      if (node == null || !node.isContainerNode) Left(())
+      else Right(Option(node.get("nextPageToken")).map(_.asText()).filter(_.nonEmpty))
+    } catch { case _: java.io.IOException => Left(()) }
+
+  /** `nextPageToken` of a page body, if present and non-empty. */
   def nextToken(body: String): Option[String] =
-    try Option(mapper.readTree(body).get("nextPageToken"))
-      .map(_.asText()).filter(_.nonEmpty)
-    catch { case _: java.io.IOException => None }
+    parseToken(body).toOption.flatten
 
   /** Walk the token chain: accumulate page bodies until no token, abort
     * to None if ANY page fails (`etl.py:124-127` — partial results are
@@ -87,9 +96,13 @@ object PageFetcher {
       fetcher.fetch(token) match {
         case None => return None
         case Some(body) =>
-          pages += body
-          token = nextToken(body)
-          more = token.isDefined
+          parseToken(body) match {
+            case Left(_) => return None // malformed page — discard everything
+            case Right(t) =>
+              pages += body
+              token = t
+              more = t.isDefined
+          }
       }
     }
     Some(pages.toSeq)

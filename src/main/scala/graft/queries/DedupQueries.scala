@@ -116,7 +116,10 @@ object DedupQueries {
     * double rounding can over-prune a borderline pair. Output is
     * identical to [[jaccardPairsNaive]] (asserted by DedupSimilaritySpec). */
   private[queries] def jaccardPairsPrefix(s: SparkSession, d: String): DataFrame = {
+    // persisted: ex feeds both the df aggregation and the ranked join —
+    // without it the shingling subtree runs twice inside the withPre job
     val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // Per-doc shingles in global (df, s) rarest-first order, plus set size.
     val ranked = ex.join(freq, "s")
@@ -237,8 +240,11 @@ object DedupQueries {
 
   /** SimHash near-dup: 64-bit signature from token hashes (sign-weighted
     * bit voting), candidates must share one of four 16-bit chunks
-    * (pigeonhole for hamming ≤ 3 guarantees; wider dists found
-    * best-effort), verified by popcount(xor) ≤ 8. */
+    * (pigeonhole: hamming ≤ 3 pairs are guaranteed candidates WITHIN the
+    * [[MaxBucket]] cap — a chunk bucket holding >MaxBucket docs keeps
+    * only the lowest doc_ids, trading that guarantee for bounded reducer
+    * cost on degenerate corpora; wider dists found best-effort),
+    * verified by popcount(xor) ≤ 8. */
   /** Per-document 64-bit SimHash via the fused codegen'd
     * [[graft.expressions.SimHashSignature]] kernel: one pass over the
     * token occurrences per row replaces TWO aggregation shuffles (token
@@ -338,7 +344,7 @@ object DedupQueries {
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var iter = 0
     var converged = false
-    while (!converged && iter < 20) {
+    while (!converged && iter < 64) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label").as("nlabel"))
       val next = labels.join(msgs, Seq("id"), "left")
@@ -354,7 +360,8 @@ object DedupQueries {
     }
     if (!converged) System.err.println(
       s"[d08] label propagation stopped at $iter rounds before the fixpoint " +
-        "(component diameter exceeds the bound); cluster ids may be non-minimal")
+        "(component diameter exceeds the bound); cluster ids may be non-minimal " +
+        "and the output will diverge from the transitive-closure oracle")
     labels
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"),

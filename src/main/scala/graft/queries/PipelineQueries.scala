@@ -42,8 +42,12 @@ object PipelineQueries {
     * element (a lambda body is a fresh expression tree each invocation —
     * O(tokens²) per document). */
   private def topRunOfBigrams(w: Column): Column = {
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    // guard: sequence(1, 0) yields the DESCENDING [1, 0], whose 0 index
+    // makes element_at throw on a 1-token document — short texts must
+    // produce an empty bigram array (best run 0), not an error
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
     aggregate(
       array_sort(bigrams),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),

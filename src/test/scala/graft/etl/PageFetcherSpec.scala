@@ -37,6 +37,19 @@ class PageFetcherSpec extends AnyFunSuite {
     assert(PageFetcher.readFetched(spark, f).isEmpty)
   }
 
+  test("malformed page body (HTML behind a 200) aborts the WHOLE extract") {
+    // an error page served with status 200 must be treated as a protocol
+    // failure — partial results are discarded, the garbage is never kept
+    val f = new PageFetcher {
+      def fetch(token: Option[String]): Option[String] = token match {
+        case None => Some("""{"studies": [{"id": "S1"}], "nextPageToken": "tok2"}""")
+        case Some(_) => Some("<html>502 Bad Gateway</html>")
+      }
+    }
+    assert(PageFetcher.fetchPages(f).isEmpty)
+    assert(PageFetcher.readFetched(spark, f).isEmpty)
+  }
+
   test("endless token chain stops at the page cap (default 100)") {
     val f = new StubFetcher(1, endless = true)
     assert(PageFetcher.fetchPages(f).get.size == 100)

@@ -68,7 +68,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("simhash pigeonhole guarantee: every pair with hamming <= 3 is found") {
     // 3 bit flips can touch at most 3 of the 4 16-bit chunks, so one
     // chunk always collides — such pairs are GUARANTEED candidates, not
-    // best-effort. Ground truth from the same signatures, all pairs.
+    // best-effort. The guarantee is scoped to buckets within MaxBucket
+    // (this fixture's chunk buckets are far below the cap; the cap spec
+    // below covers the degenerate-bucket tradeoff explicitly).
+    // Ground truth from the same signatures, all pairs.
     val sigs = DedupQueries.simhashSignatures(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val guaranteed = (for {

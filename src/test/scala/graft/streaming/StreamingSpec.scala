@@ -121,6 +121,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     // all-repeat doc fails the filter; normal docs pass
     assert(!batch(3L)._3 && batch(1L)._3)
+    // a single-token doc (no space) must flow through as passes=false,
+    // not crash the query (regression: sequence(1,0) descends through 0)
+    stream.addData(Doc(77L, "srcA", "loneword"))
+    val q2 = StreamingOps.ingestDocs(stream.toDF()).writeStream
+      .format("memory").queryName("ingest_out2").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val lone = spark.table("ingest_out2").filter(col("doc_id") === 77L).collect()
+    assert(lone.length == 1 && !lone.head.getAs[Boolean]("passes"))
     // split/shard equal the oracled batch operators' assignment for these ids
     val p01 = graft.SparkEntry.queries("p01_hash_split")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap

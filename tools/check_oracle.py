@@ -62,6 +62,14 @@ def col_diff(name, a: pa.ChunkedArray, b: pa.ChunkedArray):
     if pa.types.is_floating(ta) or pa.types.is_floating(tb):
         if ta != tb:
             return f"{name}: float type {ta} vs {tb}"
+        # NULL masks must match BEFORE the numeric view: to_pylist maps
+        # arrow NULL to None -> np.float64 NaN, which would silently
+        # equate a NULL on one side with a NaN on the other.
+        na = [x is None for x in a.to_pylist()]
+        nb = [x is None for x in b.to_pylist()]
+        if na != nb:
+            bad = sum(1 for x, y in zip(na, nb) if x != y)
+            return f"{name}: {bad} null-mask positions differ"
         xa = np.array(a.to_pylist(), dtype=np.float64)
         xb = np.array(b.to_pylist(), dtype=np.float64)
         bad = int((xa.view(np.uint64) != xb.view(np.uint64)).sum())
