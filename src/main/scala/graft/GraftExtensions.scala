@@ -4,14 +4,19 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.expressions.{CosineSimilarity, MinHashSignature, SimHashSignature}
+import graft.plans.{GraftStrategy, TopKRewriteRule}
 
 /** Session extensions: registers the engine's native functions for SQL
-  * use. Install with
+  * use, plus the whole-operator extension path — the top-k-per-group
+  * optimizer rewrite ([[graft.plans.TopKRewriteRule]]) and its physical
+  * strategy ([[graft.plans.GraftStrategy]]). Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectPlannerStrategy(_ => GraftStrategy)
     def arity(name: String, n: Int)(
         exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
       require(exprs.length == n,

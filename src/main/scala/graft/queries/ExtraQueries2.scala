@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 import graft.queries.Relational.{Fn, Q}
 
@@ -212,7 +213,31 @@ object ExtraQueries2 {
       |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Per-group top-k through the native whole-operator path: the
+    * row_number-filter idiom below is rewritten by
+    * [[graft.plans.TopKRewriteRule]] to the bounded-heap
+    * TopKPerGroup operator (plan-asserted in PlanAssertionsSpec) —
+    * no per-group sort, map-side k-bound before the shuffle. The oracle
+    * runs the ordinary window SQL; results must be identical. */
+  private val r43: Fn = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .orderBy("c_nationkey", "rk")
+  }
+  private val r43Sql =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |         CAST(row_number() OVER (PARTITION BY c_nationkey
+      |              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r43_topk_native", r43, Some(r43Sql)),
     Q("r42_merge_upsert", r42, Some(r42Sql)),
     Q("r41_map_fns", r41, Some(r41Sql)),
     Q("r36_setops_multiset", r36, Some(r36Sql)),

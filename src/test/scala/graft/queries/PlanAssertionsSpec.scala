@@ -132,4 +132,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+  test("r43: top-k per group plans the native bounded-heap operator, no window sort") {
+    val p = planOf("r43_topk_native")
+    assert(p.contains("TopKPerGroup"), "native operator expected")
+    assert(!p.contains("Window"), "no Window node should remain")
+  }
+
+  test("ANN top-k selection also goes through the native operator") {
+    assert(planOf("s01_ann_bruteforce").contains("TopKPerGroup"))
+  }
 }
