@@ -470,7 +470,52 @@ object PipelineQueries {
       |SELECT train_id, count(*) AS n_bench_hits, max(n_shared) AS worst_overlap
       |FROM overlap GROUP BY train_id ORDER BY train_id""".stripMargin
 
+  // ------------------------------------------- p07 incremental dedup
+
+  /** Incremental (delta-vs-corpus) dedup — the operational mode at
+    * 100 TB: new arrivals are deduped against the STANDING corpus's
+    * fingerprint index, never by re-deduping the whole corpus. The
+    * standing/delta split is simulated with a deterministic md5 arrival
+    * bucket (70% standing). Each delta doc gets a disposition:
+    * 'dup_of_corpus' (fingerprint already in the index),
+    * 'dup_in_delta' (loses the intra-batch min-doc_id keeper race),
+    * 'new' (would be appended to corpus + index). Plan shape: one
+    * fingerprint-keyed window for the intra-batch keeper and one left
+    * join against the index — at scale the index is the bucketed-by-fp
+    * standing table (ScaleOps.writeBucketed), making the join
+    * co-located and the whole delta pass shuffle-light. */
+  private val p07: Fn = (s, d) => {
+    val all = docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"),
+      mdBucket(col("doc_id"), "arrival:", 100).as("b"))
+    val corpusIdx = all.filter(col("b") < 70)
+      .groupBy("fp").agg(min(col("doc_id")).as("first_id"))
+    val delta = all.filter(col("b") >= 70)
+      .withColumn("min_doc", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    delta.join(corpusIdx, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("first_id").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") > col("min_doc"), lit("dup_in_delta"))
+          .otherwise(lit("new")).as("disposition"))
+      .orderBy("doc_id")
+  }
+  private val p07Sql = {
+    val b = mdBucketSql("doc_id", "arrival:", 100)
+    s"""WITH all_docs AS (SELECT doc_id, md5(text) AS fp, $b AS b FROM documents),
+       |corpus_idx AS (SELECT fp, min(doc_id) AS first_id
+       |               FROM all_docs WHERE b < 70 GROUP BY fp),
+       |delta AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS min_doc
+       |          FROM all_docs WHERE b >= 70)
+       |SELECT delta.doc_id, delta.fp,
+       |  CASE WHEN c.first_id IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN delta.doc_id > delta.min_doc THEN 'dup_in_delta'
+       |       ELSE 'new' END AS disposition
+       |FROM delta LEFT JOIN corpus_idx c ON delta.fp = c.fp
+       |ORDER BY delta.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p07_incremental_dedup", p07, Some(p07Sql)),
     Q("t10_repetition_quality", t10, Some(t10Sql)),
     Q("p01_hash_split", p01, Some(p01Sql)),
     Q("p02_stratified_sample", p02, Some(p02Sql)),

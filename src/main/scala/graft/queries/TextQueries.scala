@@ -268,7 +268,60 @@ object TextQueries {
       |FROM sh s LEFT JOIN hot h USING (sg)
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------- t12 PII redaction
+
+  /** PII redaction cascade — scrub emails, IPv4s, and phone numbers with
+    * anchored regex classes before a corpus ships to training. The
+    * fixture corpus contains no PII, so a deterministic synthetic tail
+    * (email + IP + phone derived from doc_id) is appended first; the
+    * redaction then runs on the combined text. Pure per-row regex work:
+    * codegen'd, no shuffle, scales as a map-only stage. Output pins the
+    * per-class match counts and the md5 of the scrubbed text, so a
+    * pattern regression (missed or over-eager redaction) flips the hash.
+    * Regex subset chosen to behave identically in Java regex and RE2
+    * (character classes + bounded quantifiers; no lookaround). */
+  private val t12: Fn = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or 10.0."),
+          (col("doc_id") % 256).cast(StringType), lit("."),
+          expr("(doc_id DIV 256) % 256").cast(StringType),
+          lit(" tel 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")).as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"),
+          lit("[a-z0-9._%]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0))).cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("raw"),
+          lit("10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit(0))).cast(LongType).as("n_ips"),
+        size(regexp_extract_all(col("raw"),
+          lit("555-[0-9]{4}"), lit(0))).cast(LongType).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          "[a-z0-9._%]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+          "555-[0-9]{4}", "<PHONE>")).as("redacted_fp"))
+      .orderBy("doc_id")
+  private val t12Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |           '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+      |           CAST((doc_id // 256) % 256 AS VARCHAR),
+      |           ' tel 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[a-z0-9._%]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+      |FROM raw ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t12_pii_redaction", t12, Some(t12Sql)),
     Q("t11_boilerplate", t11, Some(t11Sql)),
     Q("t01_text_stats", t01, Some(t01Sql)),
     Q("t02_lang_stats", t02, Some(t02Sql)),

@@ -222,4 +222,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(overlaps.max == worst, s"$trainId worst: got $worst want ${overlaps.max}")
     }
   }
+  test("p07: dispositions are consistent with the standing index and keeper race") {
+    val out = graft.SparkEntry.queries("p07_incremental_dedup")(spark, sf)
+    out.cache()
+    import org.apache.spark.sql.functions._
+    // exactly one 'new' keeper per fingerprint group UNLESS the group is
+    // already in the corpus (then every member is dup_of_corpus)
+    val perFp = out.groupBy("fp").agg(
+      sum(when(col("disposition") === "new", 1).otherwise(0)).as("n_new"),
+      sum(when(col("disposition") === "dup_of_corpus", 1).otherwise(0)).as("n_corp"),
+      count(lit(1)).as("n"))
+    assert(perFp.filter(col("n_corp") > 0 && col("n_corp") =!= col("n")).count() == 0,
+      "a fingerprint known to the corpus must mark ALL its delta members dup_of_corpus")
+    assert(perFp.filter(col("n_corp") === 0 && col("n_new") =!= 1).count() == 0,
+      "a fingerprint new to the corpus must elect exactly one keeper")
+    out.unpersist()
+  }
+
+  test("t12: every synthetic PII instance is found and scrubbed") {
+    val out = graft.SparkEntry.queries("t12_pii_redaction")(spark, sf)
+    import org.apache.spark.sql.functions._
+    // the synthetic tail plants exactly one of each class per doc; the
+    // fixture text contains none of its own
+    assert(out.filter(col("n_emails") =!= 1 || col("n_ips") =!= 1 || col("n_phones") =!= 1)
+      .count() == 0)
+    // no fixed point left unscrubbed: rerunning the redaction on the
+    // scrubbed text must change nothing, so fp(redacted) is stable
+    assert(out.select(countDistinct(col("redacted_fp"))).head.getLong(0) == out.count())
+  }
 }
