@@ -444,7 +444,11 @@ object PipelineQueries {
       .select(col("doc_id").as("bench_id"), col("sg"))
     val train = sh.filter(col("source") =!= "src0")
       .select(col("doc_id").as("train_id"), col("sg"))
-    train.join(bench, "sg")
+    // The benchmark side is FIXED-SIZE (benchmarks don't grow with the
+    // corpus), so broadcast it: the shingle join becomes map-side and the
+    // full training corpus is never shuffled on sg — only the surviving
+    // (train_id, bench_id) pairs shuffle, into the partial-agg'd groupBy.
+    train.join(broadcast(bench), "sg")
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
   }
