@@ -196,7 +196,45 @@ object CoverageQueries {
         round(element_at(col("features"), 1), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** PURE band join — no equi key at all, the shape Spark can only plan
+    * as a nested loop (O(n·m)). Scale path: bucketize the time axis into
+    * band-width epochs and equi-join each row's bucket against the other
+    * side's {b-1, b, b+1} (exploded) — every within-band pair shares
+    * exactly one bucket pairing, so the join is a plain hash/sort-merge
+    * shuffle on the bucket key, work bounded by events-per-2-buckets,
+    * and the exact band predicate is a cheap post-join filter. Second
+    * granularity for the band (not micros) so Spark's micros-truncated
+    * and DuckDB's nanos timestamps floor identically. Finds cross-user
+    * event pairs within 60 s, counted per type pair; the oracle runs the
+    * naive inequality join (DuckDB IEJoin) — results must be identical. */
+  private val r44: Fn = (s, d) => {
+    val B = 60L
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_seconds(col("ts")).as("es"))
+    val a = e.withColumn("bk", expr(s"es DIV $B"))
+    val b = e.select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
+        col("event_type").as("b_event_type"), col("es").as("b_es"))
+      .withColumn("bk", explode(array(
+        expr(s"b_es DIV $B - 1"), expr(s"b_es DIV $B"), expr(s"b_es DIV $B + 1"))))
+    a.join(b, Seq("bk"))
+      .filter(abs(col("es") - col("b_es")) <= B &&
+        col("user_id") =!= col("b_user_id") && col("event_id") < col("b_event_id"))
+      .groupBy(col("event_type"), col("b_event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type", "b_event_type")
+  }
+  private val r44Sql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  epoch_ns(ts) // 1000000000 AS es FROM events)
+      |SELECT a.event_type AS event_type, b.event_type AS b_event_type,
+      |       count(*) AS n_pairs
+      |FROM e a JOIN e b
+      |  ON abs(a.es - b.es) <= 60
+      | AND a.user_id <> b.user_id AND a.event_id < b.event_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r44_band_join", r44, Some(r44Sql)),
     Q("r24_asof_join", r24, Some(r24Sql)),
     Q("r25_range_join", r25, Some(r25Sql)),
     Q("r26_percentiles", r26, Some(r26Sql)),
