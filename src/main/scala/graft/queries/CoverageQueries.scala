@@ -233,7 +233,67 @@ object CoverageQueries {
       | AND a.user_id <> b.user_id AND a.event_id < b.event_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** LATERAL correlated subquery through the actual SQL front-end
+    * (spark.sql, not the DataFrame DSL): top-2 orders per customer via a
+    * correlated ORDER BY/LIMIT subquery. Exercises parsing, lateral
+    * decorrelation, and the subquery-to-window rewrite — the SQL shapes
+    * a reference user would type directly. Restricted to one nation to
+    * keep output small. */
+  private val r45: Fn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      WHERE c_nationkey = 7
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+  private val r45Sql =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_nationkey = 7
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Time-series gap-fill: hourly counts per event type with EMPTY hours
+    * materialized as zero rows — generator functions (sequence/explode)
+    * building the hour scaffold from the observed bounds, cross-joined
+    * with the distinct types (both sides tiny by construction: hours ×
+    * types, independent of event count) and left-joined with the real
+    * counts. The scaffold is the only cartesian and is broadcast-sized;
+    * the heavy side (events) still takes one partial-agg'd shuffle. */
+  private val r46: Fn = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val counts = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = e.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("h", "event_type")
+  }
+  private val r46Sql =
+    """WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+      |           FROM events),
+      |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+      |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |counts AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT hours.h, types.event_type, coalesce(counts.n, 0) AS n
+      |FROM hours CROSS JOIN types
+      |LEFT JOIN counts ON counts.h = hours.h AND counts.event_type = types.event_type
+      |ORDER BY hours.h, types.event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r45_lateral_topn", r45, Some(r45Sql)),
+    Q("r46_gapfill", r46, Some(r46Sql)),
     Q("r44_band_join", r44, Some(r44Sql)),
     Q("r24_asof_join", r24, Some(r24Sql)),
     Q("r25_range_join", r25, Some(r25Sql)),
