@@ -80,11 +80,18 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The single row_number() window expression of `w`, if that is all
-    * `w` computes and the spec is deterministic. */
+    * `w` computes and the spec is deterministic. Float/double partition
+    * keys are declined: Spark's NormalizeFloatingNumbers rule makes
+    * -0.0 == 0.0 and NaN == NaN group together for Window nodes, but it
+    * does not know TopKPerGroup, whose binary group keys would split
+    * them. (Order keys are fine — ordering comparators already treat
+    * them consistently with SortExec.) */
   private def asRowNumberWindow(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder])] =
     w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _))
-          if order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) =>
+          if order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) &&
+            !part.exists(p => p.dataType == org.apache.spark.sql.types.FloatType ||
+              p.dataType == org.apache.spark.sql.types.DoubleType) =>
         Some((a.toAttribute, part, order))
       case _ => None
     }

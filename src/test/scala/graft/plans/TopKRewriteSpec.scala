@@ -137,4 +137,12 @@ class TopKRewriteSpec extends AnyFunSuite {
     // node and must be left intact
     assert(df.collect().length == 37 * 5)
   }
+  test("float/double partition keys are NOT rewritten (-0.0/NaN normalization)") {
+    val w = Window.partitionBy($"gd").orderBy($"v", $"id")
+    val df = corpus.withColumn("gd", when($"g" === 0, lit(-0.0)).otherwise($"g".cast("double")))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+    assert(!plan(df).contains("TopKPerGroup"))
+    // the window plan groups -0.0 with 0.0; results stay window-exact
+    assert(df.count() == 37 * 2)
+  }
 }
