@@ -61,10 +61,24 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def maxK: Int =
     conf.getConfString("spark.graft.topkRewrite.maxK", "1000").toInt
 
-  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-    case _ => false
+  /** Casts of the IntegerType rank that are value-preserving: only
+    * int→int and the WIDENING int→long. byte/short casts can wrap (or
+    * throw under ANSI) past row 127/32767, making `cast(rk) <= k` keep
+    * non-prefix ranks the rewrite would drop. */
+  private def isWideningIntCast(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.IntegerType || dt == org.apache.spark.sql.types.LongType
+
+  /** True if `dt` contains a float/double anywhere (top level or nested
+    * in struct/array/map) — such group keys must keep the Window plan. */
+  private def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+      case a: ArrayType => containsFloat(a.elementType)
+      case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+      case _ => false
+    }
   }
 
   /** Integral literal value, as Long (rank may be compared as int or as
@@ -90,8 +104,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _))
           if order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) &&
-            !part.exists(p => p.dataType == org.apache.spark.sql.types.FloatType ||
-              p.dataType == org.apache.spark.sql.types.DoubleType) =>
+            !part.exists(p => containsFloat(p.dataType)) =>
         Some((a.toAttribute, part, order))
       case _ => None
     }
@@ -102,7 +115,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rankIds(rank: Attribute, projected: Option[Seq[NamedExpression]]): Set[ExprId] = {
     def isRankRef(e: Expression): Boolean = e match {
       case a: Attribute => a.exprId == rank.exprId
-      case c: Cast if isIntegral(c.dataType) => isRankRef(c.child)
+      case c: Cast if isWideningIntCast(c.dataType) => isRankRef(c.child)
       case _ => false
     }
     val viaProject = projected.toSeq.flatten.collect {
@@ -119,7 +132,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def impliedK(cond: Expression, ids: Set[ExprId]): Option[Long] = {
     def onRank(e: Expression): Boolean = e match {
       case a: Attribute => ids.contains(a.exprId)
-      case c: Cast if isIntegral(c.dataType) => onRank(c.child)
+      case c: Cast if isWideningIntCast(c.dataType) => onRank(c.child)
       case _ => false
     }
     val conjuncts = splitConjunctivePredicates(cond)

@@ -1,62 +1,40 @@
 package graft.plans
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, BaseOrdering, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BaseOrdering, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
-/** Shared bounded-heap accumulation for the two top-k exec nodes.
-  *
-  * Per (partition, group key): a size-k max-heap whose head is the WORST
-  * row currently kept under the sort order, so each new row is one
-  * compare against the head and (only if better) an O(log k) replace.
-  * Memory is bounded by k rows per live group per task — the map-side
-  * analogue of partial aggregation state, and the reason the rewrite
-  * caps k (spark.graft.topkRewrite.maxK).
+/** Bounded per-group heap used by the map-side (partial) node: a size-k
+  * max-heap whose head is the WORST row currently kept under the sort
+  * order, so each new row is one compare against the head and (only if
+  * better) an O(log k) replace.
   */
-private[plans] object TopKHeap {
-
-  final class Buf(k: Int, ord: Ordering[InternalRow]) {
-    private val pq = new mutable.PriorityQueue[InternalRow]()(ord)
-    /** `row`'s backing buffer is reused by the caller; copy on keep. */
-    def offer(row: UnsafeRow): Unit =
-      if (pq.size < k) pq.enqueue(row.copy())
-      else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
-    def iterator: Iterator[InternalRow] = pq.iterator
-    /** Ascending under the sort order — rank order for the final emit. */
-    def sorted: Array[InternalRow] = pq.toArray.sortWith((a, b) => ord.compare(a, b) < 0)
-  }
-
-  /** Drain `iter` into per-group bounded heaps (insertion-ordered map so
-    * output grouping is deterministic for a given input order). */
-  def accumulate(
-      iter: Iterator[InternalRow],
-      childOutput: Seq[Attribute],
-      groupExprs: Seq[Expression],
-      orderSpec: Seq[SortOrder],
-      k: Int): java.util.LinkedHashMap[UnsafeRow, Buf] = {
-    val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-    val groupProj = UnsafeProjection.create(groupExprs, childOutput)
-    val ord: BaseOrdering = RowOrdering.create(orderSpec, childOutput)
-    val groups = new java.util.LinkedHashMap[UnsafeRow, Buf]
-    while (iter.hasNext) {
-      val u = toUnsafe(iter.next())
-      val key = groupProj(u)
-      var buf = groups.get(key)
-      if (buf == null) { buf = new Buf(k, ord); groups.put(key.copy(), buf) }
-      buf.offer(u)
-    }
-    groups
-  }
+private[plans] final class TopKBuf(k: Int, ord: Ordering[InternalRow]) {
+  private val pq = new mutable.PriorityQueue[InternalRow]()(ord)
+  /** `row`'s backing buffer is reused by the caller; copy on keep. */
+  def offer(row: UnsafeRow): Unit =
+    if (pq.size < k) pq.enqueue(row.copy())
+    else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
+  def iterator: Iterator[InternalRow] = pq.iterator
 }
 
 /** Map-side top-k: bounds every input partition to at most k rows per
   * group BEFORE the shuffle (same role as partial aggregation). Emits the
   * child schema unchanged; ranks are not yet knowable here.
+  *
+  * Memory is bounded: at most `spark.graft.topkRewrite.maxPartialGroups`
+  * live group heaps (default 131072); when a new key would exceed the
+  * cap the current heaps are flushed downstream and accumulation
+  * restarts. Flushing early only forwards extra candidate rows (the
+  * final node re-selects); in the worst case — group cardinality near
+  * the row count — the node degrades to pass-through, exactly the
+  * shuffle the un-rewritten plan would do, never to an OOM.
   */
 case class TopKPerGroupPartialExec(
     partitionSpec: Seq[Expression],
@@ -71,17 +49,53 @@ case class TopKPerGroupPartialExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (childOutput, groupExprs, order, kk) = (child.output, partitionSpec, orderSpec, k)
+    val maxGroups = math.max(1,
+      conf.getConfString("spark.graft.topkRewrite.maxPartialGroups", "131072").toInt)
     val numOut = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
-      val groups = TopKHeap.accumulate(iter, childOutput, groupExprs, order, kk)
-      val it = groups.values().iterator()
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ord: BaseOrdering = RowOrdering.create(order, childOutput)
       new Iterator[InternalRow] {
-        private var cur: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!cur.hasNext && it.hasNext) cur = it.next().iterator
-          cur.hasNext
+        private var groups = new java.util.LinkedHashMap[UnsafeRow, TopKBuf]
+        private var drained: Iterator[InternalRow] = Iterator.empty
+        private var finished = false
+
+        /** Consume input until a cap-flush produces output or input ends. */
+        private def step(): Unit = {
+          while (iter.hasNext) {
+            val u = toUnsafe(iter.next())
+            val key = groupProj(u)
+            var buf = groups.get(key)
+            if (buf == null) {
+              if (groups.size >= maxGroups) {
+                val old = groups
+                groups = new java.util.LinkedHashMap[UnsafeRow, TopKBuf]
+                buf = new TopKBuf(kk, ord)
+                groups.put(key.copy(), buf)
+                buf.offer(u)
+                drained = old.values.asScala.iterator.flatMap(_.iterator)
+                return
+              }
+              buf = new TopKBuf(kk, ord)
+              groups.put(key.copy(), buf)
+            }
+            buf.offer(u)
+          }
         }
-        override def next(): InternalRow = { numOut += 1; cur.next() }
+
+        override def hasNext: Boolean = {
+          while (!drained.hasNext && !finished) {
+            if (iter.hasNext) step()
+            else {
+              drained = groups.values.asScala.iterator.flatMap(_.iterator)
+              groups = new java.util.LinkedHashMap[UnsafeRow, TopKBuf]
+              finished = true
+            }
+          }
+          drained.hasNext
+        }
+        override def next(): InternalRow = { numOut += 1; drained.next() }
       }
     }
   }
@@ -90,10 +104,15 @@ case class TopKPerGroupPartialExec(
     copy(child = newChild)
 }
 
-/** Reduce-side top-k: requires co-location by group key, merges the
-  * map-side survivors through the same bounded heap, and emits each
-  * group's rows in rank order with the 1-based rank appended (the
-  * attribute the rewritten row_number() produced).
+/** Reduce-side top-k: requires co-location by group key AND sorted input
+  * (group keys, then the sort order) — EnsureRequirements inserts the
+  * hash exchange and a spillable external SortExec over the
+  * partial-REDUCED stream, which is at most k rows per group per map
+  * partition, not the raw input. The node itself then streams: emit the
+  * first k rows of each group with their 1-based rank, skip the rest.
+  * O(1) operator state, so no group-cardinality OOM is possible — the
+  * memory-pressure path is the external sort's spill, same as the
+  * built-in window plan, but over strictly less data.
   */
 case class TopKPerGroupExec(
     partitionSpec: Seq[Expression],
@@ -107,30 +126,49 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
+  private def groupSort: Seq[SortOrder] =
+    partitionSpec.map(e => SortOrder(e, Ascending)) ++ orderSpec
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(groupSort)
+  override def outputOrdering: Seq[SortOrder] = groupSort
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, groupExprs, order, kk) = (child.output, partitionSpec, orderSpec, k)
+    val (childOutput, groupExprs, kk) = (child.output, partitionSpec, k)
     val attrs = output
     val numOut = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
-      val groups = TopKHeap.accumulate(iter, childOutput, groupExprs, order, kk)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val groupProj = UnsafeProjection.create(groupExprs, childOutput)
       val outProj = UnsafeProjection.create(attrs, attrs)
-      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
-      val it = groups.values().iterator()
       new Iterator[InternalRow] {
-        private var cur: Array[InternalRow] = Array.empty
-        private var i = 0
+        private var currentKey: UnsafeRow = null
+        private var rank = 0
+        private var pending: UnsafeRow = null
+        private var pendingRank = 0
         override def hasNext: Boolean = {
-          while (i >= cur.length && it.hasNext) { cur = it.next().sorted; i = 0 }
-          i < cur.length
+          while (pending == null && iter.hasNext) {
+            val u = toUnsafe(iter.next())
+            val key = groupProj(u)
+            if (currentKey == null || currentKey != key) {
+              currentKey = key.copy()
+              rank = 0
+            }
+            rank += 1
+            if (rank <= kk) { pending = u; pendingRank = rank }
+          }
+          pending != null
         }
         override def next(): InternalRow = {
-          val row = cur(i); i += 1
-          rankRow.setInt(0, i)
+          // `pending` points at toUnsafe's reused buffer; it is consumed
+          // (projected into outProj's own buffer) before the next
+          // hasNext() overwrites it, which is the standard row contract.
+          val row = pending
+          pending = null
+          rankRow.setInt(0, pendingRank)
           numOut += 1
           outProj(joined(row, rankRow))
         }

@@ -270,10 +270,16 @@ object CoverageQueries {
   private val r46: Fn = (s, d) => {
     val e = Tables.events(s, d)
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    // bounds and the type dimension re-aggregate the TINY persisted
+    // counts relation, not raw events: without the persist each branch
+    // re-scans and re-aggregates the heavy side (column pruning
+    // specializes the three subtrees, so exchange reuse cannot dedup
+    // them); with it the corpus is read and shuffled exactly once.
     val counts = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
-    val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hours = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = e.select("event_type").distinct()
+    val types = counts.select("event_type").distinct()
     hours.crossJoin(types)
       .join(counts, Seq("h", "event_type"), "left")
       .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))

@@ -280,7 +280,19 @@ object TextQueries {
     * pattern regression (missed or over-eager redaction) flips the hash.
     * Regex subset chosen to behave identically in Java regex and RE2
     * (character classes + bounded quantifiers; no lookaround). */
-  private val t12: Fn = (s, d) =>
+  /** The three PII patterns (shared with the spec so idempotence can be
+    * asserted on the actual cascade, not a re-typed copy). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "555-[0-9]{4}" -> "<PHONE>")
+
+  /** Applies the full redaction cascade to a text column. */
+  def redact(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  /** documents with the deterministic synthetic PII tail appended. */
+  def withSyntheticPii(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
         concat(col("text"),
@@ -290,17 +302,17 @@ object TextQueries {
           expr("(doc_id DIV 256) % 256").cast(StringType),
           lit(" tel 555-"),
           lpad((col("doc_id") % 10000).cast(StringType), 4, "0")).as("raw"))
+
+  private val t12: Fn = (s, d) =>
+    withSyntheticPii(s, d)
       .select(col("doc_id"),
         size(regexp_extract_all(col("raw"),
-          lit("[a-z0-9._%]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0))).cast(LongType).as("n_emails"),
+          lit(piiPatterns(0)._1), lit(0))).cast(LongType).as("n_emails"),
         size(regexp_extract_all(col("raw"),
-          lit("10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit(0))).cast(LongType).as("n_ips"),
+          lit(piiPatterns(1)._1), lit(0))).cast(LongType).as("n_ips"),
         size(regexp_extract_all(col("raw"),
-          lit("555-[0-9]{4}"), lit(0))).cast(LongType).as("n_phones"),
-        md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
-          "[a-z0-9._%]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-          "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
-          "555-[0-9]{4}", "<PHONE>")).as("redacted_fp"))
+          lit(piiPatterns(2)._1), lit(0))).cast(LongType).as("n_phones"),
+        md5(redact(col("raw"))).as("redacted_fp"))
       .orderBy("doc_id")
   private val t12Sql =
     """WITH raw AS (

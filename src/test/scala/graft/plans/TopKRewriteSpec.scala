@@ -145,4 +145,26 @@ class TopKRewriteSpec extends AnyFunSuite {
     // the window plan groups -0.0 with 0.0; results stay window-exact
     assert(df.count() == 37 * 2)
   }
+  test("struct-of-float partition keys are NOT rewritten either") {
+    val w = Window.partitionBy(struct($"gd")).orderBy($"v", $"id")
+    val df = corpus.withColumn("gd", $"g".cast("double"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+    assert(!plan(df).contains("TopKPerGroup"))
+  }
+
+  test("narrowing byte/short rank casts are NOT rewritten (overflow wrap)") {
+    val w = Window.partitionBy($"g").orderBy($"v", $"id")
+    val df = corpus.withColumn("rk", row_number().over(w).cast("byte")).filter($"rk" <= 10)
+    assert(!plan(df).contains("TopKPerGroup"))
+    val ok = corpus.withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 10)
+    assert(plan(ok).contains("TopKPerGroup"), "widening long cast must still rewrite")
+  }
+
+  test("partial flush cap keeps results exact when group count exceeds it") {
+    spark.conf.set("spark.graft.topkRewrite.maxPartialGroups", "5")
+    try checkRewritten {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      corpus.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+    } finally spark.conf.unset("spark.graft.topkRewrite.maxPartialGroups")
+  }
 }

@@ -246,8 +246,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     // fixture text contains none of its own
     assert(out.filter(col("n_emails") =!= 1 || col("n_ips") =!= 1 || col("n_phones") =!= 1)
       .count() == 0)
-    // no fixed point left unscrubbed: rerunning the redaction on the
-    // scrubbed text must change nothing, so fp(redacted) is stable
-    assert(out.select(countDistinct(col("redacted_fp"))).head.getLong(0) == out.count())
+    // true idempotence: re-apply the actual cascade to the scrubbed text
+    // and assert no pattern matches anything anymore (second pass is a
+    // no-op), using the same shared patterns the query uses
+    val scrubbed = TextQueries.withSyntheticPii(spark, sf)
+      .select(col("doc_id"), TextQueries.redact(col("raw")).as("red"))
+    TextQueries.piiPatterns.foreach { case (pat, _) =>
+      assert(scrubbed.filter(col("red").rlike(pat)).count() == 0,
+        s"pattern $pat still matches after redaction")
+    }
+    assert(scrubbed.filter(TextQueries.redact(col("red")) =!= col("red")).count() == 0,
+      "second redaction pass must be a no-op")
   }
 }
