@@ -187,6 +187,23 @@ object CoverageQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles — the mergeable-sketch path for quantiles
+    * at scale. Exact `percentile` (r26) is a sort-based aggregate that
+    * materializes every value per group; `approx_percentile` keeps a
+    * bounded Greenwald-Khanna sketch per group that merges map-side, so
+    * the shuffle carries sketches, not values — the only quantile form
+    * that survives 100 TB. accuracy=10000 bounds rank error at 1/10000.
+    * No oracle (sketch internals are engine-specific); CoverageSpec
+    * bounds it against exact r26 per group. */
+  private val r47: Fn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(10000)).as("p90_qty"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+      .orderBy("l_returnflag")
+
   /** Decoded multimodal features (rows-only: stub decode is
     * engine-internal; CoverageSpec pins exact deterministic values). */
   private val m02: Fn = (s, d) =>
@@ -309,6 +326,7 @@ object CoverageQueries {
     Q("st2_interval_join", st2, Some(st2Sql)),
     Q("m01_multimodal_meta", m01, Some(m01Sql)),
     Q("r28_approx_distinct", r28, None),
+    Q("r47_approx_percentiles", r47, None),
     Q("m02_decode_features", m02, None),
     Q("m03_frame_sample", m03, Some(m03Sql)))
 }

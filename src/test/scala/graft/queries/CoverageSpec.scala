@@ -26,6 +26,36 @@ class CoverageSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile brackets the exact rank-error bound vs r26") {
+    // accuracy=10000 guarantees rank error <= n/10000; at fixture size
+    // that means the approx value must lie between the exact values at
+    // ranks floor(q*n) +- ceil(n/10000) + 1 — check via exact percentile
+    // of the same column at slightly perturbed quantiles
+    val li = graft.Tables.lineitem(spark, sf)
+    val approx = graft.SparkEntry.queries("r47_approx_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the accuracy guarantee is PER GROUP: rank error <= ceil(n_g/10000),
+    // plus 1 rank of slack because exact percentile() interpolates
+    // between adjacent values while the sketch returns a data value
+    val counts = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((q, pick, colName) <- Seq(
+        (0.5, (t: (Double, Double, Double)) => t._1, "l_quantity"),
+        (0.9, (t: (Double, Double, Double)) => t._2, "l_quantity"),
+        (0.99, (t: (Double, Double, Double)) => t._3, "l_extendedprice"))) {
+      approx.foreach { case (k, t) =>
+        val nG = counts(k).toDouble
+        val eps = (math.ceil(nG / 10000.0) + 1.0) / nG
+        val Array(lo, hi) = li.filter(col("l_returnflag") === k)
+          .agg(percentile(col(colName), lit(math.max(0.0, q - eps))),
+               percentile(col(colName), lit(math.min(1.0, q + eps))))
+          .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+        val a = pick(t)
+        assert(a >= lo - 1e-9 && a <= hi + 1e-9, s"$k q=$q: $a outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("as-of join: every error's matched signup precedes it (same user)") {
     val rows = graft.SparkEntry.queries("r24_asof_join")(spark, sf).collect()
     assert(rows.nonEmpty)
