@@ -180,7 +180,9 @@ object ExtraQueries {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("extendedprice"), col("discount"), col("tax")),
         "measure", "amount")
-      .orderBy("l_orderkey", "l_linenumber", "measure")
+      // the synthetic fixture does NOT keep (orderkey, linenumber)
+      // unique, so amount is needed for a total order (parity rule 4)
+      .orderBy("l_orderkey", "l_linenumber", "measure", "amount")
   private val r40Sql =
     """SELECT l_orderkey, l_linenumber, measure, amount FROM (
       |  SELECT l_orderkey, l_linenumber,
@@ -189,7 +191,7 @@ object ExtraQueries {
       |         CAST(l_tax AS DECIMAL(12,2)) AS tax
       |  FROM lineitem WHERE l_orderkey < 100) t
       |UNPIVOT (amount FOR measure IN (extendedprice, discount, tax))
-      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, measure, amount""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("r40_unpivot", r40, Some(r40Sql)),
