@@ -64,4 +64,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.count() == 14)
     assert(back.columns.toSeq == flat.columns.toSeq)
   }
+  test("schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
+    val dir = Files.createTempDirectory("evolving").toString
+    val v1 = spark.range(0, 5).select(col("id"), lit("a").as("source"))
+    v1.write.mode("append").parquet(dir)
+    // a later batch adds a column — the standing layout must keep reading
+    val v2 = spark.range(5, 8).select(col("id"), lit("b").as("source"),
+      lit(0.5).as("quality"))
+    v2.write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.sameElements(Array("id", "quality", "source")))
+    assert(merged.count() == 8)
+    assert(merged.filter(col("quality").isNull).count() == 5,
+      "pre-evolution rows surface the new column as null")
+    assert(merged.filter(col("quality") === 0.5).count() == 3)
+  }
+
+  test("corrupt-record tolerance: PERMISSIVE json isolates bad lines instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dirty_json")
+    val f = dir.resolve("part.jsonl")
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "ok"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema).option("mode", "PERMISSIVE")
+      .json(dir.toString).cache()
+    assert(df.count() == 3, "every line surfaces as a row")
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    // DROPMALFORMED is the silent-skip alternative for quarantine-free runs
+    val dropped = spark.read
+      .schema(StructType(schema.fields.filterNot(_.name == "_corrupt_record")))
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() == 2)
+    df.unpersist()
+  }
 }
