@@ -518,7 +518,43 @@ object PipelineQueries {
        |ORDER BY delta.doc_id""".stripMargin
   }
 
+  // ------------------------------------------- p08 document chunking
+
+  /** Fixed-window chunking with overlap — the prep step for embedding /
+    * retrieval / training-sequence pipelines: each document becomes
+    * ceil(n_chars/step) chunks of up to 200 chars starting every 150
+    * (50-char overlap carried from the previous window). Pure generator
+    * + substring projection: explode(sequence(...)) is row-local map
+    * work, no shuffle anywhere, so the op scales as a map-only stage
+    * and the chunk count is exactly data-proportional. Output pins each
+    * chunk's offset, length, and content hash. */
+  private val p08: Fn = (s, d) => {
+    val step = 150
+    val win = 200
+    docs(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("start", explode(sequence(lit(0L), col("n_chars") - 1L, lit(step.toLong))))
+      .select(
+        col("doc_id"),
+        expr(s"start DIV $step").as("chunk_ix"),
+        col("start"),
+        length(expr(s"substring(text, start + 1, $win)")).cast(LongType).as("chunk_len"),
+        md5(expr(s"substring(text, start + 1, $win)")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+  private val p08Sql =
+    """SELECT doc_id,
+      |  CAST(start // 150 AS BIGINT) AS chunk_ix,
+      |  CAST(start AS BIGINT) AS start,
+      |  length(substring(text, CAST(start + 1 AS INTEGER), 200)) AS chunk_len,
+      |  md5(substring(text, CAST(start + 1 AS INTEGER), 200)) AS chunk_fp
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, CAST(n_chars - 1 AS BIGINT), 150)) AS start
+      |      FROM documents) t
+      |ORDER BY doc_id, chunk_ix""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p08_chunking", p08, Some(p08Sql)),
     Q("p07_incremental_dedup", p07, Some(p07Sql)),
     Q("t10_repetition_quality", t10, Some(t10Sql)),
     Q("p01_hash_split", p01, Some(p01Sql)),
