@@ -553,7 +553,54 @@ object PipelineQueries {
       |      FROM documents) t
       |ORDER BY doc_id, chunk_ix""".stripMargin
 
+  // ------------------------------------------- p09 epoch upsampling
+
+  /** Deterministic epoch repetition — the mixture counterpart to p04's
+    * downsampling: each source gets a target epoch count (2.5 = every
+    * doc appears twice, plus a deterministic md5-chosen half appears a
+    * third time; 0.25 = a quarter of docs appear once). reps per doc =
+    * floor(epochs) + (bucket < frac*1000 ? 1 : 0), then one
+    * explode(sequence(1, reps)) materializes the copies — row-local,
+    * no shuffle until the audit aggregation, rerun-stable at any
+    * parallelism (no RNG, no engine hash). Output audits docs/chars
+    * per (source, epoch). */
+  private val p09: Fn = (s, d) => {
+    val epochs = when(col("source") === "src1", 2.5)
+      .when(col("source") === "src2", 0.25)
+      .otherwise(1.0)
+    val nFull = floor(epochs).cast(LongType)
+    val frac = (epochs - floor(epochs)) * 1000
+    val reps = nFull +
+      when(mdBucket(col("doc_id"), "epoch:", 1000) < frac, 1L).otherwise(0L)
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), reps.as("reps"))
+      .filter(col("reps") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("reps"), lit(1L))))
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy("source", "epoch")
+  }
+  private val p09Sql = {
+    val b = mdBucketSql("doc_id", "epoch:", 1000)
+    s"""WITH planned AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(floor(ep) AS BIGINT)
+       |      + CASE WHEN $b < (ep - floor(ep)) * 1000 THEN 1 ELSE 0 END AS reps
+       |  FROM (SELECT doc_id, source, n_chars,
+       |          CASE WHEN source = 'src1' THEN 2.5
+       |               WHEN source = 'src2' THEN 0.25
+       |               ELSE 1.0 END AS ep
+       |        FROM documents) t),
+       |exploded AS (
+       |  SELECT source, n_chars, unnest(generate_series(1, reps)) AS epoch
+       |  FROM planned WHERE reps >= 1)
+       |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+       |FROM exploded GROUP BY source, epoch ORDER BY source, epoch""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p09_epoch_upsample", p09, Some(p09Sql)),
     Q("p08_chunking", p08, Some(p08Sql)),
     Q("p07_incremental_dedup", p07, Some(p07Sql)),
     Q("t10_repetition_quality", t10, Some(t10Sql)),
