@@ -312,6 +312,67 @@ object DedupQueries {
       |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------- d09 IVF-cell-blocked embedding near-dup (unsupervised)
+
+  /** Embedding near-dup WITHOUT any given blocking label — the
+    * unsupervised form d06's doc promises for 100 TB: derive cells from
+    * the data (C=8 deterministic seed vectors = lowest vec_ids; a
+    * k-means refinement would drop in here), assign every vector to its
+    * TOP-P=3 cells (multi-probe, so near-boundary pairs are not lost),
+    * generate pairs only within cells, dedup double-matches. The
+    * pairwise-work fraction vs brute force is P²/C — chosen P/C here
+    * are sized to the 10-latent-cluster fixture (recall 0.92-0.94 vs
+    * exact, spec-pinned); a real corpus runs C in the thousands where
+    * P²/C is ~1e-3. Seed broadcast and assignment stay map-only; the
+    * cell join is the only shuffle. Assignment order uses
+    * 4dp-rounded cosine + seed tiebreak, so the whole operator is
+    * engine-portable and fully ORACLED (d06 established round-4 cosine
+    * parity); DedupSimilaritySpec measures its recall against the exact
+    * unblocked all-pairs ground truth. */
+  private val d09: Fn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val seeds = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    val scored = e.crossJoin(broadcast(seeds))
+      .withColumn("csim", round(graft.functions.VectorOps.cosine(col("embedding"), col("sv")), 4))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
+    val assign = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= 3)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    val a = assign.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = assign.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id", "sim").distinct()
+      .orderBy("a_id", "b_id")
+  }
+  private val d09Sql =
+    """WITH seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS sv
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, s.seed_id,
+      |         round(list_dot_product(e.embedding::DOUBLE[], s.sv::DOUBLE[]) /
+      |               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) *
+      |                    list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])), 4) AS csim
+      |  FROM embeddings e CROSS JOIN seeds s),
+      |assign AS (
+      |  SELECT vec_id, embedding, seed_id AS cell
+      |  FROM (SELECT vec_id, embedding, seed_id,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, seed_id) AS ark
+      |        FROM scored) t
+      |  WHERE ark <= 3)
+      |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |        sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+      |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS sim
+      |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |        sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+      |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ------------------- d08 near-dup clusters (connected components) -----
 
   /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
@@ -403,5 +464,6 @@ object DedupQueries {
     Q("d04_minhash_lsh", d04, None),
     Q("d05_simhash", d05, None),
     Q("d06_embedding_neardup", d06, Some(d06Sql)),
+    Q("d09_embedding_ivf_neardup", d09, Some(d09Sql)),
     Q("d08_dedup_clusters", d08, Some(d08Sql)))
 }

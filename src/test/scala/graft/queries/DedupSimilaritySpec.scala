@@ -207,4 +207,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     got.foreach { case (l, c) => assert(math.abs(c - want(l)) < 1e-6) }
   }
+  test("d09: IVF-blocked near-dup is a high-recall exact-verified subset of all-pairs") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.SparkEntry.queries("d09_embedding_ivf_neardup")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "every d09 pair is exact-verified (precision 1.0)")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall below floor (measured 0.92 at C=8,P=3)")
+  }
 }
