@@ -338,13 +338,21 @@ object DedupQueries {
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
     val assign = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= 3)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
-    val a = assign.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("va"))
-    val b = assign.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("vb"))
-    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select(col("vec_id"), col("seed_id").as("cell"))
+    // candidate generation carries ONLY ids (no 64-float payload through
+    // the cell shuffle); dedup multi-probe double-matches BEFORE the
+    // cosine so each unique pair is scored once, then fetch vectors by
+    // key (broadcastable here; shuffle-keyed joins at corpus scale)
+    val a = assign.select(col("cell"), col("vec_id").as("a_id"))
+    val b = assign.select(col("cell"), col("vec_id").as("b_id"))
+    val cand = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val vb = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("sim", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= 0.4)
-      .select("a_id", "b_id", "sim").distinct()
+      .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")
   }
   private val d09Sql =
