@@ -533,6 +533,10 @@ object PipelineQueries {
     val win = 200
     docs(s, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
+      // empty docs produce no chunks; without the filter Spark's
+      // sequence(0, -1, ...) THROWS while DuckDB's generate_series
+      // returns empty — the filter makes both engines drop the row
+      .filter(col("n_chars") >= 1)
       .withColumn("start", explode(sequence(lit(0L), col("n_chars") - 1L, lit(step.toLong))))
       .select(
         col("doc_id"),

@@ -2,6 +2,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: QTime <sfDir> <queryName> [queryName...]")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")

@@ -35,6 +35,12 @@ class TopKPropertySpec extends AnyFunSuite {
           Window.partitionBy($"g").orderBy($"v".desc, $"idx")))
         .filter($"rk" <= k)
         .collect().map(_.toString).sorted
+      val plan = df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"idx")))
+        .filter($"rk" <= k)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("TopKPerGroup"), "rewrite must fire for every generated case")
       val on = run()
       spark.conf.set("spark.graft.topkRewrite.enabled", "false")
       val off = try run() finally spark.conf.unset("spark.graft.topkRewrite.enabled")
