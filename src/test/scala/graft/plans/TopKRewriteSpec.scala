@@ -167,4 +167,15 @@ class TopKRewriteSpec extends AnyFunSuite {
       corpus.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
     } finally spark.conf.unset("spark.graft.topkRewrite.maxPartialGroups")
   }
+  test("heavy group skew (90% one key) stays exact through the native path") {
+    checkRewritten {
+      val skewed = spark.range(0, 5000).select(
+        when($"id" % 10 =!= 0, 0L).otherwise($"id" % 97).as("g"),
+        ($"id" * 31 % 7919).as("v"), $"id")
+      skewed.repartition(8)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"id")))
+        .filter($"rk" <= 5)
+    }
+  }
 }
