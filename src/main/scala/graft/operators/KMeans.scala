@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Deterministic distributed k-means (Lloyd) — the codebook trainer
+  * behind IVF cells (d09/s03) and product-quantization codebooks in a
+  * production corpus.
+  *
+  * Spark-first iteration shape: each round is (a) one broadcast of the
+  * k centroids (k is small by definition), (b) a map-only assignment —
+  * argmin over the k squared-L2 distances, ties to the lowest cell id —
+  * and (c) one keyed aggregation per (cell, dim) to recompute means.
+  * Nothing shuffles except the partial-agg'd mean recompute, so a round
+  * costs one pass over the data at any scale.
+  *
+  * Determinism (the property that makes the trained codebook a
+  * versionable artifact): seeds are the k lowest-id vectors; argmin
+  * ties break on cell id; per-dimension means use the scaled-long
+  * fixed-point trick (trunc(x*1e9) summed as BIGINT) so the sum is
+  * EXACT and order-independent — rerunning at any partitioning yields
+  * bit-identical centroids. Plain double sums would drift with
+  * reduction order and make every downstream assignment flap.
+  */
+object KMeans {
+
+  /** Squared L2 between an embedding column and a centroid literal. */
+  private def sqDist(v: Column, centroid: Seq[Double]): Column =
+    centroid.zipWithIndex.map { case (c, i) =>
+      val d = element_at(v, i + 1).cast(DoubleType) - lit(c)
+      d * d
+    }.reduce(_ + _)
+
+  /** One assignment pass: each row gets the id of its nearest centroid
+    * (ties to the lowest id). Centroids ride in the plan as literals —
+    * the broadcast of a k-means round. */
+  def assign(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val best = centroids.map { case (id, c) =>
+      struct(sqDist(col("embedding"), c).as("d"), lit(id).as("cell"))
+    }
+    e.withColumn("cell", least(best: _*).getField("cell"))
+  }
+
+  /** Exact order-independent per-cell means over assigned rows. */
+  private def means(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(((sum((col("x").cast(DoubleType) * lit(1e9)).cast(LongType)).cast(DoubleType) / lit(1e9))
+        / count(lit(1))).as("c"))
+
+  /** Runs `iters` Lloyd rounds; returns (finalCentroids, perRoundInertia).
+    * Inertia (sum of squared distances to the assigned centroid) is the
+    * monotone witness — it must never increase round over round. */
+  def fit(e: DataFrame, k: Int, iters: Int): (Seq[(Int, Seq[Double])], Seq[Double]) = {
+    var centroids: Seq[(Int, Seq[Double])] =
+      e.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Float]]("embedding").toVector.map(_.toDouble)
+      }.toSeq
+    val inertias = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 0 until iters) {
+      val assigned = assign(e, centroids)
+      val inertia = assigned.select(
+        sum(least(centroids.map { case (_, c) => sqDist(col("embedding"), c) }: _*)))
+        .head.getDouble(0)
+      inertias += inertia
+      centroids = means(assigned).collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector
+        }.toSeq.sortBy(_._1)
+    }
+    (centroids, inertias.toSeq)
+  }
+
+  /** Registry form: cluster audit after `iters` rounds — size and the
+    * first centroid coordinate per cell (rounded for stable display). */
+  def cells(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (centroids, _) = fit(e, k, iters)
+    assign(e, centroids)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("c0", {
+        val cases = centroids.map { case (id, c) => (id, c.head) }
+        cases.tail.foldLeft(when(col("cell") === cases.head._1, round(lit(cases.head._2), 6))) {
+          case (acc, (id, c0)) => acc.when(col("cell") === id, round(lit(c0), 6))
+        }
+      })
+      .select(col("cell").cast(IntegerType).as("cell"), col("n_vecs"), col("c0"))
+      .orderBy("cell")
+  }
+}

@@ -209,5 +209,6 @@ object SimilarityQueries {
     Q("s02_ann_lsh", s02, None),
     Q("s03_ann_ivf", s03, None),
     Q("s04_label_centroids", s04, Some(s04Sql)),
-    Q("s05_ann_quantized", s05, None))
+    Q("s05_ann_quantized", s05, None),
+    Q("u02_kmeans_cells", (s, d) => graft.operators.KMeans.cells(emb(s, d), 8, 3), None))
 }

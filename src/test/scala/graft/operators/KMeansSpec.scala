@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The deterministic k-means trainer: bit-stable under repartitioning
+  * (the property a versionable codebook needs), Lloyd-monotone inertia,
+  * and a consistent registry audit.
+  */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def e = graft.Tables.embeddings(spark, sf)
+
+  test("centroids are bit-identical at any parallelism") {
+    val (c3, _) = KMeans.fit(e.repartition(3), 8, 3)
+    val (c7, _) = KMeans.fit(e.repartition(7), 8, 3)
+    assert(c3 == c7, "exact fixed-point means must make the fit order-independent")
+  }
+
+  test("inertia never increases across Lloyd rounds") {
+    val (_, inertias) = KMeans.fit(e, 8, 4)
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"inertia rose: $a -> $b")
+    }
+    assert(inertias.last < inertias.head, "training must actually improve the fit")
+  }
+
+  test("registry audit: every vector lands in exactly one cell") {
+    val out = graft.SparkEntry.queries("u02_kmeans_cells")(spark, sf)
+    val total = out.agg(sum(col("n_vecs"))).head.getLong(0)
+    assert(total == e.count())
+    assert(out.select("cell").distinct().count() == out.count(), "one row per cell")
+  }
+}
