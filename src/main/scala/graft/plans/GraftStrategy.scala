@@ -12,9 +12,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(part, order, k, rank, child) =>
-      TopKPerGroupExec(part, order, k, rank,
+    case TopKPerGroup(part, order, k, rank, ByRowNumber, child) =>
+      // heap partial: no pre-sort, exactly k rows per group per partition
+      TopKPerGroupExec(part, order, k, rank, ByRowNumber,
         TopKPerGroupPartialExec(part, order, k, planLater(child))) :: Nil
+    case TopKPerGroup(part, order, k, rank, mode, child) =>
+      // tie-aware modes: local-sorted streaming partial (a tie class is
+      // unbounded, so a k-row heap can't hold one); still bounds the
+      // shuffle to the k leading tie classes per group per partition
+      TopKPerGroupExec(part, order, k, rank, mode,
+        TopKPerGroupSortedPartialExec(part, order, k, mode, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -16,11 +16,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `Filter(row_number() over (partition, order) <= k)` exactly, including
   * row_number's arbitrary-but-consistent choice among order ties.
   */
+/** Which ranking function's filter semantics the operator implements.
+  * row_number: arbitrary-but-consistent tie order, exactly k rows per
+  * group. rank / dense_rank: ties share a rank, so "rank <= k" may keep
+  * more than k rows — the operator must be tie-aware end to end. */
+sealed trait RankMode extends Serializable
+case object ByRowNumber extends RankMode
+case object ByRank extends RankMode
+case object ByDenseRank extends RankMode
+
 case class TopKPerGroup(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    mode: RankMode,
     child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"TopKPerGroup needs k >= 1, got $k")
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -93,19 +103,27 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** The single row_number() window expression of `w`, if that is all
-    * `w` computes and the spec is deterministic. Float/double partition
+  /** The single ranking window expression of `w`, if that is all `w`
+    * computes and the spec is deterministic. Float/double partition
     * keys are declined: Spark's NormalizeFloatingNumbers rule makes
     * -0.0 == 0.0 and NaN == NaN group together for Window nodes, but it
     * does not know TopKPerGroup, whose binary group keys would split
-    * them. (Order keys are fine — ordering comparators already treat
-    * them consistently with SortExec.) */
-  private def asRowNumberWindow(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder])] =
+    * them. For rank/dense_rank the same applies to ORDER keys (tie
+    * classes are detected by key-byte equality); row_number order keys
+    * are fine — ordering comparators already treat floats consistently
+    * with SortExec and ties are arbitrary anyway. */
+  private def asRankedWindow(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder], RankMode)] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _))
+      case Seq(a @ Alias(WindowExpression(fn, WindowSpecDefinition(part, order, _)), _))
           if order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) &&
             !part.exists(p => containsFloat(p.dataType)) =>
-        Some((a.toAttribute, part, order))
+        val mode = fn match {
+          case RowNumber() => Some(ByRowNumber)
+          case _: Rank if !order.exists(o => containsFloat(o.child.dataType)) => Some(ByRank)
+          case _: DenseRank if !order.exists(o => containsFloat(o.child.dataType)) => Some(ByDenseRank)
+          case _ => None
+        }
+        mode.map(m => (a.toAttribute, part, order, m))
       case _ => None
     }
 
@@ -150,10 +168,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(cond: Expression, w: Window,
                       projected: Option[Seq[NamedExpression]]): Option[TopKPerGroup] =
-    asRowNumberWindow(w).flatMap { case (rank, part, order) =>
+    asRankedWindow(w).flatMap { case (rank, part, order, mode) =>
       impliedK(cond, rankIds(rank, projected)).collect {
         case k if k >= 1 && k <= maxK =>
-          TopKPerGroup(part, order, k.toInt, rank, w.child)
+          TopKPerGroup(part, order, k.toInt, rank, mode, w.child)
       }
     }
 

@@ -24,9 +24,61 @@ private[plans] final class TopKBuf(k: Int, ord: Ordering[InternalRow]) {
   def iterator: Iterator[InternalRow] = pq.iterator
 }
 
-/** Map-side top-k: bounds every input partition to at most k rows per
-  * group BEFORE the shuffle (same role as partial aggregation). Emits the
-  * child schema unchanged; ranks are not yet knowable here.
+/** Streams (group, order)-sorted input and yields each surviving row
+  * with its mode-rank: row_number = position; rank = position of the
+  * first row of its tie class; dense_rank = tie-class index. Rows with
+  * rank > k are skipped (the iterator still consumes them to find the
+  * next group). Tie classes are detected by byte equality of the
+  * projected order keys — the rewrite declines float order keys for the
+  * tie-aware modes, so byte equality IS value equality. O(1) state.
+  */
+private[plans] final class RankStream(
+    iter: Iterator[InternalRow],
+    childOutput: Seq[Attribute],
+    groupExprs: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    k: Int,
+    mode: RankMode) extends Iterator[(InternalRow, Int)] {
+  private val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+  private val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+  private val orderProj = UnsafeProjection.create(orderSpec.map(_.child), childOutput)
+  private var currentKey: UnsafeRow = null
+  private var lastOrderKey: UnsafeRow = null
+  private var pos = 0
+  private var rank = 0
+  private var pending: InternalRow = null
+  private var pendingRank = 0
+
+  override def hasNext: Boolean = {
+    while (pending == null && iter.hasNext) {
+      val u = toUnsafe(iter.next())
+      val key = groupProj(u)
+      if (currentKey == null || currentKey != key) {
+        currentKey = key.copy(); lastOrderKey = null; pos = 0; rank = 0
+      }
+      pos += 1
+      mode match {
+        case ByRowNumber => rank = pos
+        case ByRank =>
+          val ok = orderProj(u)
+          if (lastOrderKey == null || lastOrderKey != ok) { lastOrderKey = ok.copy(); rank = pos }
+        case ByDenseRank =>
+          val ok = orderProj(u)
+          if (lastOrderKey == null || lastOrderKey != ok) { lastOrderKey = ok.copy(); rank += 1 }
+      }
+      if (rank <= k) { pending = u; pendingRank = rank }
+    }
+    pending != null
+  }
+  override def next(): (InternalRow, Int) = {
+    val r = (pending, pendingRank); pending = null; r
+  }
+}
+
+/** Map-side top-k for row_number mode: bounds every input partition to
+  * at most k rows per group BEFORE the shuffle (same role as partial
+  * aggregation), no sort needed. Emits the child schema unchanged;
+  * ranks are not yet knowable here.
   *
   * Memory is bounded: at most `spark.graft.topkRewrite.maxPartialGroups`
   * live group heaps (default 131072); when a new key would exceed the
@@ -104,21 +156,64 @@ case class TopKPerGroupPartialExec(
     copy(child = newChild)
 }
 
+/** Map-side bound for the tie-aware modes (rank / dense_rank): requires
+  * LOCAL (group, order) ordering — EnsureRequirements inserts a
+  * spillable non-global SortExec before it — then streams, keeping rows
+  * whose LOCAL mode-rank is <= k. Dropping a row with local rank > k is
+  * always safe: removing rows can only lower a row's rank, so
+  * global-rank <= k implies local-rank <= k and no global survivor is
+  * dropped. Unlike the heap partial this cannot cap output at k rows
+  * per group (a tie class is unbounded), but it is O(1) state and
+  * bounds the shuffle to the k leading tie classes per group per
+  * partition.
+  */
+case class TopKPerGroupSortedPartialExec(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    k: Int,
+    mode: RankMode,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  private def groupSort: Seq[SortOrder] =
+    partitionSpec.map(e => SortOrder(e, Ascending)) ++ orderSpec
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(groupSort)
+  override def outputOrdering: Seq[SortOrder] = groupSort
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (childOutput, groupExprs, order, kk, m) = (child.output, partitionSpec, orderSpec, k, mode)
+    val numOut = longMetric("numOutputRows")
+    child.execute().mapPartitions { iter =>
+      new RankStream(iter, childOutput, groupExprs, order, kk, m).map {
+        case (row, _) => numOut += 1; row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupSortedPartialExec =
+    copy(child = newChild)
+}
+
 /** Reduce-side top-k: requires co-location by group key AND sorted input
   * (group keys, then the sort order) — EnsureRequirements inserts the
   * hash exchange and a spillable external SortExec over the
-  * partial-REDUCED stream, which is at most k rows per group per map
-  * partition, not the raw input. The node itself then streams: emit the
-  * first k rows of each group with their 1-based rank, skip the rest.
-  * O(1) operator state, so no group-cardinality OOM is possible — the
-  * memory-pressure path is the external sort's spill, same as the
-  * built-in window plan, but over strictly less data.
+  * partial-REDUCED stream, which is at most k rows (row_number) or k
+  * tie classes (rank/dense_rank) per group per map partition, not the
+  * raw input. The node itself then streams each group's rows with their
+  * mode-rank appended, skipping past the rank-k boundary. O(1) operator
+  * state, so no group-cardinality OOM is possible — the memory-pressure
+  * path is the external sort's spill, same as the built-in window plan,
+  * but over strictly less data.
   */
 case class TopKPerGroupExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    mode: RankMode,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -135,43 +230,20 @@ case class TopKPerGroupExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, groupExprs, kk) = (child.output, partitionSpec, k)
+    val (childOutput, groupExprs, order, kk, m) = (child.output, partitionSpec, orderSpec, k, mode)
     val attrs = output
     val numOut = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
-      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-      val groupProj = UnsafeProjection.create(groupExprs, childOutput)
       val outProj = UnsafeProjection.create(attrs, attrs)
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
-      new Iterator[InternalRow] {
-        private var currentKey: UnsafeRow = null
-        private var rank = 0
-        private var pending: UnsafeRow = null
-        private var pendingRank = 0
-        override def hasNext: Boolean = {
-          while (pending == null && iter.hasNext) {
-            val u = toUnsafe(iter.next())
-            val key = groupProj(u)
-            if (currentKey == null || currentKey != key) {
-              currentKey = key.copy()
-              rank = 0
-            }
-            rank += 1
-            if (rank <= kk) { pending = u; pendingRank = rank }
-          }
-          pending != null
-        }
-        override def next(): InternalRow = {
-          // `pending` points at toUnsafe's reused buffer; it is consumed
-          // (projected into outProj's own buffer) before the next
-          // hasNext() overwrites it, which is the standard row contract.
-          val row = pending
-          pending = null
-          rankRow.setInt(0, pendingRank)
-          numOut += 1
-          outProj(joined(row, rankRow))
-        }
+      new RankStream(iter, childOutput, groupExprs, order, kk, m).map { case (row, r) =>
+        // `row` points at the stream's reused buffer; it is consumed
+        // (projected into outProj's own buffer) before the next
+        // hasNext() overwrites it, which is the standard row contract.
+        rankRow.setInt(0, r)
+        numOut += 1
+        outProj(joined(row, rankRow))
       }
     }
   }

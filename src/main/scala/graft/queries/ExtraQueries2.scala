@@ -236,7 +236,34 @@ object ExtraQueries2 {
       |  FROM customer) t
       |WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin
 
+  /** Tie-aware top-k through the native path: rank() <= 2 keeps EVERY
+    * row of the two leading quantity classes per return flag (heavy
+    * ties by construction — quantities are small integers). Rewritten
+    * by TopKRewriteRule in ByRank mode: local-sorted streaming partial
+    * (shuffle bounded at k tie classes per group per partition) +
+    * streaming final. Order key cast to BIGINT — the rewrite declines
+    * float order keys for tie-aware modes, and the cast also makes the
+    * tie classes engine-exact. */
+  private val r48: Fn = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty").desc)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("qty"))
+      .withColumn("rk", rank().over(w).cast(LongType))
+      .filter(col("rk") <= 2)
+      .orderBy("l_returnflag", "rk", "l_orderkey", "l_linenumber", "qty")
+  }
+  private val r48Sql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |       CAST(l_quantity AS BIGINT) AS qty,
+      |       CAST(rank() OVER (PARTITION BY l_returnflag
+      |            ORDER BY CAST(l_quantity AS BIGINT) DESC) AS BIGINT) AS rk
+      |FROM lineitem
+      |QUALIFY rk <= 2
+      |ORDER BY l_returnflag, rk, l_orderkey, l_linenumber, qty""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r48_rank_topk_native", r48, Some(r48Sql)),
     Q("r43_topk_native", r43, Some(r43Sql)),
     Q("r42_merge_upsert", r42, Some(r42Sql)),
     Q("r41_map_fns", r41, Some(r41Sql)),

@@ -101,10 +101,36 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(df.count() == 37L * 3)
   }
 
-  test("rank() / dense_rank() filters are NOT rewritten (tie semantics differ)") {
-    val w = Window.partitionBy($"g").orderBy($"v".desc)
-    val df = corpus.withColumn("rk", rank().over(w)).filter($"rk" <= 5)
+  test("rank() filter rewrites tie-aware: all rows of the k-th tie class kept") {
+    checkRewritten {
+      // v % 7 forces heavy ties inside every group
+      val w = Window.partitionBy($"g").orderBy(($"v" % 7).desc)
+      corpus.withColumn("rk", rank().over(w)).filter($"rk" <= 3)
+    }
+  }
+
+  test("dense_rank() filter rewrites tie-aware") {
+    checkRewritten {
+      val w = Window.partitionBy($"g").orderBy(($"v" % 5).asc, ($"id" % 3).desc)
+      corpus.withColumn("rk", dense_rank().over(w)).filter($"rk" <= 2)
+    }
+  }
+
+  test("rank() = 1 keeps EVERY tied-best row (not just one)") {
+    checkRewritten {
+      val w = Window.partitionBy($"g").orderBy(($"v" % 2).asc)
+      corpus.withColumn("rk", rank().over(w)).filter($"rk" === 1)
+    }
+  }
+
+  test("rank() with float order keys is NOT rewritten (byte-equality ties unsafe)") {
+    val w = Window.partitionBy($"g").orderBy(($"v" % 7).cast("double").desc)
+    val df = corpus.withColumn("rk", rank().over(w)).filter($"rk" <= 3)
     assert(!plan(df).contains("TopKPerGroup"))
+    // row_number with float order keys still rewrites (ties arbitrary)
+    val rn = corpus.withColumn("rk", row_number().over(
+      Window.partitionBy($"g").orderBy($"v".cast("double").desc, $"id"))).filter($"rk" <= 3)
+    assert(plan(rn).contains("TopKPerGroup"))
   }
 
   test("lower bounds and unsupported shapes are NOT rewritten") {

@@ -145,4 +145,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = planOf("r44_band_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
+  test("r48: tie-aware rank top-k plans the native operator with the sorted partial") {
+    val p = planOf("r48_rank_topk_native")
+    assert(p.contains("TopKPerGroup"), "native operator expected")
+    assert(p.contains("TopKPerGroupSortedPartial"), "tie-aware map-side bound expected")
+    assert(!p.contains("Window"), "no Window node should remain")
+  }
 }
