@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 object KMeans {
 
   /** Squared L2 between an embedding column and a centroid literal. */
-  private def sqDist(v: Column, centroid: Seq[Double]): Column =
+  def sqDist(v: Column, centroid: Seq[Double]): Column =
     centroid.zipWithIndex.map { case (c, i) =>
       val d = element_at(v, i + 1).cast(DoubleType) - lit(c)
       d * d
@@ -35,12 +35,15 @@ object KMeans {
   /** One assignment pass: each row gets the id of its nearest centroid
     * (ties to the lowest id). Centroids ride in the plan as literals —
     * the broadcast of a k-means round. */
-  def assign(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val best = centroids.map { case (id, c) =>
-      struct(sqDist(col("embedding"), c).as("d"), lit(id).as("cell"))
-    }
-    e.withColumn("cell", least(best: _*).getField("cell"))
-  }
+  def assign(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    e.withColumn("cell", assignExpr(col("embedding"), centroids))
+
+  /** Argmin-centroid id as a pure column expression (codegen'd, ties to
+    * the lowest id) — reusable on any vector column, e.g. PQ subspaces. */
+  def assignExpr(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    least(centroids.map { case (id, c) =>
+      struct(sqDist(v, c).as("d"), lit(id).as("cell"))
+    }: _*).getField("cell")
 
   /** Exact order-independent per-cell means over assigned rows. */
   private def means(assigned: DataFrame): DataFrame =
@@ -55,7 +58,11 @@ object KMeans {
   def fit(e: DataFrame, k: Int, iters: Int): (Seq[(Int, Seq[Double])], Seq[Double]) = {
     var centroids: Seq[(Int, Seq[Double])] =
       e.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
-        i -> r.getAs[scala.collection.Seq[Float]]("embedding").toVector.map(_.toDouble)
+        i -> r.getAs[scala.collection.Seq[Any]]("embedding").toVector.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => other.toString.toDouble
+        }
       }.toSeq
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 0 until iters) {

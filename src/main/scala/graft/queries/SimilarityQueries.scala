@@ -204,7 +204,73 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** s06: product-quantization ANN — the memory-scaling complement to
+    * s05's int8 path: 64-d vectors become M=8 one-byte codes (16
+    * centroids per 8-d subspace, trained by the deterministic u02
+    * k-means on each subspace), a 64x compression of the scan side.
+    * Scoring is asymmetric-distance (ADC) expressed RELATIONALLY — the
+    * per-query distance table (q x subspace x code, 5*8*16 = tiny) is a
+    * broadcast join against the exploded codes, and the approximate
+    * distance is one partial-agg'd SUM per (q_id, vec_id) — no
+    * driver-side lookup tables, no giant CASE. Top candidates by ADC
+    * then exact-cosine re-rank, like s05. Codebook training on the full
+    * table here; at corpus scale train on a deterministic p02-style
+    * sample. No oracle (iterative training); recall floor vs exact s01
+    * is spec-pinned. */
+  private val s06: Fn = (s, d) => {
+    import s.implicits._
+    val M = 8; val sub = 8; val nCodes = 16
+    // unit-normalize first: on unit vectors ||a-b||^2 = 2 - 2*cos, so the
+    // L2-based ADC ordering IS the cosine ordering the re-rank wants
+    def unit(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+      when(n === 0.0, v.cast("array<double>"))
+        .otherwise(transform(v, x => x.cast(DoubleType) / n))
+    }
+    val e = emb(s, d).select(col("vec_id"), unit(col("embedding")).as("embedding"))
+    val books: Seq[(Int, Seq[(Int, Seq[Double])])] = (0 until M).map { m =>
+      val subDf = e.select(col("vec_id"), slice(col("embedding"), m * sub + 1, sub).as("embedding"))
+      m -> graft.operators.KMeans.fit(subDf, nCodes, 4)._1
+    }
+    // encode every vector as M code ids (pure projection, no shuffle)
+    val encoded = books.foldLeft(e.select(col("vec_id"), col("embedding"))) {
+      case (df, (m, cents)) =>
+        df.withColumn(s"c$m", graft.operators.KMeans.assignExpr(
+          slice(col("embedding"), m * sub + 1, sub), cents))
+    }
+    val codes = encoded.select(col("vec_id"),
+      explode(array((0 until M).map(m => struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // per-query ADC table: squared L2 from each query subvector to each code centroid
+    val bookDf = books.flatMap { case (m, cents) =>
+      cents.map { case (code, c) => (m, code, c) }
+    }.toDF("m", "code", "cent")
+    val table = queriesDf(s, d).select(col("q_id"), unit(col("qv")).as("qv"))
+      .crossJoin(broadcast(bookDf))
+      .withColumn("qsub", slice(col("qv"), col("m") * sub + 1, lit(sub)))
+      .withColumn("d2", aggregate(zip_with(col("qsub"), col("cent"),
+        (a, b) => { val df = a.cast(DoubleType) - b; df * df }), lit(0.0), (acc, x) => acc + x))
+      .select(col("q_id"), col("m"), col("code"), col("d2"))
+    val adc = codes.join(broadcast(table), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d2")).as("adc"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = adc.withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= 4 * RerankDepth)
+      .select("q_id", "vec_id")
+    val exact = cand
+      .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "q_id")
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    exact.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select("q_id", "rk", "vec_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("s06_ann_pq", s06, None),
     Q("s01_ann_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, None),
     Q("s03_ann_ivf", s03, None),

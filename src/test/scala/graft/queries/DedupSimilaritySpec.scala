@@ -222,4 +222,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.85, s"recall $recall below floor (measured 0.92 at C=8,P=3)")
   }
+  test("pq ann recall floor vs brute force (deterministic codebooks)") {
+    val exact = graft.SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.SparkEntry.queries("s06_ann_pq")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"pq recall $recall below floor (measured 0.84)")
+    info(s"pq recall = $recall")
+  }
 }
