@@ -38,9 +38,21 @@ object KMeans {
   def assign(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
     e.withColumn("cell", assignExpr(col("embedding"), centroids))
 
-  /** Argmin-centroid id as a pure column expression (codegen'd, ties to
-    * the lowest id) — reusable on any vector column, e.g. PQ subspaces. */
-  def assignExpr(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+  /** Argmin-centroid id (ties to the lowest id) — reusable on any vector
+    * column. Backed by the loop-codegen [[graft.expressions.NearestCentroid]];
+    * `offset` reads a subspace window in place (PQ encode, no slice copy). */
+  def assignExpr(v: Column, centroids: Seq[(Int, Seq[Double])], offset: Int = 0): Column = {
+    val sorted = centroids.sortBy(_._1)
+    org.apache.spark.sql.GraftSqlBridge.column(graft.expressions.NearestCentroid(
+      org.apache.spark.sql.GraftSqlBridge.expression(v),
+      sorted.map(_._1), sorted.map(_._2.toVector), offset))
+  }
+
+  /** The same argmin from built-ins only (`least` over (dist, id) structs) —
+    * kept as the agreement oracle for NearestCentroidSpec. Unrolls k x dim
+    * terms into codegen, so it must stay OFF the hot paths (a PQ-sized
+    * instance blows the generated method past what janino will compile). */
+  def assignExprBuiltin(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     least(centroids.map { case (id, c) =>
       struct(sqDist(v, c).as("d"), lit(id).as("cell"))
     }: _*).getField("cell")
@@ -52,25 +64,32 @@ object KMeans {
       .agg(((sum((col("x").cast(DoubleType) * lit(1e9)).cast(LongType)).cast(DoubleType) / lit(1e9))
         / count(lit(1))).as("c"))
 
+  private def toDoubles(v: scala.collection.Seq[Any]): Vector[Double] =
+    v.toVector.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+
   /** Runs `iters` Lloyd rounds; returns (finalCentroids, perRoundInertia).
     * Inertia (sum of squared distances to the assigned centroid) is the
-    * monotone witness — it must never increase round over round. */
-  def fit(e: DataFrame, k: Int, iters: Int): (Seq[(Int, Seq[Double])], Seq[Double]) = {
+    * monotone witness — it must never increase round over round — but it
+    * costs one extra full pass per round, so it is off unless asked for
+    * (the spec asks; the registry/encoding paths don't). */
+  def fit(e: DataFrame, k: Int, iters: Int,
+          trackInertia: Boolean = false): (Seq[(Int, Seq[Double])], Seq[Double]) = {
     var centroids: Seq[(Int, Seq[Double])] =
       e.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
-        i -> r.getAs[scala.collection.Seq[Any]]("embedding").toVector.map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case other => other.toString.toDouble
-        }
+        i -> toDoubles(r.getAs[scala.collection.Seq[Any]]("embedding"))
       }.toSeq
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 0 until iters) {
       val assigned = assign(e, centroids)
-      val inertia = assigned.select(
-        sum(least(centroids.map { case (_, c) => sqDist(col("embedding"), c) }: _*)))
-        .head.getDouble(0)
-      inertias += inertia
+      if (trackInertia) {
+        inertias += assigned.select(
+          sum(least(centroids.map { case (_, c) => sqDist(col("embedding"), c) }: _*)))
+          .head.getDouble(0)
+      }
       centroids = means(assigned).collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
@@ -78,6 +97,45 @@ object KMeans {
         }.toSeq.sortBy(_._1)
     }
     (centroids, inertias.toSeq)
+  }
+
+  /** Trains M independent sub-vector codebooks IN ONE PLAN PER ROUND —
+    * the product-quantization training shape. A per-subspace driver
+    * loop costs M x iters x 2 jobs (each with its own codegen compile);
+    * this fuses each round into ONE assignment projection computing all
+    * M cells plus ONE exploded (m, cell, pos) aggregation, so a round
+    * is a single pass regardless of M. Same determinism as `fit`.
+    * `e` must expose vec_id + embedding with M*sub dimensions. */
+  def fitSubspaces(e: DataFrame, m: Int, sub: Int, k: Int,
+                   iters: Int): Seq[(Int, Seq[(Int, Seq[Double])])] = {
+    val seeds = e.orderBy("vec_id").limit(k).collect().map(r =>
+      toDoubles(r.getAs[scala.collection.Seq[Any]]("embedding")))
+    var books: Seq[(Int, Seq[(Int, Seq[Double])])] = (0 until m).map { mm =>
+      mm -> seeds.zipWithIndex.map { case (v, i) =>
+        i -> v.slice(mm * sub, mm * sub + sub).toSeq
+      }.toSeq
+    }
+    for (_ <- 0 until iters) {
+      val assigned = books.foldLeft(e) { case (df, (mm, cents)) =>
+        df.withColumn(s"__cell$mm",
+          assignExpr(col("embedding"), cents, offset = mm * sub))
+      }
+      val exploded = assigned.select(
+        explode(array((0 until m).map(mm => struct(
+          lit(mm).as("m"), col(s"__cell$mm").as("cell"),
+          slice(col("embedding"), mm * sub + 1, sub).as("sv"))): _*)).as("e"))
+        .select(col("e.m"), col("e.cell"), posexplode(col("e.sv")).as(Seq("pos", "x")))
+      val rows = exploded.groupBy("m", "cell", "pos")
+        .agg(((sum((col("x").cast(DoubleType) * lit(1e9)).cast(LongType)).cast(DoubleType) / lit(1e9))
+          / count(lit(1))).as("c"))
+        .collect()
+      books = rows.groupBy(_.getInt(0)).map { case (mm, mRows) =>
+        mm -> mRows.groupBy(_.getInt(1)).map { case (cell, cRows) =>
+          cell -> cRows.sortBy(_.getInt(2)).map(_.getDouble(3)).toVector.asInstanceOf[Seq[Double]]
+        }.toSeq.sortBy(_._1)
+      }.toSeq.sortBy(_._1)
+    }
+    books
   }
 
   /** Registry form: cluster audit after `iters` rounds — size and the

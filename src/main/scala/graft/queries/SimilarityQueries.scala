@@ -228,15 +228,15 @@ object SimilarityQueries {
         .otherwise(transform(v, x => x.cast(DoubleType) / n))
     }
     val e = emb(s, d).select(col("vec_id"), unit(col("embedding")).as("embedding"))
-    val books: Seq[(Int, Seq[(Int, Seq[Double])])] = (0 until M).map { m =>
-      val subDf = e.select(col("vec_id"), slice(col("embedding"), m * sub + 1, sub).as("embedding"))
-      m -> graft.operators.KMeans.fit(subDf, nCodes, 4)._1
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // all M codebooks train in ONE plan per Lloyd round (fitSubspaces) —
+    // a per-subspace loop would pay M x iters jobs + codegen compiles
+    val books = graft.operators.KMeans.fitSubspaces(e, M, sub, nCodes, 2)
     // encode every vector as M code ids (pure projection, no shuffle)
     val encoded = books.foldLeft(e.select(col("vec_id"), col("embedding"))) {
       case (df, (m, cents)) =>
         df.withColumn(s"c$m", graft.operators.KMeans.assignExpr(
-          slice(col("embedding"), m * sub + 1, sub), cents))
+          col("embedding"), cents, offset = m * sub))
     }
     val codes = encoded.select(col("vec_id"),
       explode(array((0 until M).map(m => struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("mc"))

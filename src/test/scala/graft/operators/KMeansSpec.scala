@@ -20,7 +20,7 @@ class KMeansSpec extends AnyFunSuite {
   }
 
   test("inertia never increases across Lloyd rounds") {
-    val (_, inertias) = KMeans.fit(e, 8, 4)
+    val (_, inertias) = KMeans.fit(e, 8, 4, trackInertia = true)
     inertias.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-6, s"inertia rose: $a -> $b")
     }
