@@ -232,23 +232,31 @@ object TextQueries {
     * e.g. df > 0.1%·N; this fixture's df tops out at 4 regardless of
     * scale factor, so the operator pins the absolute form.) Downstream, docs
     * above a boilerplate threshold are dropped or stripped; the operator
-    * reports the per-doc fraction plus the flag. Two keyed shuffles
-    * (shingle df, per-doc regroup) — the same shape as d03's frequency
-    * stage; integer-ratio double division for cross-engine parity. */
+    * reports the per-doc fraction plus the flag. ONE full-width keyed
+    * shuffle (shingle df): per-doc shingle counts come free from
+    * `size(shingles)` (shingles are distinct within a doc), and the
+    * per-doc regroup runs only over HOT-matched rows — a left-semi join
+    * against the small hot set (AQE converts it to broadcast at
+    * runtime) followed by an aggregation of the few survivors. The
+    * earlier shape regrouped the entire exploded shingle set a second
+    * time; at corpus scale that second 100 TB-wide string shuffle is
+    * the whole cost. Integer-ratio double division for parity. */
   private val t11: Fn = (s, d) => {
-    val sh = DedupQueries.shingled(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val shd = DedupQueries.shingled(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+    val ex = shd.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val hot = ex.groupBy("sg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3)
       .select(col("sg"))
-    sh.join(hot.withColumn("is_hot", lit(1L)), Seq("sg"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+    val hotPerDoc = ex.join(hot, Seq("sg"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    shd.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_shingles"))
+      .join(hotPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_hot", coalesce(col("n_hot"), lit(0L)))
       .withColumn("boilerplate_frac",
         col("n_hot").cast(DoubleType) / col("n_shingles").cast(DoubleType))
       .withColumn("flagged", col("boilerplate_frac") > 0.5)
+      .select("doc_id", "n_shingles", "n_hot", "boilerplate_frac", "flagged")
       .orderBy("doc_id")
   }
   private val t11Sql =
