@@ -340,7 +340,37 @@ object TextQueries {
       |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
       |FROM raw ORDER BY doc_id""".stripMargin
 
+  /** t13: heavy hitters — tokens with count > n/200 — in the production
+    * two-pass shape: (1) a bounded-memory Misra-Gries sketch (capacity
+    * 399 > 200, so NO true heavy hitter can be missed) reduces the
+    * stream to ≤399 candidates; (2) one exact confirmation pass counts
+    * only candidate tokens (the isin filter is map-side, the shuffle
+    * carries ≤399 groups) and applies the threshold. The confirm pass
+    * makes the output exact and deterministic at any partitioning —
+    * which is what lets an approximate-sketch operator carry a full
+    * DuckDB oracle. At 100 TB the sketch pass is one scan with ≤k
+    * state per task; the naive alternative shuffles every distinct
+    * token. The driver-side candidate set is ≤k rows by construction
+    * (the same bounded-collect pattern as a k-means round). */
+  private val t13: Fn = (s, d) => {
+    val tok = docs(s, d).select(explode(toks).as("token"))
+    val n = tok.count()
+    val thr = n / 200L
+    val cands = tok.agg(graft.functions.MisraGries.sketch(399)(col("token")).as("mg"))
+      .head.getMap[String, Long](0).keys.toSeq
+    tok.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > thr)
+      .orderBy(desc("n"), col("token"))
+  }
+  private val t13Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT token, count(*) AS n FROM tok GROUP BY token
+      |HAVING count(*) > (SELECT count(*) // 200 FROM tok)
+      |ORDER BY n DESC, token""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t13_heavy_hitters", t13, Some(t13Sql)),
     Q("t12_pii_redaction", t12, Some(t12Sql)),
     Q("t11_boilerplate", t11, Some(t11Sql)),
     Q("t01_text_stats", t01, Some(t01Sql)),
