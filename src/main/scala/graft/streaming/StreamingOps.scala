@@ -90,6 +90,26 @@ object StreamingOps {
       .withColumn("shard", graft.functions.DetHash.shardOf(col("doc_id")))
   }
 
+  /** Stream-static incremental dedup — the always-on execution of p07's
+    * delta-vs-corpus semantics: arriving docs are fingerprinted, LEFT
+    * JOINED against the STATIC standing-corpus fingerprint index (a
+    * stream-static join runs per micro-batch with no streaming state;
+    * at scale the index is the bucketed-by-fp table so the per-batch
+    * join is co-located), corpus duplicates dropped, and in-stream
+    * duplicates collapsed to the first arrival via cross-batch
+    * `dropDuplicates` state keyed by fingerprint. The output is exactly
+    * the docs a corpus-append sink should receive. Batch equivalence
+    * (first arrival = min doc_id): oracled as p07's 'new' disposition;
+    * StreamingSpec feeds arrivals in id order across multiple
+    * micro-batches and asserts set equality. */
+  def incrementalDedup(delta: DataFrame, corpusIdx: DataFrame): DataFrame = {
+    val keyed = delta.withColumn("fp", md5(col("text")))
+    keyed.join(corpusIdx.select(col("fp"), lit(1L).as("__in_corpus")), Seq("fp"), "left")
+      .filter(col("__in_corpus").isNull)
+      .drop("__in_corpus")
+      .dropDuplicates("fp")
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: Timestamp)

@@ -167,6 +167,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() == 30)
   }
 
+  test("stream-static incremental dedup matches p07's 'new' disposition set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100).as("b"))
+    val corpusIdx = all.filter(col("b") < 70)
+      .select(md5(col("text")).as("fp")).distinct()
+    val deltaDocs = all.filter(col("b") >= 70).orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("text")).as[Doc].collect()
+    val stream = MemoryStream[Doc]
+    val q = StreamingOps.incrementalDedup(stream.toDF(), corpusIdx).writeStream
+      .format("memory").queryName("incdedup_out").outputMode("append").start()
+    val (b1, b2) = deltaDocs.splitAt(deltaDocs.length / 2)
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      // replay batch 1 entirely: cross-batch fp state must drop every doc
+      stream.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("incdedup_out").select("fp").collect().map(_.getString(0))
+    // keeper identity within a micro-batch is arbitrary; the FP SET and
+    // one-survivor-per-fp are the deterministic contract
+    assert(got.length == got.distinct.length, "a fingerprint survived twice")
+    val want = graft.SparkEntry.queries("p07_incremental_dedup")(spark, sf)
+      .filter(col("disposition") === "new").select("fp").collect().map(_.getString(0)).toSet
+    assert(got.toSet == want && got.nonEmpty)
+  }
+
   test("streaming ingest e2e: partitioned exactly-once file sink round-trips") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
