@@ -262,7 +262,45 @@ object ExtraQueries2 {
       |QUALIFY rk <= 2
       |ORDER BY l_returnflag, rk, l_orderkey, l_linenumber, qty""".stripMargin
 
+  /** r49: SCD type-2 history build from a change log — the warehouse
+    * pattern for attribute history at scale: change-detect (keep an
+    * event only when the tracked attribute differs from the previous
+    * one), then close each version with the NEXT change's timestamp
+    * (lead), leaving the latest open (is_current). Both windows key on
+    * user_id with the same ordering, so Catalyst reuses one hash
+    * exchange + sort for the pair — one shuffle total, partitioned by
+    * the history key, nothing global. Filtered to a deterministic user
+    * slice to keep the oracle output reviewable. */
+  private val r49: Fn = (s, d) => {
+    val e = Tables.events(s, d).filter(col("user_id") % 100 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changed = e.withColumn("prev", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changed
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord))
+      .select(col("user_id"), col("event_type").as("attr_value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "attr_value")
+  }
+  private val r49Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM events WHERE user_id % 100 = 0),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, event_type FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM e) t
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS attr_value, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM ch ORDER BY user_id, valid_from, attr_value""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r49_scd2_history", r49, Some(r49Sql)),
     Q("r48_rank_topk_native", r48, Some(r48Sql)),
     Q("r43_topk_native", r43, Some(r43Sql)),
     Q("r42_merge_upsert", r42, Some(r42Sql)),

@@ -603,7 +603,48 @@ object PipelineQueries {
        |FROM exploded GROUP BY source, epoch ORDER BY source, epoch""".stripMargin
   }
 
+  // -------------------------------- p10 incremental aggregate maintenance
+
+  /** Incremental aggregate maintenance — refreshing a standing per-key
+    * statistics table from a delta batch WITHOUT rescanning the corpus:
+    * the standing table already holds mergeable partials (count, sum,
+    * min, max), the delta contributes its own partials, and the refresh
+    * is a union + re-combine keyed on the group key — O(keys + delta),
+    * independent of corpus size. Derived measures (avg) come from the
+    * merged partials at read time, never stored. The oracle is the FULL
+    * recompute over all documents, so the green check IS the proof that
+    * incremental == from-scratch (the correctness property incremental
+    * ETL must hold). Standing/delta split uses p07's deterministic
+    * arrival buckets. */
+  private val p10: Fn = (s, d) => {
+    val all = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+      mdBucket(col("doc_id"), "arrival:", 100).as("b"))
+    def partials(df: DataFrame) = df.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).cast(LongType).as("n_chars_total"),
+      min(col("doc_id")).as("first_doc"),
+      max(col("doc_id")).as("last_doc"))
+    val standing = partials(all.filter(col("b") < 70)) // the stored agg table
+    val delta = partials(all.filter(col("b") >= 70))   // the new batch
+    standing.unionByName(delta)
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_chars_total")).as("n_chars_total"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+      .withColumn("avg_chars",
+        col("n_chars_total").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .orderBy("source")
+  }
+  private val p10Sql =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p10_incremental_agg", p10, Some(p10Sql)),
     Q("p09_epoch_upsample", p09, Some(p09Sql)),
     Q("p08_chunking", p08, Some(p08Sql)),
     Q("p07_incremental_dedup", p07, Some(p07Sql)),
