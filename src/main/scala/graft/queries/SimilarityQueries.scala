@@ -269,7 +269,106 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** s07: hybrid retrieval — BM25 text ranking fused with the exact
+    * cosine vector ranking by reciprocal-rank fusion (RRF, k=60), the
+    * standard production shape for retrieval over a corpus that has
+    * both text and embeddings. Queries are self-contained: query i is
+    * document i's first 4 distinct tokens (text side) and embedding i
+    * (vector side), i < 5, the query doc itself excluded from both
+    * rankings.
+    *
+    * Determinism/parity: each per-term BM25 contribution is computed
+    * from exact integers (tf, df, dl, N) plus one ln() rounded like
+    * t04's idf; the per-(q,doc) sum uses the scaled-long fixed-point
+    * trick so summation order cannot move the result; ranks are
+    * integers; RRF scores are fixed two-term expressions rounded to
+    * 6dp with doc_id tiebreaks. Scale: tf/df are word-count-shaped
+    * shuffles (partial agg), the query side is 5 rows broadcast, and
+    * both rankings end in per-query top-N windows over candidate sets,
+    * never the corpus. */
+  private val s07: Fn = (s, d) => {
+    val K1 = 1.2; val B = 0.75; val RrfK = 60; val TopN = 20
+    val dd = Tables.documents(s, d)
+    val toksCol = split(col("text"), " ")
+    val docsTok = dd.select(col("doc_id"), toksCol.as("w"))
+    // corpus constants via one tiny driver action (t04 precedent)
+    val statsRow = docsTok.agg(count(lit(1)), sum(size(col("w")))).head
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val tf = docsTok.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docsTok.select(col("doc_id"), size(col("w")).as("dl"))
+    val qt = docsTok.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
+    val termScore =
+      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(K1 + 1)) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl)))
+    val bm = qt.join(tf, "term").join(dfT, "term").join(dl, "doc_id")
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("s_fp", (termScore * 1e9).cast(LongType))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("s_fp")).cast(DoubleType) / 1e9, 4).as("bm25"))
+    val wt = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), col("doc_id"))
+    val rt = bm.withColumn("rt", row_number().over(wt)).filter(col("rt") <= TopN)
+      .select("q_id", "doc_id", "rt")
+    val vs = emb(s, d).join(broadcast(queriesDf(s, d)), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("sim"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("doc_id"))
+    val rv = vs.withColumn("rv", row_number().over(wv)).filter(col("rv") <= TopN)
+      .select("q_id", "doc_id", "rv")
+    val fused = rt.join(rv, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)), 6))
+    val wf = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), col("doc_id"))
+    fused.withColumn("rk", row_number().over(wf).cast(LongType))
+      .filter(col("rk") <= K)
+      .select("q_id", "rk", "doc_id", "rrf")
+      .orderBy("q_id", "rk")
+  }
+  private val s07Sql =
+    s"""WITH docs_t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) AS toks FROM docs_t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS term FROM docs_t) GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM docs_t),
+       |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w[1:4])) AS term
+       |       FROM docs_t WHERE doc_id < $NumQueries),
+       |ts AS (SELECT qt.q_id, tf.doc_id,
+       |         CAST((ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+       |               / (tf + 1.2 * (0.25 + 0.75 * dl / (toks / n)))) * 1e9 AS BIGINT) AS s_fp
+       |       FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+       |            JOIN dl ON tf.doc_id = dl.doc_id, stats
+       |       WHERE tf.doc_id <> qt.q_id),
+       |bm AS (SELECT q_id, doc_id, round(CAST(sum(s_fp) AS DOUBLE) / 1e9, 4) AS bm25
+       |       FROM ts GROUP BY 1, 2),
+       |rt AS (SELECT q_id, doc_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rt
+       |       FROM bm QUALIFY rt <= 20),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |vs AS (SELECT q.q_id, e.vec_id AS doc_id,
+       |         round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |                    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |       FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |rv AS (SELECT q_id, doc_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rv
+       |       FROM vs QUALIFY rv <= 20),
+       |fused AS (SELECT coalesce(rt.q_id, rv.q_id) AS q_id,
+       |            coalesce(rt.doc_id, rv.doc_id) AS doc_id,
+       |            round(coalesce(1.0 / (60 + rt.rt), 0) + coalesce(1.0 / (60 + rv.rv), 0), 6) AS rrf
+       |          FROM rt FULL OUTER JOIN rv ON rt.q_id = rv.q_id AND rt.doc_id = rv.doc_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk,
+       |       doc_id, rrf
+       |FROM fused QUALIFY rk <= $K ORDER BY q_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s07_hybrid_rrf", s07, Some(s07Sql)),
     Q("s06_ann_pq", s06, None),
     Q("s01_ann_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, None),
