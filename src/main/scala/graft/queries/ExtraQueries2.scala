@@ -299,7 +299,92 @@ object ExtraQueries2 {
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM ch ORDER BY user_id, valid_from, attr_value""".stripMargin
 
+  /** u03: declarative data-quality gate — the expectations firewall an
+    * ingest pipeline runs before admitting a batch: every row-level
+    * rule is one conditional counter inside ONE aggregation over ONE
+    * scan (map-side partials, no per-rule passes), plus a separate
+    * column-pruned two-phase distinct for the uniqueness rule (folding
+    * it into the same agg would trigger the distinct-rewrite Expand —
+    * the u01 lesson). Output: one row per rule with its violation
+    * count and verdict; a scheduler gates the batch on `bool_and(passed)`. */
+  private val u03: Fn = (s, d) => {
+    val dd = Tables.documents(s, d)
+    val rules = Seq(
+      ("doc_id_not_null", col("doc_id").isNull),
+      ("n_chars_positive", col("n_chars") <= 0),
+      ("n_chars_matches_text", length(col("text")) =!= col("n_chars")),
+      ("lang_in_dictionary", !col("lang").isin("de", "en", "es", "fr", "zh")),
+      ("source_not_null", col("source").isNull))
+    val aggs = rules.map { case (n, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(n)
+    }
+    val rowRules = dd.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col(n).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_violations"))
+    val unique = dd.select(col("doc_id"))
+      .agg((count(lit(1)) - count_distinct(col("doc_id"))).as("n_violations"))
+      .select(lit("doc_id_unique").as("rule"), col("n_violations"))
+    rowRules.unionByName(unique)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+  private val u03Sql =
+    """WITH row_rules AS (
+      |  SELECT * FROM (
+      |    SELECT
+      |      CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_not_null,
+      |      CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_positive,
+      |      CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_matches_text,
+      |      CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS lang_in_dictionary,
+      |      CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_not_null
+      |    FROM documents) t
+      |  UNPIVOT (n_violations FOR rule IN (doc_id_not_null, n_chars_positive,
+      |           n_chars_matches_text, lang_in_dictionary, source_not_null))),
+      |uniq AS (
+      |  SELECT 'doc_id_unique' AS rule,
+      |         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_violations
+      |  FROM documents)
+      |SELECT rule, n_violations, n_violations = 0 AS passed
+      |FROM (SELECT * FROM row_rules UNION ALL SELECT * FROM uniq)
+      |ORDER BY rule""".stripMargin
+
+  /** u04: key-skew report — the diagnostic that decides salting /
+    * AQE-skew settings before a big join: per-key counts (one partial-
+    * agg shuffle), the key's share of rows, and its ratio vs a uniform
+    * key (ratio >> 1 = the reducer hot spot). Totals ride in on a
+    * broadcast of ONE row; the top-20 selection is orderBy+limit
+    * (TakeOrderedAndProject — bounded at any key cardinality), and the
+    * only global window ranks the 20 survivors. */
+  private val u04: Fn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey").as("key"))
+    val counts = li.groupBy("key").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", (col("n") * 1000000L / col("total")).cast(LongType))
+      .withColumn("skew_ratio",
+        round(col("n").cast(DoubleType) * col("n_keys") / col("total"), 4))
+    val top = scored.orderBy(desc("n"), col("key")).limit(20)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(desc("n"), col("key"))).cast(LongType))
+      .select("rk", "key", "n", "share_ppm", "skew_ratio")
+      .orderBy("rk")
+  }
+  private val u04Sql =
+    """WITH counts AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+      |totals AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM counts),
+      |scored AS (
+      |  SELECT key, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |         round(CAST(n AS DOUBLE) * n_keys / total, 4) AS skew_ratio
+      |  FROM counts, totals)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk,
+      |       key, n, share_ppm, skew_ratio
+      |FROM scored QUALIFY rk <= 20 ORDER BY rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("u03_quality_gate", u03, Some(u03Sql)),
+    Q("u04_skew_report", u04, Some(u04Sql)),
     Q("r49_scd2_history", r49, Some(r49Sql)),
     Q("r48_rank_topk_native", r48, Some(r48Sql)),
     Q("r43_topk_native", r43, Some(r43Sql)),

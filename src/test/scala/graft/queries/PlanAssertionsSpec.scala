@@ -151,4 +151,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TopKPerGroupSortedPartial"), "tie-aware map-side bound expected")
     assert(!p.contains("Window"), "no Window node should remain")
   }
+
+  test("s07: hybrid retrieval broadcasts the query sides; no cartesian") {
+    val p = planOf("s07_hybrid_rrf")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t13: the exact confirm pass filters map-side before its aggregation") {
+    val p = planOf("t13_heavy_hitters")
+    // candidate membership must be a scan-side Filter, not a join
+    assert(p.contains("Filter"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial agg expected")
+  }
+
+  test("p10: incremental refresh never rescans more than partials + delta") {
+    val p = planOf("p10_incremental_agg")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Union"), "standing/delta partials merge via union")
+  }
+
+  test("r49: both SCD2 windows share one exchange on the history key") {
+    val p = planOf("r49_scd2_history")
+    // exactly two exchanges total: one hash (windows) + one range (output order)
+    assert("Exchange".r.findAllIn(p).size <= 4, // formatted mode lists nodes twice
+      "the two windows must reuse a single hash exchange")
+  }
 }
