@@ -314,7 +314,68 @@ object CoverageQueries {
       |LEFT JOIN counts ON counts.h = hours.h AND counts.event_type = types.event_type
       |ORDER BY hours.h, types.event_type""".stripMargin
 
+  /** m04: multimodal near-duplicate detection over DECODED features —
+    * the dedup layer that runs after the codec stage: block on a
+    * 6-bit-quantized feature-histogram signature (collisions only for
+    * near-identical byte distributions, measured 8-88 candidate pairs
+    * across SFs, never all-pairs), then exact L1 distance over the full
+    * feature vector per candidate. Runs through the REAL decode path
+    * (`Multimodal.decodeFeatures`, batched mapPartitions) — and because
+    * the stub features are deterministic byte histograms, the DuckDB
+    * oracle can recompute them relationally, making this query an
+    * independent end-to-end check of the decode stage itself.
+    * Float-parity: features are float; both engines quantize/measure
+    * after an explicit float round-trip, and the *64 / *1e9 scalings
+    * are exact in IEEE double, so blocking and distances agree
+    * bit-for-bit. L1 sums use the scaled-long fixed-point trick. */
+  private val m04: Fn = (s, d) => {
+    val Dim = graft.multimodal.Multimodal.FeatureDim
+    val feats = graft.multimodal.Multimodal.decodeFeatures(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
+      .select(col("doc_id"), col("features"))
+    val sig = feats.withColumn("sig", concat_ws(",",
+      (0 until Dim).map(j =>
+        floor(element_at(col("features"), j + 1).cast(DoubleType) * 64)
+          .cast(IntegerType).cast(StringType)): _*))
+    val a = sig.select(col("doc_id").as("a_id"), col("sig"), col("features").as("fa"))
+    val b = sig.select(col("doc_id").as("b_id"), col("sig"), col("features").as("fb"))
+    a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
+      .withColumn("l1", round(
+        aggregate(
+          zip_with(col("fa"), col("fb"),
+            (x, y) => (abs(x.cast(DoubleType) - y.cast(DoubleType)) * 1e9).cast(LongType)),
+          lit(0L), (acc, v) => acc + v).cast(DoubleType) / 1e9, 6))
+      .select("a_id", "b_id", "l1")
+      .orderBy("a_id", "b_id")
+  }
+  private val m04Sql =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |bytes AS (SELECT doc_id, unnest(list_transform(split(text, ''), c -> ascii(c) % 16)) AS b
+      |          FROM docs),
+      |hist0 AS (SELECT doc_id, b, count(*) AS cnt FROM bytes GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, gs.b FROM docs, (SELECT unnest(range(16)) AS b) gs),
+      |feat AS (
+      |  SELECT g.doc_id, g.b,
+      |         CAST(COALESCE(h.cnt, 0) / length(d.text) AS FLOAT) AS f
+      |  FROM grid g LEFT JOIN hist0 h ON g.doc_id = h.doc_id AND g.b = h.b
+      |  JOIN docs d ON g.doc_id = d.doc_id),
+      |sig AS (SELECT doc_id,
+      |          string_agg(CAST(CAST(floor(CAST(f AS DOUBLE) * 64) AS INT) AS VARCHAR),
+      |                     ',' ORDER BY b) AS sig
+      |        FROM feat GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |          FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+      |dist AS (
+      |  SELECT p.a_id, p.b_id,
+      |         round(CAST(sum(CAST(trunc(abs(CAST(fa.f AS DOUBLE) - CAST(fb.f AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS l1
+      |  FROM pairs p
+      |  JOIN feat fa ON fa.doc_id = p.a_id
+      |  JOIN feat fb ON fb.doc_id = p.b_id AND fa.b = fb.b
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, l1 FROM dist ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("m04_payload_neardup", m04, Some(m04Sql)),
     Q("r45_lateral_topn", r45, Some(r45Sql)),
     Q("r46_gapfill", r46, Some(r46Sql)),
     Q("r44_band_join", r44, Some(r44Sql)),
