@@ -39,5 +39,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashSignature].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashSignature(arity("simhash64", 1)(exprs).head)))
+    // nearest_centroid(vec, array(array(...), ...) [, offset]) — the
+    // codebook must be a foldable literal (it IS the broadcast model);
+    // ids are the centroid positions 0..k-1.
+    e.injectFunction((
+      new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[graft.expressions.NearestCentroid].getName, "nearest_centroid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"nearest_centroid expects 2-3 arguments, got ${exprs.length}")
+        require(exprs(1).foldable, "nearest_centroid: centroids must be a literal array of arrays")
+        val ad = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = (0 until ad.numElements()).map { i =>
+          val inner = ad.getArray(i)
+          (0 until inner.numElements()).map(inner.getDouble).toVector
+        }
+        val offset = if (exprs.length == 3) {
+          require(exprs(2).foldable, "nearest_centroid: offset must be a literal")
+          exprs(2).eval().asInstanceOf[Number].intValue()
+        } else 0
+        graft.expressions.NearestCentroid(exprs.head, cents.indices, cents, offset)
+      }))
   }
 }

@@ -60,6 +60,18 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(df.select(KMeans.assignExpr(col("v"), tied)).head.getInt(0) === 3)
   }
 
+  test("SQL surface: nearest_centroid with a literal codebook and offset") {
+    val r = spark.sql(
+      """SELECT nearest_centroid(array(9D, 9D, 0.1D, 0.2D),
+        |                        array(array(0D, 0D), array(1D, 1D)), 2) AS cell""".stripMargin)
+      .head.getInt(0)
+    assert(r === 0)
+    val r2 = spark.sql(
+      """SELECT nearest_centroid(array(0.9D, 1.1D), array(array(0D, 0D), array(1D, 1D))) AS cell""")
+      .head.getInt(0)
+    assert(r2 === 1)
+  }
+
   test("null and too-short arrays yield null") {
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(
