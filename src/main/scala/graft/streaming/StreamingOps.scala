@@ -110,6 +110,62 @@ object StreamingOps {
       .dropDuplicates("fp")
   }
 
+  /** Streaming MERGE (upsert) sink via `foreachBatch` — the production
+    * idiom for maintaining a standing keyed table from a stream when
+    * the sink format has no native MERGE: each micro-batch full-outer
+    * joins the current table version on the key (r42's merge shape,
+    * one keyed shuffle; co-located if the standing table is bucketed),
+    * writes the merged result to a NEW versioned directory named by the
+    * batch id, then atomically flips a pointer file. Idempotent under
+    * batch replay: a re-delivered batch id rewrites its own version
+    * directory and re-flips the pointer to the same content — the
+    * exactly-once contract foreachBatch requires of its body. */
+  def mergeSink(updates: DataFrame, tableDir: String, key: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBatch(batch, tableDir, key, batchId)
+    }
+
+  /** One merge step (exposed for batch tests and replay idempotency). */
+  def mergeBatch(batch: DataFrame, tableDir: String, key: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ptr = new java.io.File(s"$tableDir/_current")
+    val base: Option[DataFrame] =
+      if (ptr.exists)
+        Some(spark.read.parquet(s"$tableDir/${java.nio.file.Files.readString(ptr.toPath).trim}"))
+      else None
+    val merged = base match {
+      case None => batch
+      case Some(b) =>
+        val cols = batch.columns
+        b.as("b").join(batch.as("u"), col(s"b.$key") === col(s"u.$key"), "full_outer")
+          .select(cols.map(c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)).toIndexedSeq: _*)
+    }
+    val version = s"v$batchId"
+    // Write to a temp dir first: on batch REPLAY the current version can
+    // BE this version, and overwrite-in-place would delete the lazy
+    // scan's own input files before the merge job reads them.
+    val tmpDir = s"$tableDir/.$version.tmp"
+    merged.write.mode("overwrite").parquet(tmpDir)
+    val dest = java.nio.file.Paths.get(s"$tableDir/$version")
+    if (java.nio.file.Files.exists(dest)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
+    // atomic pointer flip: write-temp + rename
+    val tmp = java.nio.file.Files.createTempFile(ptr.getParentFile.toPath, "_ptr", "")
+    java.nio.file.Files.writeString(tmp, version)
+    java.nio.file.Files.move(tmp, ptr.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the current version of a mergeSink table. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(
+      s"$tableDir/${java.nio.file.Files.readString(new java.io.File(s"$tableDir/_current").toPath).trim}")
+
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: Timestamp)

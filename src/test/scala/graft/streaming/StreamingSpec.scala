@@ -196,6 +196,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == want && got.nonEmpty)
   }
 
+  test("foreachBatch merge sink: upserts accumulate; batch replay is idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("merge_sink").toString
+    case class Upd(k: Long, v: String)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.mergeSink(
+        stream.toDF().toDF("k", "v"), dir, "k")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      stream.addData(Seq(1L -> "a", 2L -> "b")); q.processAllAvailable()
+      stream.addData(Seq(2L -> "B2", 3L -> "c")); q.processAllAvailable()
+    } finally q.stop()
+    def state = StreamingOps.readMerged(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // replay the LAST batch (the failure-recovery path): same content
+    val replay = Seq(2L -> "B2", 3L -> "c").toDF("k", "v")
+    StreamingOps.mergeBatch(replay, dir, "k", batchId = 1L)
+    assert(state == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
   test("streaming ingest e2e: partitioned exactly-once file sink round-trips") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
