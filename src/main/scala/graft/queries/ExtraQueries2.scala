@@ -299,6 +299,35 @@ object ExtraQueries2 {
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM ch ORDER BY user_id, valid_from, attr_value""".stripMargin
 
+  /** r50: higher-order array functions — filter / exists / forall over
+    * the per-doc token array, all row-local (one projection, no shuffle
+    * until the output sort). These are the codegen-friendly alternative
+    * to exploding arrays into rows when the aggregation is per-row:
+    * explode+groupBy(doc_id) would shuffle every token; the HOF form
+    * shuffles nothing. (Per [[spark-lambda-reeval-pitfall]]: the lambda
+    * input here is a materialized column, so no captured expression is
+    * re-evaluated per element.) */
+  private val r50: Fn = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(filter(col("w"), t => length(t) > 7)).cast(LongType).as("n_long_tokens"),
+        exists(col("w"), t => t === "the").as("has_the"),
+        forall(col("w"), t => length(t) < 30).as("all_short"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t).cast(LongType)).as("sum_token_chars"))
+      .orderBy("doc_id")
+  private val r50Sql =
+    """SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(w, t -> length(t) > 7)) AS BIGINT) AS n_long_tokens,
+      |  len(list_filter(w, t -> t = 'the')) > 0 AS has_the,
+      |  len(list_filter(w, t -> NOT length(t) < 30)) = 0 AS all_short,
+      |  CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_token_chars
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100)
+      |ORDER BY doc_id""".stripMargin
+
   /** u03: declarative data-quality gate — the expectations firewall an
     * ingest pipeline runs before admitting a batch: every row-level
     * rule is one conditional counter inside ONE aggregation over ONE
@@ -383,6 +412,7 @@ object ExtraQueries2 {
       |FROM scored QUALIFY rk <= 20 ORDER BY rk""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("r50_hof_array_fns", r50, Some(r50Sql)),
     Q("u03_quality_gate", u03, Some(u03Sql)),
     Q("u04_skew_report", u04, Some(u04Sql)),
     Q("r49_scd2_history", r49, Some(r49Sql)),
