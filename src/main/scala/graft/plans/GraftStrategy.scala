@@ -22,6 +22,8 @@ object GraftStrategy extends SparkStrategy {
       // shuffle to the k leading tie classes per group per partition
       TopKPerGroupExec(part, order, k, rank, mode,
         TopKPerGroupSortedPartialExec(part, order, k, mode, planLater(child))) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -42,6 +42,32 @@ object CoverageQueries {
       |FROM events QUALIFY event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  /** r51: TWO-TABLE as-of join through the native plan operator
+    * ([[graft.plans.AsOfJoin]]): for every error event, the most recent
+    * signup at-or-before it for the same user, from a separate signups
+    * relation. Same semantic family as r24's single-table window form,
+    * but executed as the classic time-series merge — hash-cluster both
+    * sides on user_id, sort each by (user, ts), one O(1)-state forward
+    * pass — with no union, no window, and no range-join candidate
+    * blowup. Oracle: correlated max-subquery (time semantics only, so
+    * right-side time ties cannot affect the answer). */
+  private val r51: Fn = (s, d) => {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    graft.plans.AsOfJoin.asof(errors, signups,
+        errors("user_id"), signups("s_user"), errors("ts"), signups("s_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("s_ts").as("last_signup"))
+      .orderBy("event_id")
+  }
+  private val r51Sql =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  (SELECT max(s.ts) FROM events s
+      |   WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts) AS last_signup
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
   /** Range join: lineitems shipped within 30 days of their order's date —
     * equi-key plus band predicate, so Catalyst keeps the shuffle on the
     * equi key and evaluates the band as a cheap post-join filter. */
@@ -375,6 +401,7 @@ object CoverageQueries {
       |SELECT a_id, b_id, l1 FROM dist ORDER BY a_id, b_id""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("r51_asof_native", r51, Some(r51Sql)),
     Q("m04_payload_neardup", m04, Some(m04Sql)),
     Q("r45_lateral_topn", r45, Some(r45Sql)),
     Q("r46_gapfill", r46, Some(r46Sql)),
