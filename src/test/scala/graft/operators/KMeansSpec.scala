@@ -27,6 +27,23 @@ class KMeansSpec extends AnyFunSuite {
     assert(inertias.last < inertias.head, "training must actually improve the fit")
   }
 
+  test("fused subspace trainer equals M independent per-subspace fits") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val (m, sub, k, iters) = (4, 16, 8, 2)
+    val ed = this.e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val fused = KMeans.fitSubspaces(ed, m, sub, k, iters)
+    val independent = (0 until m).map { mm =>
+      val sdf = ed.select(col("vec_id"),
+        slice(col("embedding"), mm * sub + 1, sub).as("embedding"))
+      mm -> KMeans.fit(sdf, k, iters)._1
+    }
+    // exact fixed-point means -> the fused one-plan-per-round trainer must
+    // be BIT-identical to training each subspace alone
+    assert(fused == independent,
+      "fitSubspaces must match independent fits exactly (same seeds, same algebra)")
+  }
+
   test("registry audit: every vector lands in exactly one cell") {
     val out = graft.SparkEntry.queries("u02_kmeans_cells")(spark, sf)
     val total = out.agg(sum(col("n_vecs"))).head.getLong(0)
