@@ -359,10 +359,13 @@ object CoverageQueries {
     val feats = graft.multimodal.Multimodal.decodeFeatures(
       graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
       .select(col("doc_id"), col("features"))
+    // persisted: BOTH sides of the candidate self-join consume this —
+    // without it the (expensive at scale) decode stage runs twice
     val sig = feats.withColumn("sig", concat_ws(",",
       (0 until Dim).map(j =>
         floor(element_at(col("features"), j + 1).cast(DoubleType) * 64)
           .cast(IntegerType).cast(StringType)): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("doc_id").as("a_id"), col("sig"), col("features").as("fa"))
     val b = sig.select(col("doc_id").as("b_id"), col("sig"), col("features").as("fb"))
     a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))

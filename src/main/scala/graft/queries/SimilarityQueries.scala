@@ -295,8 +295,12 @@ object SimilarityQueries {
     val statsRow = docsTok.agg(count(lit(1)), sum(size(col("w")))).head
     val nDocs = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / nDocs
+    // tf feeds TWO branches (the query-term join and the df roll-up);
+    // persisted so the word-count scan+shuffle runs once, not twice
+    // (d03's compute-once/read-many pattern)
     val tf = docsTok.select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = docsTok.select(col("doc_id"), size(col("w")).as("dl"))
     val qt = docsTok.filter(col("doc_id") < NumQueries)
