@@ -218,6 +218,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(state == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
+  test("misra-gries sketches merge across micro-batches with bounds intact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the mergeable-summaries property composes over TIME exactly as it
+    // does over partitions: fold each micro-batch's distributed sketch
+    // into a running summary via foreachBatch, and the classic bounds
+    // still hold against the exact counts of everything streamed so far
+    val k = 64
+    val mg = new graft.functions.MisraGries(k)
+    var running: Map[String, Long] = Map.empty
+    var streamed = List.empty[String]
+    val stream = MemoryStream[String]
+    val q = stream.toDF().toDF("token").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batchSketch = batch
+          .agg(graft.functions.MisraGries.sketch(k)(col("token")))
+          .head.getMap[String, Long](0).toMap
+        running = mg.merge(running, batchSketch)
+    }.start()
+    val docs = graft.Tables.documents(spark, sf).select("text").as[String].collect()
+    try docs.grouped(60).foreach { g =>
+      val toks = g.flatMap(_.split(" ")).toSeq
+      streamed ++= toks
+      stream.addData(toks); q.processAllAvailable()
+      val exact = streamed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = streamed.size.toLong / (k + 1)
+      assert(running.size <= k)
+      running.foreach { case (t, est) =>
+        assert(est <= exact(t) && est >= exact(t) - slack, s"$t after ${streamed.size}")
+      }
+      exact.foreach { case (t, c) =>
+        assert(c <= slack || running.contains(t), s"heavy $t missing after ${streamed.size}")
+      }
+    } finally q.stop()
+    assert(running.nonEmpty)
+  }
+
   test("streaming ingest e2e: partitioned exactly-once file sink round-trips") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
