@@ -69,6 +69,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("Sort ".r.findAllIn(formatted).size >= 2, "both sides sorted by (key, time)")
   }
 
+  test("bucketed standing side: its exchange is elided (delta-only shuffle)") {
+    val (errors, signups) = sides
+    spark.sql("DROP TABLE IF EXISTS asof_signups_spec")
+    graft.operators.ScaleOps.writeBucketed(signups, "asof_signups_spec", "s_user", 8)
+    try {
+      val r = spark.table("asof_signups_spec")
+      val df = AsOfJoin.asof(errors, r, errors("user_id"), r("s_user"), errors("ts"), r("s_ts"))
+      val p = df.queryExecution.executedPlan.toString
+      // ONE exchange (the delta/errors side); the standing side reads
+      // its bucketed layout directly — the property no union plan has
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+      // and the result is still correct
+      val got = df.collect().map(row => row.getLong(0) -> Option(row.getTimestamp(4))).toMap
+      assert(got == viaWindow)
+    } finally spark.sql("DROP TABLE IF EXISTS asof_signups_spec")
+  }
+
   test("left rows with keys absent from the right side survive with nulls") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
