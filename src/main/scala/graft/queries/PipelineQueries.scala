@@ -643,7 +643,26 @@ object PipelineQueries {
       |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** p11: export manifest — the per-shard (row count, order-independent
+    * XOR-of-row-md5 fingerprint) relation a training-set delivery
+    * persists next to its data files so any consumer can re-derive and
+    * compare without trusting the producer (`operators.Export` writes
+    * it; ExportSpec proves a written export audits clean and a
+    * tampered file is caught). Deterministic at any parallelism:
+    * engine-portable md5 row hashes, commutative XOR fold. */
+  private val p11: Fn = (s, d) =>
+    graft.operators.Export.manifest(docs(s, d), "doc_id")
+  private val p11Sql = {
+    val shard = mdBucketSql("doc_id", "shuffle:", 8)
+    s"""SELECT shard, count(*) AS n_rows, bit_xor(fp) AS fp FROM (
+       |  SELECT $shard AS shard,
+       |         CAST(concat('0x', substring(md5(concat('manifest:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS fp
+       |  FROM documents) t
+       |GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p11_export_manifest", p11, Some(p11Sql)),
     Q("p10_incremental_agg", p10, Some(p10Sql)),
     Q("p09_epoch_upsample", p09, Some(p09Sql)),
     Q("p08_chunking", p08, Some(p08Sql)),

@@ -369,7 +369,41 @@ object TextQueries {
       |HAVING count(*) > (SELECT count(*) // 200 FROM tok)
       |ORDER BY n DESC, token""".stripMargin
 
+  /** t14: unigram log-probability scoring — the shape of perplexity
+    * filtering (score docs by how typical their tokens are under the
+    * corpus's own unigram model; extreme scores = gibberish or
+    * degenerate repetition). Two word-count-shaped shuffles (corpus
+    * frequencies, per-doc regroup) + one frequency join the optimizer
+    * is free to broadcast when the vocabulary is small. Parity: each
+    * token's ln(count/total) is computed from identical exact integers
+    * in both engines, truncated to 1e-9 fixed point BEFORE the per-doc
+    * sum (t04/s07 ln-precedent), so summation order cannot move the
+    * hash. */
+  private val t14: Fn = (s, d) => {
+    val tok = docs(s, d).select(col("doc_id"), explode(toks).as("token"))
+    val total = tok.count()
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val lpFp = (log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e9).cast(LongType)
+    tok.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(lpFp).as("lp_fp"))
+      .withColumn("avg_logp",
+        round(col("lp_fp").cast(DoubleType) / 1e9 / col("n_tokens").cast(DoubleType), 4))
+      .select("doc_id", "n_tokens", "avg_logp")
+      .orderBy("doc_id")
+  }
+  private val t14Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+      |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(CAST(sum(CAST(trunc(ln(CAST(cnt AS DOUBLE) / total) * 1e9) AS BIGINT)) AS DOUBLE)
+      |             / 1e9 / count(*), 4) AS avg_logp
+      |FROM tok JOIN freq USING (token), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t14_unigram_logprob", t14, Some(t14Sql)),
     Q("t13_heavy_hitters", t13, Some(t13Sql)),
     Q("t12_pii_redaction", t12, Some(t12Sql)),
     Q("t11_boilerplate", t11, Some(t11Sql)),
