@@ -94,7 +94,7 @@ private class StudiesTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"studies($path)"
   override def schema(): StructType = StudiesDataSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StudiesScanBuilder(path)
 }
@@ -137,6 +137,44 @@ private class StudiesScan(path: String, required: StructType, filters: Array[Fil
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StudiesReaderFactory(required.fieldNames, filters)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StudiesMicroBatchStream(path, required.fieldNames, filters)
+}
+
+/** Streaming form of the paged source: the OFFSET is the page count of
+  * the resolved token chain, so each micro-batch is "the pages that
+  * became reachable since the last trigger". A page whose
+  * `nextPageToken` names a not-yet-present file simply ends the chain
+  * until the file lands — exactly the live-feed behavior of a paginated
+  * REST extract where tokens are known before pages are fetched.
+  * Offsets are durable (plain page-count JSON in the checkpoint), so a
+  * restarted query resumes after the last committed page and the
+  * exactly-once file sink contract holds end-to-end. Pushdown/pruning
+  * apply per micro-batch through the same reader as the batch scan. */
+private class StudiesMicroBatchStream(path: String, columns: Array[String], filters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class PageOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset =
+    PageOffset(StudiesDataSource.resolvePages(path).size)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[PageOffset].n, end.asInstanceOf[PageOffset].n)
+    StudiesDataSource.resolvePages(path).slice(s, e).map(StudiesPartition.apply).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StudiesReaderFactory(columns, filters)
 }
 
 private case class StudiesPartition(file: String) extends InputPartition

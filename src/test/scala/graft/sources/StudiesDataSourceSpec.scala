@@ -42,4 +42,27 @@ class StudiesDataSourceSpec extends AnyFunSuite {
     assert(byId("NCT00000002") == "N/A") // bare YYYY
     assert(byId("NCT00000003") == "2013") // YYYY-MM
   }
+
+  test("micro-batch stream: pages arrive as offsets; late pages extend the chain") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("paged_stream")
+    def cp(name: String): Unit =
+      Files.copy(Paths.get("/root/repo/fixtures/pages", name), dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    cp("page_1.json"); cp("page_2.json")
+    // page_2 names page_3 as its token, but the file has NOT landed:
+    // the chain ends there until it does (live-feed semantics)
+    val q = spark.readStream.format("graft.sources.StudiesDataSource")
+      .option("path", dir.toString).load()
+      .writeStream.format("memory").queryName("paged_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paged_out").count() == 12, "pages 1+2 only")
+      cp("page_3.json")
+      q.processAllAvailable()
+      val out = spark.table("paged_out")
+      assert(out.count() == 14, "page 3 appended once it landed")
+      assert(out.select("nct_id").distinct().count() == 14, "no page replayed")
+    } finally q.stop()
+  }
 }
