@@ -213,6 +213,29 @@ object CoverageQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** r52: HLL sketches as STORED, RE-AGGREGATABLE columns — the pattern
+    * behind incremental distinct counts at warehouse scale: persist one
+    * binary sketch per partition-of-time-or-source, then answer ANY
+    * roll-up later by `hll_union_agg` over the stored sketches, never
+    * re-scanning the raw data (p10's incremental-maintenance story, for
+    * a non-algebraic measure). Output: per-source estimates plus the
+    * union-of-sketches estimate — computed FROM the sketch column, the
+    * raw table untouched after the first aggregation. No oracle (sketch
+    * binaries are engine-specific); CoverageSpec bounds every estimate
+    * against exact distinct counts. */
+  private val r52: Fn = (s, d) => {
+    val sketches = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"), count(lit(1)).as("n_docs"))
+    val perSource = sketches.select(col("source"),
+      expr("hll_sketch_estimate(sk)").as("approx_distinct"), col("n_docs"))
+    val total = sketches.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
+      sum(col("n_docs")).as("n_docs"))
+      .select(lit("__union__").as("source"), col("approx_distinct"), col("n_docs"))
+    perSource.unionByName(total).orderBy("source")
+  }
+
   /** Approximate percentiles — the mergeable-sketch path for quantiles
     * at scale. Exact `percentile` (r26) is a sort-based aggregate that
     * materializes every value per group; `approx_percentile` keeps a
@@ -417,6 +440,7 @@ object CoverageQueries {
     Q("st2_interval_join", st2, Some(st2Sql)),
     Q("m01_multimodal_meta", m01, Some(m01Sql)),
     Q("r28_approx_distinct", r28, None),
+    Q("r52_hll_sketch_columns", r52, None),
     Q("r47_approx_percentiles", r47, None),
     Q("m02_decode_features", m02, None),
     Q("m03_frame_sample", m03, Some(m03Sql)))

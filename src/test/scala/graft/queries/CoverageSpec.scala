@@ -69,4 +69,20 @@ class CoverageSpec extends AnyFunSuite {
     val viaIslands = graft.SparkEntry.queries("q23_sessionization")(spark, sf).count()
     assert(viaWindow == viaIslands)
   }
+
+  test("stored HLL sketch columns: per-source and union estimates within 5%") {
+    val out = graft.SparkEntry.queries("r52_hll_sketch_columns")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTotal = docs.select(countDistinct(col("doc_id"))).head.getLong(0)
+    exact.foreach { case (src, n) =>
+      assert(math.abs(out(src) - n).toDouble / n < 0.05, s"$src: ${out(src)} vs $n")
+    }
+    // the union answer comes from MERGING the stored sketches, never
+    // from re-scanning raw rows — and must still bound the true total
+    assert(math.abs(out("__union__") - exactTotal).toDouble / exactTotal < 0.05,
+      s"union: ${out("__union__")} vs $exactTotal")
+  }
 }
