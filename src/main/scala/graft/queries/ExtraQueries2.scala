@@ -411,7 +411,49 @@ object ExtraQueries2 {
       |       key, n, share_ppm, skew_ratio
       |FROM scored QUALIFY rk <= 20 ORDER BY rk""".stripMargin
 
+  /** u05: cross-table referential integrity — the multimodal-corpus
+    * sanity gate: every document must have exactly one embedding and
+    * vice versa, and every embedding must carry the expected dimension.
+    * Anti joins both directions (shuffle-keyed on the id; broadcastable
+    * when one side is a small delta) + one dimension scan. One verdict
+    * row per rule, same contract as u03. */
+  private val u05: Fn = (s, d) => {
+    val dd = Tables.documents(s, d).select(col("doc_id"))
+    val ee = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val docsNoEmb = dd.join(ee, col("doc_id") === col("vec_id"), "left_anti").count()
+    val embNoDoc = ee.join(dd, col("vec_id") === col("doc_id"), "left_anti").count()
+    val badDim = ee.filter(size(col("embedding")) =!= 64).count()
+    val dupEmb = ee.groupBy("vec_id").agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    import s.implicits._
+    Seq(
+      ("doc_has_embedding", docsNoEmb),
+      ("embedding_dim_64", badDim),
+      ("embedding_has_doc", embNoDoc),
+      ("embedding_unique", dupEmb))
+      .toDF("rule", "n_violations")
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+  private val u05Sql =
+    """SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+      |  SELECT 'doc_has_embedding' AS rule,
+      |         (SELECT count(*) FROM documents d
+      |          WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n_violations
+      |  UNION ALL
+      |  SELECT 'embedding_dim_64',
+      |         (SELECT count(*) FROM embeddings WHERE len(embedding) <> 64)
+      |  UNION ALL
+      |  SELECT 'embedding_has_doc',
+      |         (SELECT count(*) FROM embeddings e
+      |          WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+      |  UNION ALL
+      |  SELECT 'embedding_unique',
+      |         (SELECT count(*) FROM (SELECT vec_id FROM embeddings GROUP BY vec_id HAVING count(*) > 1) t)
+      |) v
+      |ORDER BY rule""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("u05_referential_check", u05, (Some(u05Sql))),
     Q("r50_hof_array_fns", r50, Some(r50Sql)),
     Q("u03_quality_gate", u03, Some(u03Sql)),
     Q("u04_skew_report", u04, Some(u04Sql)),

@@ -661,7 +661,35 @@ object PipelineQueries {
        |GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** p12: per-source document cap — the anti-dominance step of corpus
+    * mixing (no single domain/source may contribute more than N docs):
+    * rank docs within each source by the deterministic md5 shuffle key
+    * (so the kept subset is a stable uniform sample, not
+    * arrival-order-biased) and keep the first N. The row_number filter
+    * is rewritten to the native bounded-heap TopKPerGroup operator —
+    * the shuffle carries at most N docs per source per map partition
+    * instead of the corpus. */
+  private val p12: Fn = (s, d) => {
+    val capN = 15
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(graft.functions.DetHash.shuffleKey(col("doc_id")), col("doc_id"))
+    docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= capN)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+  private val p12Sql =
+    """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(concat('shuffle:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p12_per_source_cap", p12, Some(p12Sql)),
     Q("p11_export_manifest", p11, Some(p11Sql)),
     Q("p10_incremental_agg", p10, Some(p10Sql)),
     Q("p09_epoch_upsample", p09, Some(p09Sql)),

@@ -141,6 +141,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("ANN top-k selection also goes through the native operator") {
     assert(planOf("s01_ann_bruteforce").contains("TopKPerGroup"))
   }
+  test("p12: per-source cap plans the native bounded-heap operator") {
+    val p = planOf("p12_per_source_cap")
+    assert(p.contains("TopKPerGroup"), "native operator expected")
+    assert(!p.contains("CartesianProduct"))
+  }
   test("r44: pure band join plans as a bucket equi-join, never a nested loop") {
     val p = planOf("r44_band_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
