@@ -465,7 +465,81 @@ object DedupQueries {
       |       array_to_string(list_sort(list(id)), ',') AS members
       |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** d10: span-level exact-substring dedup — the sequence-level variant
+    * of dedup (d01/d03 are document-level): find every MAXIMAL run of
+    * tokens covered by an 8-token shingle that also occurs in another
+    * document. Reference point: suffix-array substring dedup
+    * ("Deduplicating Training Data Makes Language Models Better"); the
+    * shuffle-friendly equivalent is positional shingles + a
+    * gaps-and-islands merge, which needs no global suffix structure:
+    *   1. one row per (doc, position, shingle-hash) — linear in corpus
+    *      tokens, the inherent cost of substring-level dedup;
+    *   2. duplicated shingle = distinct-doc-frequency ≥ 2 (single
+    *      two-phase distinct agg, map-side partial);
+    *   3. semi-join positions to duplicated shingles (AQE broadcasts
+    *      the duplicated set when small; falls back to a keyed shuffle
+    *      join — never doc×doc, so no pair explosion);
+    *   4. per-doc window merges overlapping/adjacent covered intervals
+    *      (new island iff the gap leaves a token uncovered: p−prev > k).
+    * Output: (doc_id, span_start, span_end, span_tokens), 1-based
+    * inclusive token positions. */
+  private val d10: Fn = (s, d) => duplicateSpans(docs(s, d), 8)
+
+  /** The d10 engine over any (doc_id, text) frame; k = shingle width. */
+  private[queries] def duplicateSpans(input: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val positions = input
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => md5(array_join(slice(col("w"), i, lit(k)), " ")))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+    val dupShingles = positions.groupBy(col("sh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("sh")
+    positions.join(dupShingles, "sh")
+      .select(col("doc_id"), col("p"))
+      .withColumn("newgrp",
+        when(col("p") - lag("p", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("newgrp").over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (k - 1)).as("e"))
+      .select(col("doc_id"),
+        col("s").cast(LongType).as("span_start"),
+        col("e").cast(LongType).as("span_end"),
+        (col("e") - col("s") + 1).cast(LongType).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+  private val d10Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, i AS p,
+      |         md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |       unnest(generate_series(1, len(w) - 7)) AS g(i)
+      |  WHERE len(w) >= 8
+      |), dup AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+      |), covered AS (
+      |  SELECT s.doc_id, s.p,
+      |         CASE WHEN s.p - lag(s.p) OVER (PARTITION BY s.doc_id ORDER BY s.p) <= 8
+      |              THEN 0 ELSE 1 END AS newgrp
+      |  FROM sh s JOIN dup USING (sh)
+      |), isl AS (
+      |  SELECT doc_id, p,
+      |         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |  FROM covered
+      |)
+      |SELECT doc_id,
+      |       CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_tokens
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("d10_duplicate_spans", d10, Some(d10Sql)),
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_bow_dedup", d02, Some(d02Sql)),
     Q("d03_ngram_jaccard", d03, Some(d03Sql)),

@@ -231,4 +231,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"pq recall $recall below floor (measured 0.84)")
     info(s"pq recall = $recall")
   }
+
+  test("d10 spans are well-formed: ≥8 tokens, sorted, non-overlapping, maximal") {
+    val byDoc = run("d10_duplicate_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { spans =>
+      spans.foreach { case (_, s, e, n) =>
+        assert(n == e - s + 1 && n >= 8, s"bad span ($s,$e,$n)")
+      }
+      // non-overlapping AND maximal: merged islands must be separated by
+      // more than a shingle width, else they'd have been one span
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 - (e1 - 7) > 8, s"spans not maximal: end=$e1 next=$s2")
+        case _ =>
+      }
+    }
+  }
+
+  test("d10 engine: exact expected spans on a constructed corpus") {
+    import spark.implicits._
+    // tokens a1..a30 are unique filler; S0..S9 is a shared 10-token run
+    def filler(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val shared = (0 until 10).map("S" + _).mkString(" ")
+    val corpus = Seq(
+      // doc 1: shared run at tokens 6..15, unique elsewhere
+      (1L, filler("a", 5) + " " + shared + " " + filler("b", 5)),
+      // doc 2: same run at tokens 1..10
+      (2L, shared + " " + filler("c", 10)),
+      // doc 3: the run TWICE with a 1-token gap between -> tokens 1..10
+      //        and 12..21; gap token at 11 is uncovered, but the island
+      //        merge joins them anyway iff p-prev<=k — here the covered
+      //        shingle starts are 1..3 and 12..14, 12-3=9>8 -> two spans
+      (3L, shared + " gap " + shared),
+      // doc 4: entirely unique -> no spans
+      (4L, filler("z", 20))).toDF("doc_id", "text")
+    val got = DedupQueries.duplicateSpans(corpus, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (1L, 6L, 15L, 10L),
+      (2L, 1L, 10L, 10L),
+      (3L, 1L, 10L, 10L), (3L, 12L, 21L, 10L)), got.toString)
+  }
+
+  test("d10: a full-document copy yields one span covering every token") {
+    import spark.implicits._
+    val text = (1 to 40).map("w" + _).mkString(" ")
+    val corpus = Seq((10L, text), (11L, text)).toDF("doc_id", "text")
+    val got = DedupQueries.duplicateSpans(corpus, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 1L, 40L), (11L, 1L, 40L)))
+  }
 }
