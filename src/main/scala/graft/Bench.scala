@@ -34,7 +34,13 @@ object Bench {
     Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
       Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
       Tables.documents _, Tables.embeddings _).foreach(f => f(spark, sfDir))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q01_x,q02_y times just those queries
+    // (repeated REPS times each). Unset = the full driver contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+    val results = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

@@ -496,10 +496,14 @@ object DedupQueries {
         posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
           i => md5(array_join(slice(col("w"), i, lit(k)), " ")))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
-    val dupShingles = positions.groupBy(col("sh"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("sh")
-    positions.join(dupShingles, "sh")
+    // duplicated shingle = appears in ≥2 distinct docs ⟺ min(doc)≠max(doc)
+    // over the shingle partition: one window pass on the single tokenize
+    // scan instead of a groupBy + self-join that would tokenize twice
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    positions
+      .withColumn("dmin", min(col("doc_id")).over(wSh))
+      .withColumn("dmax", max(col("doc_id")).over(wSh))
+      .filter(col("dmin") =!= col("dmax"))
       .select(col("doc_id"), col("p"))
       .withColumn("newgrp",
         when(col("p") - lag("p", 1).over(w) <= k, 0).otherwise(1))
