@@ -452,7 +452,78 @@ object ExtraQueries2 {
       |) v
       |ORDER BY rule""".stripMargin
 
+  /** r53: ordered-sequence funnel — did each user view, THEN click after
+    * that view, THEN purchase after that click (the MATCH_RECOGNIZE /
+    * funnel-analysis shape). Stage reachability is a chain of running-max
+    * flags over ONE (user, ts, event_id) window ordering: s1 = seen a
+    * view; s2 = seen a click while s1 held; s3 = seen a purchase while s2
+    * held. The three Window projections share the same partitioning and
+    * sort, so Spark plans one exchange + one sort with stacked Window
+    * nodes, and the per-user rollup reuses that partitioning — single
+    * shuffle end to end. Ties are impossible in the sort (event_id is
+    * unique), so ROWS framing is deterministic and engine-portable. */
+  private val r53: Fn = (s, d) => {
+    def w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s1",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      .withColumn("s2",
+        max(when(col("event_type") === "click" && col("s1") === 1, 1).otherwise(0)).over(w))
+      .withColumn("s3",
+        max(when(col("event_type") === "purchase" && col("s2") === 1, 1).otherwise(0)).over(w))
+    val perUser = staged.groupBy("user_id")
+      .agg(max("s1").as("r1"), max("s2").as("r2"), max("s3").as("r3"))
+    val tot = perUser.agg(
+      sum("r1").cast(LongType).as("u1"),
+      sum("r2").cast(LongType).as("u2"),
+      sum("r3").cast(LongType).as("u3"))
+    tot.selectExpr(
+      """stack(3,
+        |  '1_view', u1, CAST(1.0 AS DOUBLE),
+        |  '2_click_after_view', u2,
+        |    CASE WHEN u1 = 0 THEN CAST(NULL AS DOUBLE)
+        |         ELSE round(CAST(u2 AS DOUBLE) / u1, 6) END,
+        |  '3_purchase_after_click', u3,
+        |    CASE WHEN u2 = 0 THEN CAST(NULL AS DOUBLE)
+        |         ELSE round(CAST(u3 AS DOUBLE) / u2, 6) END
+        |) AS (stage, n_users, conv_from_prev)""".stripMargin)
+      .orderBy("stage")
+  }
+  private val r53Sql =
+    """WITH e1 AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+      |  FROM events),
+      |e2 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'click' AND s1 = 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+      |  FROM e1),
+      |e3 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'purchase' AND s2 = 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3
+      |  FROM e2),
+      |u AS (SELECT user_id, max(s1) AS r1, max(s2) AS r2, max(s3) AS r3
+      |      FROM e3 GROUP BY user_id),
+      |tot AS (SELECT CAST(sum(r1) AS BIGINT) AS u1, CAST(sum(r2) AS BIGINT) AS u2,
+      |               CAST(sum(r3) AS BIGINT) AS u3 FROM u)
+      |SELECT stage, n_users, conv_from_prev FROM (
+      |  SELECT '1_view' AS stage, u1 AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM tot
+      |  UNION ALL
+      |  SELECT '2_click_after_view', u2,
+      |         CASE WHEN u1 = 0 THEN NULL ELSE round(CAST(u2 AS DOUBLE) / u1, 6) END FROM tot
+      |  UNION ALL
+      |  SELECT '3_purchase_after_click', u3,
+      |         CASE WHEN u2 = 0 THEN NULL ELSE round(CAST(u3 AS DOUBLE) / u2, 6) END FROM tot) v
+      |ORDER BY stage""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r53_funnel", r53, Some(r53Sql)),
     Q("u05_referential_check", u05, (Some(u05Sql))),
     Q("r50_hof_array_fns", r50, Some(r50Sql)),
     Q("u03_quality_gate", u03, Some(u03Sql)),

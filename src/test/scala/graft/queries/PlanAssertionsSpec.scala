@@ -146,6 +146,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TopKPerGroup"), "native operator expected")
     assert(!p.contains("CartesianProduct"))
   }
+  test("r53: funnel stages stack on ONE user shuffle (no per-stage exchange)") {
+    val p = planOf("r53_funnel")
+    // exactly one hash exchange on user_id feeds all three Window nodes
+    // and the per-user rollup; the only other exchange is the one-row
+    // global total
+    assert(p.sliding("hashpartitioning(user_id".length).count(
+      _ == "hashpartitioning(user_id") == 1, p.take(600))
+    assert(p.sliding(") Window".length).count(_ == ") Window") == 3)
+  }
   test("r44: pure band join plans as a bucket equi-join, never a nested loop") {
     val p = planOf("r44_band_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
