@@ -371,7 +371,47 @@ object SimilarityQueries {
        |       doc_id, rrf
        |FROM fused QUALIFY rk <= $K ORDER BY q_id, rk""".stripMargin
 
+  /** s08: hard-negative mining — the training-data op behind contrastive
+    * embedding training: for each query vector, the K most-similar
+    * vectors that are REAL negatives (different label) and not
+    * near-duplicates (sim below the dup ceiling — a near-dup with a
+    * different label is more likely a labeling error than a useful
+    * negative). Same scale shape as s01: broadcast query set, one corpus
+    * scan, per-query top-k through the native bounded-heap operator; the
+    * label/dup predicates prune BEFORE the rank so the heap never holds
+    * excluded rows. */
+  private val s08: Fn = (s, d) => {
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val scored = emb(s, d).join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+      .filter(col("sim") < 0.98)
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("sim"))
+      .orderBy("q_id", "rk")
+  }
+  private val s08Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id AND e.label <> q.q_label),
+       |ranked AS (
+       |  SELECT q_id, vec_id, label, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored WHERE sim < 0.98)
+       |SELECT q_id, rk, vec_id, label, sim FROM ranked WHERE rk <= $K
+       |ORDER BY q_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s08_hard_negatives", s08, Some(s08Sql)),
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),
     Q("s06_ann_pq", s06, None),
     Q("s01_ann_bruteforce", s01, Some(s01Sql)),

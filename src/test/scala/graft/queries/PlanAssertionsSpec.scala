@@ -141,6 +141,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("ANN top-k selection also goes through the native operator") {
     assert(planOf("s01_ann_bruteforce").contains("TopKPerGroup"))
   }
+  test("s08: hard-negative mining broadcasts queries, ranks natively") {
+    val p = planOf("s08_hard_negatives")
+    assert(p.contains("TopKPerGroup"), "native operator expected")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
   test("p12: per-source cap plans the native bounded-heap operator") {
     val p = planOf("p12_per_source_cap")
     assert(p.contains("TopKPerGroup"), "native operator expected")
