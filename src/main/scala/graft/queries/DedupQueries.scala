@@ -328,7 +328,19 @@ object DedupQueries {
     * 4dp-rounded cosine + seed tiebreak, so the whole operator is
     * engine-portable and fully ORACLED (d06 established round-4 cosine
     * parity); DedupSimilaritySpec measures its recall against the exact
-    * unblocked all-pairs ground truth. */
+    * unblocked all-pairs ground truth.
+    *
+    * Plan shape (Faiss-style IVF posting lists): vectors ride through the
+    * ONE cell shuffle and cosine is computed inside the cell join, so the
+    * dedup of multi-probe double-matches runs on the ~output-size survivor
+    * set (sim >= threshold) instead of the full candidate set — no
+    * million-row DISTINCT, no separate vector-fetch joins. With only C
+    * cell keys the join would occupy <= C reducers, so the left side is
+    * salted S ways (deterministic hash) and the right side replicated:
+    * every within-cell pair still meets exactly once, on (cell, salt),
+    * and pair generation + scoring spreads across C*S cores. Replication
+    * multiplies the small side's shuffle by S — at corpus scale keep
+    * S * |postings| * dim * 4B per executor in mind (S=8 here). */
   private val d09: Fn = (s, d) => {
     val e = Tables.embeddings(s, d)
     val seeds = e.orderBy("vec_id").limit(8)
@@ -338,21 +350,18 @@ object DedupQueries {
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
     val assign = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= 3)
-      .select(col("vec_id"), col("seed_id").as("cell"))
-    // candidate generation carries ONLY ids (no 64-float payload through
-    // the cell shuffle); dedup multi-probe double-matches BEFORE the
-    // cosine so each unique pair is scored once, then fetch vectors by
-    // key (broadcastable here; shuffle-keyed joins at corpus scale)
-    val a = assign.select(col("cell"), col("vec_id").as("a_id"))
-    val b = assign.select(col("cell"), col("vec_id").as("b_id"))
-    val cand = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val va = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val vb = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    val S = 8
+    val a = assign.select(col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(S)).as("salt"),
+      col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = assign.select(col("cell"),
+      explode(array((0 until S).map(lit): _*)).as("salt"),
+      col("vec_id").as("b_id"), col("embedding").as("vb"))
+    a.join(b, Seq("cell", "salt")).filter(col("a_id") < col("b_id"))
       .withColumn("sim", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= 0.4)
-      .select("a_id", "b_id", "sim")
+      .select("a_id", "b_id", "sim").distinct()
       .orderBy("a_id", "b_id")
   }
   private val d09Sql =
