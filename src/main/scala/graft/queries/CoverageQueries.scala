@@ -253,14 +253,34 @@ object CoverageQueries {
         approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
       .orderBy("l_returnflag")
 
-  /** Decoded multimodal features (rows-only: stub decode is
-    * engine-internal; CoverageSpec pins exact deterministic values). */
+  /** Decoded multimodal features. The decode is the documented stub
+    * (16-bucket byte histogram), which is exactly what makes this fully
+    * ORACLED: the oracle recomputes the stub's bucket-0 frequency
+    * relationally (ascii%16 over the ASCII fixture text — the same
+    * independence m04's oracle uses), so the whole mapPartitions decode
+    * path is hash-compared, not just spec-pinned. f0 stays a raw FLOAT:
+    * small-int ratios round identically to float32 whether divided in
+    * f32 (Spark stub) or f64-then-cast (DuckDB), so the compare is
+    * bit-exact with no rounding step. */
   private val m02: Fn = (s, d) =>
     graft.multimodal.Multimodal.decodeFeatures(
       graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
       .select(col("doc_id"), col("mime"), col("n_frames"),
-        round(element_at(col("features"), 1), 6).as("f0"))
+        element_at(col("features"), 1).as("f0"))
       .orderBy("doc_id")
+  private val m02Sql =
+    """WITH f AS (
+      |  SELECT doc_id, source, length(text) AS len,
+      |         length(list_filter(split(text, ''), c -> ascii(c) % 16 = 0)) AS cnt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN source = 'src0' THEN 'image/png'
+      |       WHEN source = 'src1' THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS mime,
+      |  CAST(CASE WHEN source NOT IN ('src0', 'src1')
+      |            THEN greatest(1, len // 64) ELSE 1 END AS INTEGER) AS n_frames,
+      |  CAST(cnt / (CASE WHEN len = 0 THEN 1 ELSE len END) AS FLOAT) AS f0
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** PURE band join — no equi key at all, the shape Spark can only plan
     * as a nested loop (O(n·m)). Scale path: bucketize the time axis into
@@ -442,6 +462,6 @@ object CoverageQueries {
     Q("r28_approx_distinct", r28, None),
     Q("r52_hll_sketch_columns", r52, None),
     Q("r47_approx_percentiles", r47, None),
-    Q("m02_decode_features", m02, None),
+    Q("m02_decode_features", m02, Some(m02Sql)),
     Q("m03_frame_sample", m03, Some(m03Sql)))
 }

@@ -87,8 +87,12 @@ object SimilarityQueries {
   /** LSH ANN: a point is a candidate for a query iff they collide in ANY
     * of the L tables; candidates are exact-scored and top-k ranked.
     * At 100 TB the (table, sig) pair is the shuffle/bucketing key; the
-    * scan never computes full-corpus distances. Approximate: recall
-    * measured against s01 in DedupSimilaritySpec. */
+    * scan never computes full-corpus distances. Approximate by design,
+    * yet fully ORACLED: the seeded ±1 hyperplanes are plan literals, so
+    * the oracle SQL embeds the same constants (a VALUES relation) and
+    * recomputes the signatures — projections are sums of EXACT products
+    * (x·±1 is exact) accumulated in index order, hence bit-identical
+    * across engines. Recall floor vs s01 in DedupSimilaritySpec. */
   private val s02: Fn = (s, d) => {
     val base = emb(s, d).select(col("vec_id"), col("embedding"),
         posexplode(signatures(col("embedding"))).as(Seq("tbl", "sig")))
@@ -107,11 +111,17 @@ object SimilarityQueries {
 
   /** IVF ANN: cells = per-label centroids (k-means stand-in with
     * deterministic assignment); probe the 2 nearest cells per query.
-    * Centroid build: posexplode + avg per (label, pos) — one shuffle. */
+    * Centroid build: posexplode + exact fixed-point mean per (label,
+    * pos) — one shuffle. The fixed-point mean (s04's trick) makes the
+    * centroids order-independent and engine-portable, which is what
+    * lets this approximate operator be fully ORACLED: DuckDB rebuilds
+    * the identical cells, probes the same 2, ranks the same top-k. */
   private val s03: Fn = (s, d) => {
     val e = emb(s, d)
     val cells = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label", "pos")
+      .agg(((sum((col("x").cast(DoubleType) * lit(1e9)).cast(LongType)).cast(DoubleType) / lit(1e9))
+        / count(lit(1))).as("cx"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
       .select(col("label").as("cell"), transform(col("pairs"), p => p.getField("cx").cast(FloatType)).as("centroid"))
     val q = queriesDf(s, d)
@@ -129,6 +139,83 @@ object SimilarityQueries {
       .select("q_id", "rk", "vec_id", "sim")
       .orderBy("q_id", "rk")
   }
+
+  /** Oracle for s02: the ±1 hyperplanes ride as a VALUES relation so
+    * DuckDB recomputes the identical signatures (exact products summed
+    * in index order), then the same candidate join / exact re-score /
+    * top-k window. Generated, not hand-written — the constants come from
+    * the same [[planes]] call the Spark plan uses. */
+  private def s02Sql: String = {
+    val ps = planes()
+    val rows = for {
+      (table, t) <- ps.zipWithIndex
+      (p, i) <- table.zipWithIndex
+    } yield s"($t, $i, [${p.map(w => if (w > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+    s"""WITH planes(tbl, i, w) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |bsig AS (
+       |  SELECT e.vec_id, p.tbl,
+       |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) > 0
+       |                  THEN CAST(pow(2, p.i) AS BIGINT) ELSE 0 END) AS sig
+       |  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+       |qsig AS (
+       |  SELECT q.q_id, p.tbl,
+       |         sum(CASE WHEN list_dot_product(q.qv::DOUBLE[], p.w) > 0
+       |                  THEN CAST(pow(2, p.i) AS BIGINT) ELSE 0 END) AS sig
+       |  FROM q CROSS JOIN planes p GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qs.q_id, bs.vec_id
+       |  FROM bsig bs JOIN qsig qs ON bs.tbl = qs.tbl AND bs.sig = qs.sig
+       |  WHERE bs.vec_id <> qs.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN embeddings e ON e.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** Oracle for s03: rebuild the fixed-point per-label centroids, probe
+    * the 2 nearest by raw cosine (cell tiebreak), re-score candidates
+    * exactly, top-k window — every step engine-portable. */
+  private def s03Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |cmeans AS (
+       |  SELECT label, i AS pos,
+       |    CAST((CAST(sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |         / count(*) AS FLOAT) AS cx
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY label, i),
+       |cells AS (SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM cmeans GROUP BY label),
+       |probescore AS (
+       |  SELECT q.q_id, c.cell,
+       |    list_dot_product(q.qv::DOUBLE[], c.centroid::DOUBLE[]) /
+       |    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |         list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[])) AS csim
+       |  FROM q CROSS JOIN cells c),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS prk
+       |    FROM probescore) t
+       |  WHERE prk <= 2),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM probes p JOIN q ON q.q_id = p.q_id
+       |  JOIN embeddings e ON e.label = p.cell AND e.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
   /** Per-label centroids with order-independent exact accumulation:
     * each float is scaled to a 1e-9 fixed-point long (truncation toward
@@ -415,8 +502,8 @@ object SimilarityQueries {
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),
     Q("s06_ann_pq", s06, None),
     Q("s01_ann_bruteforce", s01, Some(s01Sql)),
-    Q("s02_ann_lsh", s02, None),
-    Q("s03_ann_ivf", s03, None),
+    Q("s02_ann_lsh", s02, Some(s02Sql)),
+    Q("s03_ann_ivf", s03, Some(s03Sql)),
     Q("s04_label_centroids", s04, Some(s04Sql)),
     Q("s05_ann_quantized", s05, None),
     Q("u02_kmeans_cells", (s, d) => graft.operators.KMeans.cells(emb(s, d), 8, 3), None))
