@@ -262,7 +262,11 @@ object SimilarityQueries {
     * integer dot products; only the top [[RerankDepth]] candidates per
     * query are re-scored against the exact float vectors. Approximate:
     * recall vs s01 measured in DedupSimilaritySpec; quantization error
-    * bound (≤ amax/127 per element) proven there too. */
+    * bound (≤ amax/127 per element) proven there too. Fully ORACLED:
+    * every step is exact arithmetic (trunc-to-int8 quantization, integer
+    * dot products — sums of integers < 2^53 are exact in double too, so
+    * DuckDB's double list_dot_product reproduces the long sums bit-for-
+    * bit), deterministic tie-broken ranks, and the exact re-rank. */
   private val s05: Fn = (s, d) => {
     val base = quantized(emb(s, d))
       .select(col("vec_id"), col("qvec"), col("qnorm"))
@@ -290,6 +294,46 @@ object SimilarityQueries {
       .select("q_id", "rk", "vec_id", "sim")
       .orderBy("q_id", "rk")
   }
+
+  /** Oracle for s05: replay quantize → int8 scan → re-rank. The int8
+    * dots ride as double list_dot_product (exact for integer values);
+    * trunc-toward-zero casts match Spark's double→short semantics. */
+  private def s05Sql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id,
+       |         CASE WHEN amax = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+       |              ELSE list_transform(embedding::DOUBLE[],
+       |                     x -> CAST(CAST(trunc(x * 127.0 / amax) AS SMALLINT) AS DOUBLE)) END AS qvec
+       |  FROM qz),
+       |qn AS (SELECT vec_id, qvec, sqrt(list_dot_product(qvec, qvec)) AS qnorm FROM qv),
+       |qs AS (SELECT vec_id AS q_id, qvec AS q_qvec, qnorm AS q_qnorm FROM qn WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT b.vec_id, q.q_id,
+       |         CASE WHEN b.qnorm = 0 OR q.q_qnorm = 0 THEN 0.0
+       |              ELSE list_dot_product(b.qvec, q.q_qvec) / (b.qnorm * q.q_qnorm) END AS qsim
+       |  FROM qn b JOIN qs q ON b.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, vec_id) AS crk
+       |    FROM scored) t
+       |  WHERE crk <= $RerankDepth),
+       |exact AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_dot_product(qq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(qq.embedding::DOUBLE[], qq.embedding::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings qq ON qq.vec_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM exact)
+       |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
   /** s06: product-quantization ANN — the memory-scaling complement to
     * s05's int8 path: 64-d vectors become M=8 one-byte codes (16
@@ -505,6 +549,6 @@ object SimilarityQueries {
     Q("s02_ann_lsh", s02, Some(s02Sql)),
     Q("s03_ann_ivf", s03, Some(s03Sql)),
     Q("s04_label_centroids", s04, Some(s04Sql)),
-    Q("s05_ann_quantized", s05, None),
+    Q("s05_ann_quantized", s05, Some(s05Sql)),
     Q("u02_kmeans_cells", (s, d) => graft.operators.KMeans.cells(emb(s, d), 8, 3), None))
 }
