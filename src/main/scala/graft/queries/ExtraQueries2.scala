@@ -452,6 +452,34 @@ object ExtraQueries2 {
       |) v
       |ORDER BY rule""".stripMargin
 
+  /** u06: k-anonymity audit over quasi-identifiers — the privacy gate a
+    * corpus release runs before shipping: any combination of
+    * quasi-identifiers (here lang × source × length centile-bucket)
+    * shared by fewer than K=5 documents is a re-identification risk
+    * (Sweeney, IJUFKS'02 — k-anonymity). Output: every violating
+    * equivalence class with its size, so remediation (generalize a
+    * bucket, suppress a class) is actionable.
+    *
+    * Scale: one partial-agg'd groupBy on the QI tuple — count runs
+    * map-side, only (class, count) rows shuffle; no distinct-rewrite
+    * Expand, no join. The violating-class filter lands post-agg where
+    * cardinality is already the number of classes, not documents. */
+  private val u06: Fn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        (col("n_chars") / 100).cast(LongType).as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < 5)
+      .orderBy("lang", "source", "len_bucket")
+  private val u06Sql =
+    """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+      |       count(*) AS class_size
+      |FROM documents
+      |GROUP BY lang, source, len_bucket
+      |HAVING count(*) < 5
+      |ORDER BY lang, source, len_bucket""".stripMargin
+
   /** r53: ordered-sequence funnel — did each user view, THEN click after
     * that view, THEN purchase after that click (the MATCH_RECOGNIZE /
     * funnel-analysis shape). Stage reachability is a chain of running-max
@@ -525,6 +553,7 @@ object ExtraQueries2 {
   val all: Seq[Q] = Seq(
     Q("r53_funnel", r53, Some(r53Sql)),
     Q("u05_referential_check", u05, (Some(u05Sql))),
+    Q("u06_k_anonymity", u06, Some(u06Sql)),
     Q("r50_hof_array_fns", r50, Some(r50Sql)),
     Q("u03_quality_gate", u03, Some(u03Sql)),
     Q("u04_skew_report", u04, Some(u04Sql)),

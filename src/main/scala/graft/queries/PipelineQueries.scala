@@ -688,7 +688,43 @@ object PipelineQueries {
       |  FROM documents) t
       |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
 
+  // ------------------------------------------- p13 weighted priority sample
+
+  /** Weighted sampling without replacement — priority sampling
+    * (Duffield–Lund–Thorup, JACM'07): each document draws priority
+    * q = u / w with u uniform on (0,1] and w its weight (n_chars, a
+    * compute-proportional token proxy); the k smallest priorities form
+    * the sample. Inclusion probability is weight-proportional and the
+    * sample supports unbiased subset-sum estimation against the
+    * (k+1)-th priority as threshold — the sampler a mixture builder
+    * wants when heavy documents must be over-represented. u derives
+    * from the md5 bucket, so the draw is deterministic and
+    * rerun-stable; the priority is two exact double divisions on grid
+    * values — deliberately NOT the Efraimidis–Spirakis u^(1/w) key,
+    * whose pow/ln last-ulp behavior is libm-specific — so the oracle
+    * replays it bit-for-bit.
+    *
+    * Scale: the priority is map-side projection; the global k-smallest
+    * plans as TakeOrderedAndProject (per-partition heaps, no full sort,
+    * no single-partition window). */
+  private val p13: Fn = (s, d) =>
+    docs(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (((mdBucket(col("doc_id"), "wres:", 1000000) + 1).cast(DoubleType) / lit(1e6))
+          / col("n_chars").cast(DoubleType)).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(100)
+  private val p13Sql = {
+    val b = mdBucketSql("doc_id", "wres:", 1000000)
+    s"""SELECT doc_id, source, n_chars,
+       |       (CAST($b + 1 AS DOUBLE) / 1e6) / CAST(n_chars AS DOUBLE) AS priority
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p13_weighted_sample", p13, Some(p13Sql)),
     Q("p12_per_source_cap", p12, Some(p12Sql)),
     Q("p11_export_manifest", p11, Some(p11Sql)),
     Q("p10_incremental_agg", p10, Some(p10Sql)),

@@ -197,4 +197,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 4, // formatted mode lists nodes twice
       "the two windows must reuse a single hash exchange")
   }
+
+  test("p13: global k-smallest priorities plan as TakeOrderedAndProject") {
+    val p = planOf("p13_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample must use per-partition heaps, not a full sort")
+    assert(!p.contains("Window"), "no single-partition window allowed")
+  }
+
+  test("u06: k-anonymity audit is one partial-agg'd groupBy, no join") {
+    val p = planOf("u06_k_anonymity")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "class-size count must partial-aggregate map-side")
+    assert(!p.contains("Join"), "QI class audit needs no join")
+  }
 }
