@@ -550,5 +550,51 @@ object SimilarityQueries {
     Q("s03_ann_ivf", s03, Some(s03Sql)),
     Q("s04_label_centroids", s04, Some(s04Sql)),
     Q("s05_ann_quantized", s05, Some(s05Sql)),
-    Q("u02_kmeans_cells", (s, d) => graft.operators.KMeans.cells(emb(s, d), 8, 3), None))
+    Q("u02_kmeans_cells", (s, d) => graft.operators.KMeans.cells(emb(s, d), 8, 3), Some(u02Sql(8, 3))))
+
+  /** Oracle for u02: replay the ENTIRE iterative Lloyd training in SQL —
+    * seeds (k lowest vec_ids), then per round one argmin assignment and
+    * one fixed-point mean recompute, unrolled as generated CTEs. Two
+    * portability facts make the replay bit-exact: (a) the means are
+    * exact fixed-point sums (order-free) followed by the same two-step
+    * double division; (b) the squared-L2 argmin is a SEQUENTIAL
+    * left-fold in element order on both sides — `NearestCentroid`'s
+    * loop in Spark, `list_reduce` (sequential by definition — plain
+    * list_sum/SUM would be free to reorder partial sums) in DuckDB —
+    * so even the distances are identical doubles, and ties break to the
+    * lowest cell id in both. An iterative trainer hash-verified against
+    * an independent engine is the strongest determinism witness the
+    * codebook artifacts (s03/s06/d09 cells) can carry. */
+  private def u02Sql(k: Int, iters: Int): String = {
+    val dim = Dim
+    def sqdist(vec: String, cent: String) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |  i -> (CAST($vec[i] AS DOUBLE) - $cent[i]) * (CAST($vec[i] AS DOUBLE) - $cent[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    def assignCte(a: String, cells: String) =
+      s"""$a AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           ${sqdist("e.embedding", "c.c")}, c.cell) AS rk
+         |  FROM embeddings e CROSS JOIN $cells c) t WHERE rk = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"a$r", s"c${r - 1}")},
+         |m$r AS (
+         |  SELECT cell, i AS pos,
+         |    (CAST(sum(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+         |      / count(*) AS cx
+         |  FROM a$r, range(1, ${dim + 1}) t(i) GROUP BY cell, i),
+         |c$r AS (SELECT cell, list(cx ORDER BY pos) AS c FROM m$r GROUP BY cell)""".stripMargin
+    }
+    s"""WITH c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         embedding::DOUBLE[] AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k) s),
+       |${rounds.mkString(",\n")},
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT CAST(a.cell AS INTEGER) AS cell, count(*) AS n_vecs,
+       |       round(any_value(c.c[1]), 6) AS c0
+       |FROM afinal a JOIN c$iters c ON a.cell = c.cell
+       |GROUP BY a.cell ORDER BY cell""".stripMargin
+  }
 }
