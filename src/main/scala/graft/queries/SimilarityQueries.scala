@@ -346,8 +346,14 @@ object SimilarityQueries {
     * driver-side lookup tables, no giant CASE. Top candidates by ADC
     * then exact-cosine re-rank, like s05. Codebook training on the full
     * table here; at corpus scale train on a deterministic p02-style
-    * sample. No oracle (iterative training); recall floor vs exact s01
-    * is spec-pinned. */
+    * sample.
+    *
+    * Fully ORACLED, iterative training included (u02's Lloyd-replay
+    * pattern, here per subspace with `m` as a column — the SQL mirrors
+    * fitSubspaces' fused one-pass-per-round design). The per-(q,vec)
+    * ADC total is a fixed-point sum of the 8 per-subspace distances
+    * (s07's trick): a plain double SUM would let either engine reorder
+    * the adds and flip a candidate at the cutoff boundary. */
   private val s06: Fn = (s, d) => {
     import s.implicits._
     val M = 8; val sub = 8; val nCodes = 16
@@ -384,7 +390,8 @@ object SimilarityQueries {
       .select(col("q_id"), col("m"), col("code"), col("d2"))
     val adc = codes.join(broadcast(table), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id").agg(sum(col("d2")).as("adc"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum((col("d2") * lit(1e12)).cast(LongType)).as("adc"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val cand = adc.withColumn("crk", row_number().over(wq))
       .filter(col("crk") <= 4 * RerankDepth)
@@ -398,6 +405,81 @@ object SimilarityQueries {
       .filter(col("rk") <= K)
       .select("q_id", "rk", "vec_id", "sim")
       .orderBy("q_id", "rk")
+  }
+
+  /** Oracle for s06: full PQ replay — unit-normalize, per-subspace
+    * Lloyd rounds (u02's pattern with `m` as a column), encode, ADC,
+    * exact re-rank. Same portability facts as u02Sql (sequential
+    * list_reduce distances, fixed-point means) plus the fixed-point ADC
+    * total. */
+  private def s06Sql(m: Int, sub: Int, nCodes: Int, iters: Int): String = {
+    def sq(vec: String, cent: String) =
+      s"""list_reduce(list_transform(range(1, ${sub + 1}),
+         |  i -> ($vec[i] - $cent[i]) * ($vec[i] - $cent[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    def assignCte(a: String, books: String) =
+      s"""$a AS (SELECT vec_id, m, sv, code FROM (
+         |  SELECT s.vec_id, s.m, s.sv, b.code,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |           ${sq("s.sv", "b.c")}, b.code) AS rk
+         |  FROM subv s JOIN $books b ON s.m = b.m) t WHERE rk = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"a$r", s"b${r - 1}")},
+         |m$r AS (
+         |  SELECT m, code, i AS pos,
+         |    (CAST(sum(CAST(trunc(sv[i] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / count(*) AS cx
+         |  FROM a$r, range(1, ${sub + 1}) t(i) GROUP BY m, code, i),
+         |b$r AS (SELECT m, code, list(cx ORDER BY pos) AS c FROM m$r GROUP BY m, code)""".stripMargin
+    }
+    s"""WITH unit0 AS (
+       |  SELECT vec_id,
+       |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+       |                          (a, b) -> a + b)) AS nrm,
+       |         embedding::DOUBLE[] AS ed
+       |  FROM embeddings),
+       |unitv AS (
+       |  SELECT vec_id,
+       |         CASE WHEN nrm = 0 THEN ed ELSE list_transform(ed, x -> x / nrm) END AS v
+       |  FROM unit0),
+       |subv AS (
+       |  SELECT vec_id, ms.m,
+       |         list_transform(range(ms.m * $sub + 1, ms.m * $sub + ${sub + 1}), i -> v[i]) AS sv
+       |  FROM unitv CROSS JOIN (SELECT unnest(range($m)) AS m) ms),
+       |b0 AS (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS code,
+       |         sv AS c
+       |  FROM subv WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nCodes)),
+       |${rounds.mkString(",\n")},
+       |${assignCte("enc", s"b$iters")},
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM unitv WHERE vec_id < $NumQueries),
+       |adct AS (
+       |  SELECT q.q_id, b.m, b.code,
+       |         list_reduce(list_transform(range(1, ${sub + 1}),
+       |           i -> (q.qv[b.m * $sub + i] - b.c[i]) * (q.qv[b.m * $sub + i] - b.c[i])),
+       |           (acc, x) -> acc + x) AS d2
+       |  FROM qs q CROSS JOIN b$iters b),
+       |adc AS (
+       |  SELECT t.q_id, e.vec_id, sum(CAST(trunc(t.d2 * 1e12) AS BIGINT)) AS adc
+       |  FROM enc e JOIN adct t ON e.m = t.m AND e.code = t.code
+       |  WHERE e.vec_id <> t.q_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS crk
+       |    FROM adc) t
+       |  WHERE crk <= ${4 * RerankDepth}),
+       |exact AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_dot_product(qq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(qq.embedding::DOUBLE[], qq.embedding::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings qq ON qq.vec_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM exact)
+       |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
   }
 
   /** s07: hybrid retrieval — BM25 text ranking fused with the exact
@@ -544,7 +626,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     Q("s08_hard_negatives", s08, Some(s08Sql)),
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),
-    Q("s06_ann_pq", s06, None),
+    Q("s06_ann_pq", s06, Some(s06Sql(8, 8, 16, 2))),
     Q("s01_ann_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
     Q("s03_ann_ivf", s03, Some(s03Sql)),
