@@ -402,7 +402,115 @@ object TextQueries {
       |FROM tok JOIN freq USING (token), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------- t15 BPE merge mining (vocab induction)
+
+  /** BPE tokenizer-vocabulary induction — the merge-mining loop that
+    * turns a corpus into a subword vocabulary (Sennrich et al.,
+    * ACL'16), as a distributed iterative trainer in the u02/s06 mold:
+    * each round is one bigram-count aggregation over the distinct-word
+    * table (weighted by word frequency), one tiny driver decision (the
+    * best pair), and one map-only merge application; the corpus-sized
+    * work happens once up front when documents collapse to distinct
+    * words. Output: the merge table (round, lhs, rhs, pair_count) —
+    * the artifact a tokenizer ships.
+    *
+    * Portability (this trainer is fully ORACLED — generated CTEs replay
+    * every round):
+    *  - pair counts are exact integer sums; the best pair breaks ties
+    *    by (count desc, lhs, rhs) — total order in both engines;
+    *  - self-pairs (lhs == rhs) are excluded: for distinct-symbol pairs
+    *    exhaustive non-overlapping merging is CONFLUENT (occurrences
+    *    are disjoint; merging one cannot create or destroy another), so
+    *    any exhaustive strategy yields the same tokenization — a
+    *    self-pair run like "a a a a a" is NOT confluent (leftmost-greedy
+    *    and replace-scan bracket runs differently);
+    *  - merges apply as 4 fixed `replace` passes of ' l r '→' lr ' on
+    *    the padded char-sequence string; both engines resume scanning
+    *    after the replacement, and 4 passes reach the exhaustive
+    *    fixpoint for any alternation run the fixtures can hold
+    *    (boundary-space sharing halves the remaining occurrences per
+    *    pass). */
+  val BpeRounds = 6
+
+  /** The trainer body, factored so specs can drive a constructed corpus
+    * (a DataFrame with a `text` column). Stops early when no two-symbol
+    * pair with lhs != rhs remains — the SQL replay agrees because an
+    * empty best-pair relation empties every later round's CTE. */
+  private[queries] def bpeTrain(corpus: DataFrame, rounds: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val words = corpus
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = words.select(col("w"), col("cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val sp = split(trim(col("w")), " ")
+      val bigrams = when(size(col("sp")) < 2, array().cast("array<struct<l:string,r:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("sp")) - 1),
+          i => struct(element_at(col("sp"), i).as("l"), element_at(col("sp"), i + 1).as("r"))))
+      val top = cur.select(col("cnt"), sp.as("sp"))
+        .select(col("cnt"), explode(bigrams).as("p"))
+        .filter(col("p.l") =!= col("p.r"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(desc("pc"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val best = top.head
+        val (l, rr) = (best.getString(0), best.getString(1))
+        merges += ((r, l, rr, best.getLong(2)))
+        val applied = (1 to 4).foldLeft(col("w"))((c, _) =>
+          replace(c, lit(s" $l $rr "), lit(s" $l$rr ")))
+        cur = cur.select(applied.as("w"), col("cnt"))
+        r += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+      .select(col("round").cast(IntegerType).as("round"), col("lhs"), col("rhs"), col("pair_count"))
+      .orderBy("round")
+  }
+
+  private val t15: Fn = (s, d) => bpeTrain(docs(s, d).select(col("text")), BpeRounds)
+  private val t15Sql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
+         |         CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt,
+         |          unnest(list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i + 1])) AS pair
+         |        FROM (SELECT cnt, string_split(trim(w), ' ') AS sp FROM w${r - 1}) s0) s
+         |  WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, pc FROM p$r ORDER BY pc DESC, l, r LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(replace(replace(replace(s.w, b.n, b.rp), b.n, b.rp), b.n, b.rp), b.n, b.rp) AS w,
+         |         s.cnt
+         |  FROM w${r - 1} s CROSS JOIN
+         |       (SELECT ' ' || l || ' ' || r || ' ' AS n, ' ' || l || r || ' ' AS rp FROM b$r) b)""".stripMargin
+    }
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, l AS lhs, r AS rhs, pc AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w, cnt
+       |  FROM (SELECT word, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |        WHERE length(word) > 0 GROUP BY word) ww),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (
+       |$out) m ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("t15_bpe_merges", t15, Some(t15Sql)),
     Q("t14_unigram_logprob", t14, Some(t14Sql)),
     Q("t13_heavy_hitters", t13, Some(t13Sql)),
     Q("t12_pii_redaction", t12, Some(t12Sql)),
