@@ -106,4 +106,41 @@ object Layout {
       f -> dims.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
     }
   }
+
+  /** Small-file compaction plan: group part-files into rewrite tasks of
+    * ~`targetBytes` each — the table-maintenance pass that keeps a
+    * continuously-ingested table (streaming sinks, p07/p10 increments)
+    * scannable. A long-lived 100 TB table accretes millions of small
+    * files; scan cost is then dominated by per-file open/footer overhead
+    * and scheduling, not bytes, so compaction IS a scale operator.
+    *
+    * Deterministic first-fit-decreasing over (size desc, name) — a
+    * versionable plan, not a side effect: the caller rewrites each
+    * bin's files into one output (a per-bin `spark.read.parquet(bin: _*)
+    * .repartition(1).write` at this size class) and swaps directories
+    * atomically, mergeSink-style. Files already ≥ `targetBytes` stay
+    * solo bins (rewriting them would be pure write amplification — they
+    * are listed so the caller can skip them). Planning is metadata-only:
+    * no data is read. */
+  def compactionPlan(path: String, targetBytes: Long): Seq[(Int, Seq[String], Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    val files = walk(new java.io.File(path))
+      .map(f => (f.getAbsolutePath, f.length()))
+      .sortBy { case (name, size) => (-size, name) }
+    val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[String], Long)]()
+    files.foreach { case (name, size) =>
+      val fit = if (size >= targetBytes) -1
+                else bins.indexWhere { case (_, total) => total + size <= targetBytes }
+      if (fit >= 0) {
+        val (members, total) = bins(fit)
+        members += name
+        bins(fit) = (members, total + size)
+      } else bins += ((scala.collection.mutable.ArrayBuffer(name), size))
+    }
+    bins.zipWithIndex
+      .map { case ((members, total), i) => (i, members.toSeq, total) }.toSeq
+  }
 }

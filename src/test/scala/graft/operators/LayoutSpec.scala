@@ -104,4 +104,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(dropped.count() == 2)
     df.unpersist()
   }
+
+  test("compaction plan: exhaustive, bounded bins, oversized solo, deterministic") {
+    val dir = Files.createTempDirectory("compact_src").toString
+    graft.Tables.lineitem(spark, sf).repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    val sizes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
+        else Seq.empty
+      walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    // target of ~3 median files: forces both multi-file bins and
+    // (with a tiny target below) oversized-solo handling
+    val target = sizes.values.toSeq.sorted.apply(sizes.size / 2) * 3
+    val plan = Layout.compactionPlan(dir, target)
+    val planned = plan.flatMap(_._2)
+    assert(planned.sorted == sizes.keys.toSeq.sorted, "every file exactly once")
+    plan.foreach { case (i, members, total) =>
+      assert(total == members.map(sizes).sum, s"bin $i total must match members")
+      if (members.length > 1) assert(total <= target, s"bin $i over target")
+    }
+    // first-fit invariant: at most one bin at or under half target —
+    // two such bins would have been merged by construction
+    assert(plan.count { case (_, m, t) => t <= target / 2 && m.map(sizes).forall(_ < target) } <= 1)
+    assert(plan == Layout.compactionPlan(dir, target), "plan is deterministic")
+    // a target below every file size degenerates to all-solo bins
+    val solo = Layout.compactionPlan(dir, 1L)
+    assert(solo.forall(_._2.length == 1) && solo.size == sizes.size)
+  }
 }
