@@ -723,7 +723,64 @@ object PipelineQueries {
        |ORDER BY priority, doc_id LIMIT 100""".stripMargin
   }
 
+  // ---------------------------------------------- p14 curriculum binning
+
+  /** Curriculum schedule: assign every document to a quality quartile —
+    * the easy→hard ordering curriculum training consumes — WITHOUT any
+    * global sort or single-partition window (the ntile() temptation).
+    * Exact quartile cutoffs come from ONE tiny aggregation (exact
+    * interpolated percentile, r26's aggregate), ride back over the
+    * corpus as a broadcast one-row relation, and each document lands in
+    * its bin by three comparisons — map-side at any corpus size. Output:
+    * the (bin, shard) schedule with counts and score ranges, i.e. what
+    * a training loader consumes per epoch phase. Deterministic: scores
+    * are 6dp-rounded (t05's shared expression), cutoff interpolation is
+    * the same double arithmetic in both engines, shard is the md5
+    * assignment. */
+  private val p14: Fn = (s, d) => {
+    val scored = docs(s, d).select(
+      col("doc_id"),
+      graft.functions.DetHash.shardOf(col("doc_id")).as("shard"),
+      TextQueries.qualityScore.as("q"))
+    val cuts = scored.agg(
+      percentile(col("q"), lit(0.25)).as("c1"),
+      percentile(col("q"), lit(0.5)).as("c2"),
+      percentile(col("q"), lit(0.75)).as("c3"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        when(col("q") <= col("c1"), 0)
+          .when(col("q") <= col("c2"), 1)
+          .when(col("q") <= col("c3"), 2)
+          .otherwise(3))
+      .groupBy("bin", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("q")), 6).as("q_min"),
+        round(max(col("q")), 6).as("q_max"))
+      .select(col("bin").cast(IntegerType).as("bin"), col("shard"),
+        col("n_docs"), col("q_min"), col("q_max"))
+      .orderBy("bin", "shard")
+  }
+  private val p14Sql = {
+    val q = TextQueries.qualityScoreSql
+    val shard = mdBucketSql("doc_id", "shuffle:", 8)
+    s"""WITH scored AS (
+       |  SELECT doc_id, $shard AS shard,
+       |         $q AS q
+       |  FROM documents),
+       |cuts AS (
+       |  SELECT quantile_cont(q, 0.25) AS c1, quantile_cont(q, 0.5) AS c2,
+       |         quantile_cont(q, 0.75) AS c3
+       |  FROM scored)
+       |SELECT CAST(CASE WHEN q <= c1 THEN 0 WHEN q <= c2 THEN 1
+       |                 WHEN q <= c3 THEN 2 ELSE 3 END AS INTEGER) AS bin,
+       |       shard, count(*) AS n_docs,
+       |       round(min(q), 6) AS q_min, round(max(q), 6) AS q_max
+       |FROM scored CROSS JOIN cuts
+       |GROUP BY 1, 2 ORDER BY bin, shard""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p14_curriculum_bins", p14, Some(p14Sql)),
     Q("p13_weighted_sample", p13, Some(p13Sql)),
     Q("p12_per_source_cap", p12, Some(p12Sql)),
     Q("p11_export_manifest", p11, Some(p11Sql)),

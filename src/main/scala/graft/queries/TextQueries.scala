@@ -107,6 +107,27 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The combined 6dp quality score alone — shared with p14's
+    * curriculum binning. */
+  private[queries] def qualityScore: Column = {
+    val nTok = size(toks).cast(DoubleType)
+    val stopCount = size(filter(toks, t => t.isInCollection(stopwords))).cast(DoubleType)
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast(DoubleType)
+    val lenScore = least(col("n_chars").cast(DoubleType) / lit(1000.0), lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.5) * (stopCount / nTok)
+      - lit(0.25) * (punct / length(col("text")).cast(DoubleType)), 6)
+  }
+
+  /** The same score as DuckDB SQL text (interpolated into oracle SQL). */
+  private[queries] def qualityScoreSql: String = {
+    val set = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""round(0.5 * least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0)
+       |      + 0.5 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |      - 0.25 * (CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |                / CAST(length(text) AS DOUBLE)), 6)""".stripMargin
+  }
+
   /** Quality scoring: length / punctuation-ratio / stopword-ratio
     * heuristics combined into one score (identical double arithmetic on
     * both sides). */
@@ -122,7 +143,7 @@ object TextQueries {
       round(lenScore, 6).as("len_score"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(lit(0.5) * lenScore + lit(0.5) * stopRatio - lit(0.25) * punctRatio, 6).as("quality"))
+      qualityScore.as("quality"))
       .orderBy("doc_id")
   }
   private val t05Sql = {

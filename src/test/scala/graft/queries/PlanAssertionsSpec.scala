@@ -205,6 +205,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no single-partition window allowed")
   }
 
+  test("p14: curriculum cutoffs broadcast back; no global sort or window") {
+    val p = planOf("p14_curriculum_bins")
+    assert(!p.contains("Window"), "quartile binning must not use ntile()")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row cutoff relation must broadcast")
+  }
+
   test("u06: k-anonymity audit is one partial-agg'd groupBy, no join") {
     val p = planOf("u06_k_anonymity")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
