@@ -170,6 +170,34 @@ object CoverageQueries {
       | AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL '1 hour'
       |ORDER BY e.event_id, signup_ts""".stripMargin
 
+  /** Batch form of the LEFT OUTER stream-stream interval join (st3):
+    * errors keep a row even with no same-user signup in the preceding
+    * hour — the null-padded rows the streaming twin
+    * (`StreamingOps.intervalJoinOuter`) may only emit after the
+    * watermark closes their join window. This batch form is the oracled
+    * ground truth; StreamingSpec drives the twin through MemoryStream
+    * with a watermark-advancing sentinel and asserts set equality. */
+  private val st3: Fn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("error_ts"))
+    err.join(sgn, col("user_id") === col("s_user") &&
+        col("error_ts") >= col("signup_ts") &&
+        col("error_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("event_id", "user_id", "signup_ts", "error_ts")
+      .orderBy("event_id", "signup_ts")
+  }
+  private val st3Sql =
+    """SELECT e.event_id, e.user_id, s.ts AS signup_ts, e.ts AS error_ts
+      |FROM events e LEFT JOIN events s
+      |  ON e.user_id = s.user_id AND s.event_type = 'signup'
+      | AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL '1 hour'
+      |WHERE e.event_type = 'error'
+      |ORDER BY e.event_id, signup_ts NULLS FIRST""".stripMargin
+
   /** Multimodal metadata projection over binary payloads (decode runs in
     * Multimodal.decodeFeatures; metadata/pruning layer is plain SQL). */
   private val m01: Fn = (s, d) =>
@@ -458,6 +486,7 @@ object CoverageQueries {
     Q("r27_pivot", r27, Some(r27Sql)),
     Q("st1_session_window", st1, Some(st1Sql)),
     Q("st2_interval_join", st2, Some(st2Sql)),
+    Q("st3_interval_join_outer", st3, Some(st3Sql)),
     Q("m01_multimodal_meta", m01, Some(m01Sql)),
     Q("r28_approx_distinct", r28, None),
     Q("r52_hll_sketch_columns", r52, None),

@@ -70,6 +70,28 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("signup_ts"), col("error_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join (st3): errors WITHOUT a
+    * same-user signup in the preceding hour must still emit — with a
+    * NULL signup side — which in streaming can only happen once the
+    * watermark proves no matching signup can ever arrive. That makes
+    * this a genuinely different operator from the inner form: the
+    * engine holds the unmatched row in state until the global watermark
+    * (the MIN across both inputs) passes its join window, then emits
+    * the null-padded row exactly once. Same keyed-shuffle scale shape
+    * as [[intervalJoin]]; state is bounded by the watermark on both
+    * sides. Batch twin oracled as st3_interval_join_outer. */
+  def intervalJoinOuter(signups: DataFrame, errors: DataFrame): DataFrame = {
+    val s = signups.select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val e = errors.select(col("event_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "1 hour")
+    e.join(s, col("user_id") === col("s_user") &&
+        col("error_ts") >= col("signup_ts") &&
+        col("error_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("event_id"), col("user_id"), col("signup_ts"), col("error_ts"))
+  }
+
   /** Streaming ingest front-end for a document corpus: content-
     * fingerprint dedup-on-arrival (first arrival wins, cross-batch via
     * streaming state), repetition-quality verdict, and deterministic

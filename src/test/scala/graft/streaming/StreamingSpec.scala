@@ -82,6 +82,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("left-outer interval join equals batch st3 once the watermark closes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")).as[E].collect()
+    val maxTs = rows.map(_.ts.getTime).max
+    // sentinel far past every real row: advances the GLOBAL watermark
+    // (min over both inputs) so every unmatched real error's join window
+    // provably closes and its null-padded row must emit; the sentinel
+    // itself stays above the watermark and must NOT emit
+    val sentinel = E(-1L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "", 0.0)
+    val signups = MemoryStream[E]; val errors = MemoryStream[E]
+    signups.addData(rows.filter(_.event_type == "signup").toSeq :+ sentinel)
+    errors.addData(rows.filter(_.event_type == "error").toSeq :+ sentinel)
+    val q = StreamingOps.intervalJoinOuter(signups.toDF(), errors.toDF()).writeStream
+      .format("memory").queryName("ssjoin_outer_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssjoin_outer_out").filter(col("event_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val want = graft.SparkEntry.queries("st3_interval_join_outer")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // the outer form is a genuinely different operator: null-padded rows exist
+    assert(got.exists(_._3 == null), "expected watermark-closed unmatched errors")
+  }
+
   test("custom flatMapGroupsWithState sessionizer matches q23 session structure") {
     import spark.implicits._
     val evs = eventsBatch.select(col("user_id"), col("ts")).as[StreamingOps.Ev]
