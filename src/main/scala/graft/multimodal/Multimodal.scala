@@ -75,6 +75,46 @@ object Multimodal {
     spark.createDataFrame(out, featureSchema)
   }
 
+  private def thumbSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("thumb", ArrayType(DoubleType, containsNull = false))))
+
+  /** Batched "resize": downsample every payload to a fixed-resolution
+    * thumbnail — `buckets` equal byte-strides, mean byte value per
+    * stride. STUB in the same sense as [[decodeFeatures]]: a real
+    * implementation decodes and bilinear-resizes pixels here; the
+    * deterministic stand-in resizes the raw byte signal, so the
+    * operator shape (fixed output resolution regardless of input size,
+    * batched per-partition decode, columnar output) is real and the
+    * values are exactly reproducible. Bucket of 0-based byte i is
+    * i*buckets/len (integer floor) — exact integer arithmetic any
+    * engine replays; empty buckets (len < buckets) are 0.0. */
+  def resizeThumb(withPayload: DataFrame, buckets: Int = 16): DataFrame = {
+    val spark = withPayload.sparkSession
+    val payloadIdx = withPayload.schema.fieldIndex("payload")
+    val idIdx = withPayload.schema.fieldIndex("doc_id")
+    val out = withPayload.rdd.mapPartitions { iter =>
+      iter.grouped(64).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](payloadIdx)
+          val sums = new Array[Long](buckets)
+          val counts = new Array[Long](buckets)
+          var i = 0
+          while (i < bytes.length) {
+            val j = (i.toLong * buckets / bytes.length).toInt
+            sums(j) += (bytes(i) & 0xFF).toLong
+            counts(j) += 1
+            i += 1
+          }
+          val thumb = (0 until buckets).map(j =>
+            if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j))
+          Row(row.getLong(idIdx), thumb)
+        }
+      }
+    }
+    spark.createDataFrame(out, thumbSchema)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (explode-shaped; a real impl samples
     * decoded frames the same way). */

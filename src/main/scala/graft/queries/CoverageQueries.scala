@@ -310,6 +310,37 @@ object CoverageQueries {
       |  CAST(cnt / (CASE WHEN len = 0 THEN 1 ELSE len END) AS FLOAT) AS f0
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** m05: fixed-resolution resize through the batched decode path —
+    * the "resize" leg of the multimodal checklist (decode /
+    * feature-extract / resize / frame-sample). The stub resizes the
+    * byte signal to 16 stride-means; the oracle recomputes it
+    * relationally from the ASCII text (m02/m04's independence trick):
+    * bucket = i*16/len in exact integer arithmetic, mean = exact
+    * integer sum / count in one double division. */
+  private val m05: Fn = (s, d) =>
+    graft.multimodal.Multimodal.resizeThumb(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  private val m05Sql =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS len,
+      |         unnest(list_transform(split(text, ''), c -> ascii(c))) AS v,
+      |         unnest(range(1, length(text) + 1)) AS i
+      |  FROM documents),
+      |agg AS (
+      |  SELECT doc_id, CAST(((i - 1) * 16) // len AS INTEGER) AS bucket,
+      |         CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+      |  FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.doc_id, g.bucket
+      |  FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS bucket) g),
+      |vals AS (
+      |  SELECT g.doc_id, g.bucket,
+      |         CASE WHEN a.c IS NULL THEN 0.0 ELSE CAST(a.s AS DOUBLE) / a.c END AS m
+      |  FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.bucket = a.bucket)
+      |SELECT doc_id, list(m ORDER BY bucket) AS thumb
+      |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** PURE band join — no equi key at all, the shape Spark can only plan
     * as a nested loop (O(n·m)). Scale path: bucketize the time axis into
     * band-width epochs and equi-join each row's bucket against the other
@@ -492,5 +523,6 @@ object CoverageQueries {
     Q("r52_hll_sketch_columns", r52, None),
     Q("r47_approx_percentiles", r47, None),
     Q("m02_decode_features", m02, Some(m02Sql)),
+    Q("m05_resize_thumb", m05, Some(m05Sql)),
     Q("m03_frame_sample", m03, Some(m03Sql)))
 }

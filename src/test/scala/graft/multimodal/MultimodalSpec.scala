@@ -56,4 +56,24 @@ class MultimodalSpec extends AnyFunSuite {
     val f = frames.filter(col("doc_id") === 2).collect()
     assert(f.forall(_.getAs[Int]("frame_no") % 4 == 0))
   }
+
+  test("resizeThumb: hand-computed strides, fixed resolution, short-payload zeros") {
+    import spark.implicits._
+    // "abcd" x 8 = 32 bytes -> 2 bytes per bucket; "ab" = 2 bytes ->
+    // byte i lands in bucket i*16/2 (buckets 0 and 8), the rest 0.0
+    val df = Seq((1L, "abcd" * 8), (2L, "ab")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val got = Multimodal.resizeThumb(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want1 = (0 until 16).map { j =>
+      (("abcd" * 8).charAt(2 * j).toInt + ("abcd" * 8).charAt(2 * j + 1).toInt).toDouble / 2
+    }
+    assert(got(1L) == want1, s"got ${got(1L)}")
+    val want2 = (0 until 16).map {
+      case 0 => 'a'.toInt.toDouble
+      case 8 => 'b'.toInt.toDouble
+      case _ => 0.0
+    }
+    assert(got(2L) == want2, s"got ${got(2L)}")
+  }
 }
