@@ -59,7 +59,9 @@ object Multimodal {
       iter.grouped(batchSize).flatMap { batch =>
         // real impl decodes the whole batch in one call; stub is per-row
         batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](payloadIdx)
+          // NULL text flows through attachPayload as a null payload;
+          // decode treats it as empty rather than NPE-ing the task
+          val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
           val hist = new Array[Float](FeatureDim)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
@@ -89,14 +91,15 @@ object Multimodal {
     * values are exactly reproducible. Bucket of 0-based byte i is
     * i*buckets/len (integer floor) — exact integer arithmetic any
     * engine replays; empty buckets (len < buckets) are 0.0. */
-  def resizeThumb(withPayload: DataFrame, buckets: Int = 16): DataFrame = {
+  def resizeThumb(withPayload: DataFrame, buckets: Int = 16,
+                  batchSize: Int = 64): DataFrame = {
     val spark = withPayload.sparkSession
     val payloadIdx = withPayload.schema.fieldIndex("payload")
     val idIdx = withPayload.schema.fieldIndex("doc_id")
     val out = withPayload.rdd.mapPartitions { iter =>
-      iter.grouped(64).flatMap { batch =>
+      iter.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](payloadIdx)
+          val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
           val sums = new Array[Long](buckets)
           val counts = new Array[Long](buckets)
           var i = 0

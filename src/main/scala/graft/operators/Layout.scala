@@ -91,13 +91,22 @@ object Layout {
   /** Per-file [min,max] envelope of `dims` for every parquet part-file
     * under `path` — the exact statistics a skipping reader consults.
     * One tiny job per file; used by LayoutSpec's pruning math. */
-  def fileEnvelopes(spark: org.apache.spark.sql.SparkSession, path: String,
-                    dims: Seq[String]): Seq[(String, Seq[(Double, Double)])] = {
+  /** Part-file lister shared by the envelope reader, the compaction
+    * planner, and their specs. Null-safe: `listFiles()` returns null on
+    * an I/O error or when a directory vanishes mid-walk (normal on a
+    * live table with concurrent commits) — such paths are skipped, not
+    * fatal. */
+  private[operators] def partFiles(path: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
       else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
       else Seq.empty
-    val files = walk(new java.io.File(path)).map(_.getAbsolutePath).sorted
+    walk(new java.io.File(path))
+  }
+
+  def fileEnvelopes(spark: org.apache.spark.sql.SparkSession, path: String,
+                    dims: Seq[String]): Seq[(String, Seq[(Double, Double)])] = {
+    val files = partFiles(path).map(_.getAbsolutePath).sorted
     files.map { f =>
       val aggs = dims.flatMap(d => Seq(
         min(col(d).cast(DoubleType)).as(s"${d}_min"),
@@ -123,11 +132,7 @@ object Layout {
     * are listed so the caller can skip them). Planning is metadata-only:
     * no data is read. */
   def compactionPlan(path: String, targetBytes: Long): Seq[(Int, Seq[String], Long)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
-      else Seq.empty
-    val files = walk(new java.io.File(path))
+    val files = partFiles(path)
       .map(f => (f.getAbsolutePath, f.length()))
       .sortBy { case (name, size) => (-size, name) }
     val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[String], Long)]()

@@ -464,7 +464,10 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"), col("cnt"))
+      // (?s): '.' must match line terminators too — a word containing a
+      // newline would otherwise keep it glued to the next char as one
+      // bogus base symbol, diverging from the oracle's per-char split
+      .select(concat(lit(" "), regexp_replace(col("word"), "(?s)(.)", "$1 ")).as("w"), col("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = words.select(col("w"), col("cnt"))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()

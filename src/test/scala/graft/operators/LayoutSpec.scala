@@ -109,13 +109,7 @@ class LayoutSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("compact_src").toString
     graft.Tables.lineitem(spark, sf).repartition(16)
       .write.mode("overwrite").parquet(dir)
-    val sizes = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-        else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
-        else Seq.empty
-      walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.length()).toMap
-    }
+    val sizes = Layout.partFiles(dir).map(f => f.getAbsolutePath -> f.length()).toMap
     // target of ~3 median files: forces both multi-file bins and
     // (with a tiny target below) oversized-solo handling
     val target = sizes.values.toSeq.sorted.apply(sizes.size / 2) * 3

@@ -8,6 +8,7 @@ import graft.SparkTestSession
   * alternation-run exhaustiveness edge, and early-stop semantics. */
 class BpeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
 
   private def train(text: String, rounds: Int): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
@@ -34,7 +35,7 @@ class BpeSpec extends AnyFunSuite {
   test("best-pair count is non-increasing across rounds (fixture)") {
     // a merged pair's occurrences bound any new pair it creates, and
     // existing counts never grow — so the winning count is monotone
-    val pcs = graft.SparkEntry.queries("t15_bpe_merges")(spark, "/root/testdata/sf0.001")
+    val pcs = graft.SparkEntry.queries("t15_bpe_merges")(spark, sf)
       .collect().map(_.getLong(3)).toSeq
     assert(pcs == pcs.sortBy(-(_: Long)), pcs.mkString(","))
     assert(pcs.length == TextQueries.BpeRounds)
