@@ -76,4 +76,15 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(got(2L) == want2, s"got ${got(2L)}")
   }
+
+  test("null payloads decode as empty, not as task failures") {
+    import spark.implicits._
+    val df = Seq((1L, Option("abc")), (2L, Option.empty[String])).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(lit("image/png").as("mime"), lit(0).as("n_bytes"), lit("src0").as("origin")).as("meta"))
+    val feats = Multimodal.decodeFeatures(df).collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(feats(2L).forall(_ == 0f))
+    val thumbs = Multimodal.resizeThumb(df).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(thumbs(2L).forall(_ == 0.0))
+  }
 }

@@ -51,7 +51,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
 
   test("dedup queries never plan a cartesian product") {
     Seq("d01_exact_dedup", "d02_bow_dedup", "d03_ngram_jaccard",
-      "d04_minhash_lsh", "d05_simhash", "d06_embedding_neardup").foreach { q =>
+      "d04_minhash_lsh", "d05_simhash", "d06_embedding_neardup",
+      "d07_decontaminate", "d09_embedding_ivf_neardup",
+      "d10_duplicate_spans").foreach { q =>
       assert(!planOf(q).contains("CartesianProduct"), q)
     }
   }
