@@ -550,7 +550,103 @@ object ExtraQueries2 {
       |         CASE WHEN u2 = 0 THEN NULL ELSE round(CAST(u3 AS DOUBLE) / u2, 6) END FROM tot) v
       |ORDER BY stage""".stripMargin
 
+  /** r55: deep star-join market share (the TPC-H Q8 shape) — revenue
+    * share of ASIA-origin suppliers within each customer-region market
+    * by order year, over an 8-relation join tree (lineitem ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region on the demand side; supplier ⋈ nation ⋈
+    * region on the supply side; part as a selective filter dim). The
+    * depth is the point: Catalyst must broadcast the four tiny dims,
+    * leave the two mid-size dims to AQE, and keep the one real shuffle
+    * on the fact keys. Share = decimal-exact conditional volume over
+    * decimal-exact total volume, divided once in double. */
+  private val r55: Fn = (s, d) => {
+    val vol = (Relational.money(col("l_extendedprice")) *
+      (Relational.oneD - Relational.pct(col("l_discount")))).cast(DecimalType(24, 4))
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val r1 = Tables.region(s, d)
+      .select(col("r_regionkey").as("c_rk"), col("r_name").as("cust_region"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_regionkey").as("s_rk"))
+    val r2 = Tables.region(s, d)
+      .select(col("r_regionkey").as("s_rk"), col("r_name").as("supp_region"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r1), "c_rk")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(r2), "s_rk")
+      .groupBy(col("cust_region"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        sum(when(col("supp_region") === "ASIA", vol)
+          .otherwise(lit(0).cast(DecimalType(24, 4)))).cast(DecimalType(38, 4)).as("asia_vol"),
+        sum(vol).cast(DecimalType(38, 4)).as("total_vol"))
+      .withColumn("mkt_share",
+        round(col("asia_vol").cast(DoubleType) / col("total_vol").cast(DoubleType), 6))
+      .select("cust_region", "o_year", "asia_vol", "total_vol", "mkt_share")
+      .orderBy("cust_region", "o_year")
+  }
+  private val r55Sql =
+    """WITH vols AS (
+      |  SELECT r1.r_name AS cust_region,
+      |         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         r2.r_name AS supp_region,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4)) AS vol
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey)
+      |SELECT cust_region, o_year,
+      |  CAST(sum(CASE WHEN supp_region = 'ASIA' THEN vol ELSE CAST(0 AS DECIMAL(24,4)) END) AS DECIMAL(38,4)) AS asia_vol,
+      |  CAST(sum(vol) AS DECIMAL(38,4)) AS total_vol,
+      |  round(CAST(sum(CASE WHEN supp_region = 'ASIA' THEN vol ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+      |        / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+      |FROM vols GROUP BY cust_region, o_year
+      |ORDER BY cust_region, o_year""".stripMargin
+
+  /** r56: time-bucket OHLC resample — the finance/telemetry downsampling
+    * shape: per (hour, event_type), open/close via composite-key
+    * arg_min/arg_max (r29's tie-proof scalar key: micros·1e6 + event_id,
+    * exact in doubles below 2^53), low/high/volume as plain extremes.
+    * One partial-agg'd shuffle on the bucket key; at 100 TB the bucket
+    * is also the natural partition column for the sink. */
+  private val r56: Fn = (s, d) => {
+    val key = col("ts").cast(DoubleType) * lit(1e6) + col("event_id")
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        min_by(col("value"), key).as("open"),
+        max_by(col("value"), key).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        count(lit(1)).as("volume"))
+      .orderBy("bucket", "event_type")
+  }
+  private val r56Sql =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |  arg_min(value, epoch(ts) * 1e6 + event_id) AS open,
+      |  arg_max(value, epoch(ts) * 1e6 + event_id) AS close,
+      |  min(value) AS low, max(value) AS high,
+      |  count(*) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r55_market_share", r55, Some(r55Sql)),
+    Q("r56_ohlc_resample", r56, Some(r56Sql)),
     Q("r53_funnel", r53, Some(r53Sql)),
     Q("u05_referential_check", u05, (Some(u05Sql))),
     Q("u06_k_anonymity", u06, Some(u06Sql)),

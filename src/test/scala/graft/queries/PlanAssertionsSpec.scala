@@ -200,6 +200,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "the two windows must reuse a single hash exchange")
   }
 
+  test("r55: deep star join broadcasts the tiny dims, never goes cartesian") {
+    val p = planOf("r55_market_share")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all joins have equi keys")
+  }
+
   test("p13: global k-smallest priorities plan as TakeOrderedAndProject") {
     val p = planOf("p13_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
