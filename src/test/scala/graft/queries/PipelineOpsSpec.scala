@@ -258,4 +258,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scrubbed.filter(TextQueries.redact(col("red")) =!= col("red")).count() == 0,
       "second redaction pass must be a no-op")
   }
+
+  test("p13: sample equals the k smallest u/w priorities; heavier docs favored") {
+    import org.apache.spark.sql.functions._
+    val out = run("p13_weighted_sample").collect()
+    assert(out.length == 100)
+    // independent recompute of every priority; the sample must be
+    // exactly the 100 smallest with (priority, doc_id) tie order
+    val b = graft.functions.DetHash.mdBucket(col("doc_id"), "wres:", 1000000)
+    val all = graft.Tables.documents(spark, sf).filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        (((b + 1).cast("double") / 1e6) / col("n_chars").cast("double")).as("pri"))
+      .collect().map(r => (r.getDouble(1), r.getLong(0))).sorted.take(100)
+    assert(out.map(r => (r.getDouble(3), r.getLong(0))).sorted.toSeq == all.toSeq)
+    // weight-proportional inclusion: the sampled docs' mean n_chars must
+    // exceed the corpus mean (heavier docs get smaller priorities)
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = out.map(_.getLong(2).toDouble).sum / out.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("u06: exactly the sub-K classes are reported, none missed") {
+    import org.apache.spark.sql.functions._
+    val out = run("u06_k_anonymity").collect()
+    assert(out.forall(_.getLong(3) < 5), "a reported class has size >= K")
+    // completeness: recompute the class sizes independently
+    val expected = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source"), (col("n_chars") / 100).cast("long").as("b"))
+      .count().filter(col("count") < 5).count()
+    assert(out.length == expected)
+  }
+
+  test("r56: OHLC invariants hold in every bucket") {
+    val out = graft.SparkEntry.queries("r56_ohlc_resample")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (open, close, low, high, vol) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(low <= open && open <= high, r.toString)
+      assert(low <= close && close <= high, r.toString)
+      assert(vol >= 1)
+      if (vol == 1) assert(open == close && low == high)
+    }
+  }
 }
