@@ -480,6 +480,55 @@ object ExtraQueries2 {
       |HAVING count(*) < 5
       |ORDER BY lang, source, len_bucket""".stripMargin
 
+  /** u07: corpus version diff — the release-gate report comparing two
+    * dataset versions: which documents were added, removed, changed
+    * (same id, different content fingerprint), or carried unchanged.
+    * The two "versions" derive deterministically from the fixture (md5
+    * buckets select membership; a bucket band gets an appended edit) so
+    * the diff is reproducible and oracled; in production the inputs are
+    * two snapshot paths. Shape: ONE full-outer join on doc_id with
+    * md5-fingerprint compare — shuffle-keyed on the id (co-located if
+    * both snapshots are bucketed by id), counts partial-agg'd; no
+    * full-content compare ever crosses the wire, only fingerprints. */
+  private val u07: Fn = (s, d) => {
+    val b = graft.functions.DetHash.mdBucket(col("doc_id"), "ver:", 1000)
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"), b.as("vb"))
+    val v1 = base.filter(col("vb") >= 5)
+      .select(col("doc_id").as("id1"), md5(col("text")).as("fp1"))
+    val v2 = base.filter(col("vb") < 995)
+      .select(col("doc_id").as("id2"),
+        md5(when(col("vb").between(500, 519), concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp2"))
+    v1.join(v2, col("id1") === col("id2"), "full_outer")
+      .withColumn("status",
+        when(col("id1").isNull, "added")
+          .when(col("id2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(min(coalesce(col("id1"), col("id2"))), lit(-1L)).as("first_id"))
+      .orderBy("status")
+  }
+  private val u07Sql = {
+    val b = graft.functions.DetHash.mdBucketSql("doc_id", "ver:", 1000)
+    s"""WITH base AS (SELECT doc_id, text, $b AS vb FROM documents),
+       |v1 AS (SELECT doc_id AS id1, md5(text) AS fp1 FROM base WHERE vb >= 5),
+       |v2 AS (SELECT doc_id AS id2,
+       |         md5(CASE WHEN vb BETWEEN 500 AND 519 THEN text || ' v2' ELSE text END) AS fp2
+       |       FROM base WHERE vb < 995),
+       |diff AS (
+       |  SELECT CASE WHEN id1 IS NULL THEN 'added'
+       |              WHEN id2 IS NULL THEN 'removed'
+       |              WHEN fp1 <> fp2 THEN 'changed'
+       |              ELSE 'unchanged' END AS status,
+       |         coalesce(id1, id2) AS id
+       |  FROM v1 FULL OUTER JOIN v2 ON id1 = id2)
+       |SELECT status, count(*) AS n_docs,
+       |       coalesce(min(id), -1) AS first_id
+       |FROM diff GROUP BY status ORDER BY status""".stripMargin
+  }
+
   /** r53: ordered-sequence funnel — did each user view, THEN click after
     * that view, THEN purchase after that click (the MATCH_RECOGNIZE /
     * funnel-analysis shape). Stage reachability is a chain of running-max
@@ -650,6 +699,7 @@ object ExtraQueries2 {
     Q("r53_funnel", r53, Some(r53Sql)),
     Q("u05_referential_check", u05, (Some(u05Sql))),
     Q("u06_k_anonymity", u06, Some(u06Sql)),
+    Q("u07_corpus_diff", u07, Some(u07Sql)),
     Q("r50_hof_array_fns", r50, Some(r50Sql)),
     Q("u03_quality_gate", u03, Some(u03Sql)),
     Q("u04_skew_report", u04, Some(u04Sql)),
