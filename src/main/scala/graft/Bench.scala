@@ -34,6 +34,10 @@ object Bench {
     Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
       Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
       Tables.documents _, Tables.embeddings _).foreach(f => f(spark, sfDir))
+    // Same for the etl fixture: multiLine JSON schema inference is an
+    // eager full-file pass that would otherwise be billed to whichever
+    // etl_* query runs first (memoized in StudiesSource).
+    graft.etl.StudiesSource.readStudies(spark, graft.queries.EtlQueries.FixturePath)
     // Dev loop: SPARK_GRAFT_ONLY=q01_x,q02_y times just those queries
     // (repeated REPS times each). Unset = the full driver contract.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -56,7 +60,12 @@ object Bench {
     // parse; it goes to a file, and the stdout contract line stays short.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"),
       s"""{"sf":"$sfDir","queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_queries.json"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_queries.json"}"""
+    // The driver scrapes stdout but sbt appends `[success] Total time...`
+    // after the JSON line, which broke its parse two rounds running
+    // (BENCH parsed:null) — the summary also lands in a file it can read.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), summary)
+    println(summary)
     System.out.flush()
     spark.stop()
   }

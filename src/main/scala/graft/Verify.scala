@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StructField, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,10 +11,19 @@ object Verify {
     * (arrow: timestamp[us, tz=UTC]) while the DuckDB oracle produces
     * naive timestamp[us]; the wall-clock values agree (session tz is
     * UTC) but a physical/epoch-level hash can diverge. Canonicalize the
-    * dump to NTZ so both sides are byte-identical. */
+    * dump to NTZ so both sides are byte-identical.
+    *
+    * DecimalType → DoubleType: the driver reads the Spark dump via
+    * pandas (DECIMAL → `decimal.Decimal` objects) and the oracle via
+    * duckdb `.df()` (DECIMAL → float64), then hashes string reprs — so
+    * `Decimal('218536.00')` vs float `218536.0` is a hash mismatch even
+    * when values are identical. Internal arithmetic stays decimal-exact;
+    * only the dumped schema is widened, and the double conversion is
+    * bitwise-identical across both engines. */
   private def ntz(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map {
       case StructField(n, TimestampType, _, _) => col(n).cast(TimestampNTZType).as(n)
+      case StructField(n, _: DecimalType, _, _) => col(n).cast(DoubleType).as(n)
       case StructField(n, _, _, _) => col(n)
     }.toIndexedSeq: _*)
   def main(args: Array[String]): Unit = {

@@ -316,11 +316,18 @@ object CoverageQueries {
     * byte signal to 16 stride-means; the oracle recomputes it
     * relationally from the ASCII text (m02/m04's independence trick):
     * bucket = i*16/len in exact integer arithmetic, mean = exact
-    * integer sum / count in one double division. */
+    * integer sum / count in one double division.
+    *
+    * Dumped form is the EXPLODED (doc_id, bucket, v) rows, not the
+    * array: the correctness harness sorts/hashes scalar cells and an
+    * array-valued column is unhashable on the pandas side (r2 m05
+    * harness error). The array-producing operator is unchanged —
+    * only the registered query flattens it. */
   private val m05: Fn = (s, d) =>
     graft.multimodal.Multimodal.resizeThumb(
       graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("thumb")).as(Seq("bucket", "v")))
+      .orderBy("doc_id", "bucket")
   private val m05Sql =
     """WITH b AS (
       |  SELECT doc_id, length(text) AS len,
@@ -333,13 +340,11 @@ object CoverageQueries {
       |  FROM b GROUP BY 1, 2),
       |grid AS (
       |  SELECT d.doc_id, g.bucket
-      |  FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS bucket) g),
-      |vals AS (
-      |  SELECT g.doc_id, g.bucket,
-      |         CASE WHEN a.c IS NULL THEN 0.0 ELSE CAST(a.s AS DOUBLE) / a.c END AS m
-      |  FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.bucket = a.bucket)
-      |SELECT doc_id, list(m ORDER BY bucket) AS thumb
-      |FROM vals GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM documents d CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS bucket) g)
+      |SELECT g.doc_id, g.bucket,
+      |       CASE WHEN a.c IS NULL THEN 0.0 ELSE CAST(a.s AS DOUBLE) / a.c END AS v
+      |FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.bucket = a.bucket
+      |ORDER BY g.doc_id, g.bucket""".stripMargin
 
   /** PURE band join — no equi key at all, the shape Spark can only plan
     * as a nested loop (O(n·m)). Scale path: bucketize the time axis into

@@ -57,6 +57,22 @@ class PlanLintSpec extends AnyFunSuite {
       "detector found no global window even in the allowlisted queries")
   }
 
+  test("no dumped result schema contains a nested type") {
+    // The driver's correctness harness sorts the dumped parquet with
+    // pandas across ALL columns and hashes cell reprs; an array/map/
+    // struct column is unhashable there (r2: m05 died on
+    // `unhashable type: numpy.ndarray`). Queries that build nested
+    // values must explode/flatten them before registering.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = executions.collect {
+      case (name, qe) if qe.analyzed.schema.fields.exists(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }) => name
+    }.toSeq.sorted
+    assert(offenders.isEmpty, s"nested types in dumped schema of: $offenders")
+  }
+
   test("every fact-table query reaches the scan with a pruned schema") {
     // lineitem is 16 columns; any lineitem scan reading them all is an
     // unpruned projection. (q01-style wide aggregations read at most 8.)

@@ -19,6 +19,16 @@ Comparison is EXACT at the arrow level — no pandas float64 round-trip:
   - everything else compares as exact python values.
 Rows are sorted by every non-nested column (mergesort, nulls last) on
 both sides unless --ordered.
+
+In ADDITION to the arrow-exact compare, every query is checked in
+DRIVER-EQUIVALENT mode (replicating the round-grading harness, which
+round 2 proved is repr-sensitive in ways arrow-exactness is not):
+Spark output via pd.read_parquet (DECIMAL -> decimal.Decimal objects),
+oracle via duckdb .df() (DECIMAL -> float64), rows sorted with pandas
+sort_values on ALL columns, then str() of every cell compared. This is
+the mode that catches `Decimal('218536.00')` vs `218536.0` and
+unhashable array columns — both invisible to the arrow compare.
+Flags: --arrow-only / --driver-only restrict to one mode.
 """
 import decimal
 import glob
@@ -27,6 +37,7 @@ import sys
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -35,6 +46,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 ORDERED = "--ordered" in sys.argv  # strict: do not sort rows before compare
+ARROW_ONLY = "--arrow-only" in sys.argv
+DRIVER_ONLY = "--driver-only" in sys.argv
 
 
 def canon(t: pa.Table):
@@ -52,6 +65,19 @@ def col_diff(name, a: pa.ChunkedArray, b: pa.ChunkedArray):
     """None if identical, else a human-readable reason."""
     ta, tb = a.type, b.type
     if pa.types.is_decimal(ta) or pa.types.is_decimal(tb):
+        # Verify's canonicalizer intentionally widens Spark-side decimals
+        # to double (the driver's .df() does the same to the oracle side),
+        # so double-vs-decimal compares as float64 bitwise. NOTE: pyarrow's
+        # own decimal->float64 cast is NOT correctly rounded (observed
+        # last-bit drift vs duckdb/Spark); python float(Decimal) IS, so
+        # convert per-value through decimal.Decimal.
+        def dec2f64(arr):
+            vals = [None if v is None else float(v) for v in arr.to_pylist()]
+            return pa.chunked_array([pa.array(vals, type=pa.float64())])
+        if pa.types.is_float64(ta) and pa.types.is_decimal(tb):
+            return col_diff(name, a, dec2f64(b))
+        if pa.types.is_decimal(ta) and pa.types.is_float64(tb):
+            return col_diff(name, dec2f64(a), b)
         if not (pa.types.is_decimal(ta) and pa.types.is_decimal(tb)):
             return f"{name}: decimal vs non-decimal ({ta} vs {tb})"
         if ta.scale != tb.scale:
@@ -88,6 +114,33 @@ def col_diff(name, a: pa.ChunkedArray, b: pa.ChunkedArray):
     return None
 
 
+def driver_diff(con, sql, files):
+    """Replicates the driver's repr-hash compare. None if it would pass,
+    else the reason string. Any exception (e.g. pandas failing to sort
+    an array column) is the same hard error the driver reports."""
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    want = con.sql(sql).df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns):
+        return f"columns spark={list(got.columns)} oracle={list(want.columns)}"
+    if len(got) != len(want):
+        return f"rows spark={len(got)} oracle={len(want)}"
+    if len(got):
+        cols = list(got.columns)
+        got = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
+        want = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    ga = got.astype(str).to_numpy()
+    wa = want.astype(str).to_numpy()
+    neq = ga != wa
+    if neq.any():
+        r, c = map(int, np.argwhere(neq)[0])
+        col = list(got.columns)[c]
+        return (f"{int(neq.sum())} cell reprs differ; first at row {r} "
+                f"col {col}: spark={ga[r, c]!r} oracle={wa[r, c]!r}")
+    return None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
@@ -105,32 +158,42 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        try:
-            got = canon(pa.concat_tables([pq.read_table(f) for f in files]))
-            want = canon(con.sql(sql).arrow())
-        except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
+        fails = []
+        nrows = 0
+        flag = ""
+        if not DRIVER_ONLY:
+            try:
+                got = canon(pa.concat_tables([pq.read_table(f) for f in files]))
+                want = canon(con.sql(sql).arrow())
+                if got.column_names != want.column_names:
+                    fails.append(f"arrow: columns spark={got.column_names} oracle={want.column_names}")
+                elif got.num_rows != want.num_rows:
+                    fails.append(f"arrow: rows spark={got.num_rows} oracle={want.num_rows}")
+                else:
+                    nrows = got.num_rows
+                    diffs = [d for c in got.column_names
+                             if (d := col_diff(c, got.column(c), want.column(c)))]
+                    if diffs:
+                        fails.append("arrow: " + "; ".join(diffs[:4]))
+                    widths = [f"{c}:{got.schema.field(c).type}~{want.schema.field(c).type}"
+                              for c in got.column_names
+                              if got.schema.field(c).type != want.schema.field(c).type]
+                    if widths:
+                        flag = f" (width diff: {widths})"
+            except Exception as e:
+                fails.append(f"arrow: {type(e).__name__}: {e}")
+        if not ARROW_ONLY:
+            try:
+                d = driver_diff(con, sql, files)
+                if d:
+                    fails.append(f"driver: {d}")
+            except Exception as e:
+                fails.append(f"driver: harness error {type(e).__name__}: {e}")
+        if fails:
+            print(f"FAIL {name}: " + " | ".join(fails))
             n_fail += 1
             continue
-        if got.column_names != want.column_names:
-            print(f"FAIL {name}: columns spark={got.column_names} oracle={want.column_names}")
-            n_fail += 1
-            continue
-        if got.num_rows != want.num_rows:
-            print(f"FAIL {name}: rows spark={got.num_rows} oracle={want.num_rows}")
-            n_fail += 1
-            continue
-        diffs = [d for c in got.column_names
-                 if (d := col_diff(c, got.column(c), want.column(c)))]
-        if diffs:
-            print(f"FAIL {name}: " + "; ".join(diffs[:4]))
-            n_fail += 1
-            continue
-        widths = [f"{c}:{got.schema.field(c).type}~{want.schema.field(c).type}"
-                  for c in got.column_names
-                  if got.schema.field(c).type != want.schema.field(c).type]
-        flag = f" (width diff: {widths})" if widths else ""
-        print(f"PASS {name} ({got.num_rows} rows){flag}")
+        print(f"PASS {name} ({nrows} rows){flag}")
         n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} oracled")
     sys.exit(1 if n_fail else 0)
