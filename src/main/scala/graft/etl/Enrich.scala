@@ -60,10 +60,19 @@ object Enrich {
     (observed, obs)
   }
 
-  /** Ungated full-table enrichment — the 100 TB path: a single codegen'd
-    * projection, no window, no shuffle. */
+  /** Ungated full-table enrichment — the 100 TB path: two chained
+    * codegen'd projections, no window, no shuffle. The lowered/split
+    * parts are materialized as real columns first so the classifier CASE
+    * references attributes, not ~10 copies of the `split_part(lower(…))`
+    * subtree (Catalyst keeps multi-use non-cheap aliases un-inlined). */
   def enrichAll(flat: DataFrame, aiColumn: String = "ai_determined_value"): DataFrame =
-    flat.withColumn(aiColumn, RuleClassifier.classifyCol(col("criteria")))
+    flat
+      .withColumn("_lc", lower(col("criteria")))
+      .withColumn("_incl", split_part(col("_lc"), lit("exclusion criteria"), lit(1)))
+      .withColumn("_excl", split_part(col("_lc"), lit("exclusion criteria"), lit(2)))
+      .withColumn(aiColumn,
+        RuleClassifier.classifyParts(col("_lc"), col("_incl"), col("_excl")))
+      .drop("_lc", "_incl", "_excl")
 
   /** The remote-classifier operator shape (SURVEY.md O13-O14): the
     * reference calls the LLM once per row, strictly serially, sleeping
