@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -72,15 +73,17 @@ object DedupQueries {
     * the string-heavy shingling runs once per job, not once per branch —
     * the MLlib compute-once/read-many pattern (measured ~2× on d03).
     *
-    * The shared-shingle join emits Σ_s c_s² rows, so a hot boilerplate
-    * shingle would own a reducer on a skewed corpus. This fixture's
-    * shingle document-frequency is bounded, and a measured A/B showed the
-    * prefix-filtered alternative ([[jaccardPairsPrefix]]) costs ~2× more
-    * here — its frequency-ranking stages outweigh the pruning when no
-    * hot shingles exist. On a skewed real corpus, swap in
-    * [[jaccardPairsPrefix]]: identical output (spec-asserted), candidate
-    * generation provably confined to each document's rarest shingles. */
-  private val d03: Fn = (s, d) => jaccardPairsNaive(s, d)
+    * DEFAULT is the prefix-filtered AllPairs plan ([[jaccardPairsPrefix]]):
+    * the naive shared-shingle join emits Σ_s c_s² rows, so one hot
+    * boilerplate shingle owns a reducer on a skewed corpus — the shape
+    * that dies at 100 TB. The prefix plan confines candidate generation
+    * to each document's rarest shingles (provably lossless at J ≥ 0.4)
+    * and is within noise of the naive join even on this skew-free
+    * fixture (~3 s warm vs ~2.7 s at sf0.1) after the round-3 rework
+    * (df via window not join, hashed join keys, materialized cache).
+    * [[jaccardPairsNaive]] is kept as the spec-identical cross-check
+    * (DedupSimilaritySpec asserts equal output). */
+  private val d03: Fn = (s, d) => jaccardPairsPrefix(s, d)
 
   private[queries] def jaccardPairsNaive(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -116,26 +119,43 @@ object DedupQueries {
     * double rounding can over-prune a borderline pair. Output is
     * identical to [[jaccardPairsNaive]] (asserted by DedupSimilaritySpec). */
   private[queries] def jaccardPairsPrefix(s: SparkSession, d: String): DataFrame = {
-    // persisted: ex feeds both the df aggregation and the ranked join —
-    // without it the shingling subtree runs twice inside the withPre job
+    // All heavy-shuffle keys are xxhash64(shingle) longs, not the ~40-byte
+    // shingle strings: the df window, the rank order, and the candidate
+    // join shuffle 8-byte keys. Exactness is untouched — candidates are
+    // verified against the full STRING shingle arrays, so a 64-bit
+    // collision can only create an extra candidate that verification
+    // rejects (a missed candidate is impossible: equal strings hash
+    // equal). The prefix theorem needs only a consistent total order on
+    // shingle identity; (df, h, s) is one.
+    //
+    // Document frequency via a count window over the shingle shuffle —
+    // NOT a groupBy+join back onto the exploded relation: that shape
+    // reads the shingle subtree from two independent map stages which
+    // race ahead of the cache fill and duplicate the string-heavy
+    // shingling (measured ~2.5 s of the pair stage at sf0.1).
+    val dfWin = Window.partitionBy(col("h"))
     val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // Per-doc shingles in global (df, s) rarest-first order, plus set size.
-    val ranked = ex.join(freq, "s")
+      .withColumn("h", xxhash64(col("s")))
+      .withColumn("df", count(lit(1)).over(dfWin))
+    // Per-doc shingles in global (df, h, s) rarest-first order, plus size.
+    val ranked = ex
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ss"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("s")))).as("ss"))
       .select(col("doc_id"),
         transform(col("ss"), x => x.getField("s")).as("arr"),
+        transform(col("ss"), x => x.getField("h")).as("harr"),
         size(col("ss")).as("n"))
     // Feeds four plan branches (candidate build a/b + two verification
-    // joins); persisted so the shingling subtree runs once per job.
+    // joins); persisted AND materialized here — the branches are
+    // independent stages of one job, so a lazy cache would again be
+    // raced past and the ranking recomputed per branch.
     val withPre = ranked.withColumn("pre",
-      slice(col("arr"), lit(1), (col("n") - floor((col("n") * 2 + 4) / 5) + 1).cast(IntegerType)))
+      slice(col("harr"), lit(1), (col("n") - floor((col("n") * 2 + 4) / 5) + 1).cast(IntegerType)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pre = withPre.select(col("doc_id"), col("n"), explode(col("pre")).as("s"))
+    withPre.count()
+    val pre = withPre.select(col("doc_id"), col("n"), explode(col("pre")).as("h"))
     val cand = pre.as("a").join(pre.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 2)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
@@ -407,7 +427,7 @@ object DedupQueries {
     * doc_id), member list, size. Deterministic ⇒ oracled (DuckDB
     * WITH RECURSIVE transitive closure computes the same components). */
   private val d08: Fn = (s, d) => {
-    val pairs = jaccardPairsNaive(s, d).select(col("d1"), col("d2"))
+    val pairs = jaccardPairsPrefix(s, d).select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst")
@@ -422,7 +442,14 @@ object DedupQueries {
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var iter = 0
     var converged = false
-    while (!converged && iter < 64) {
+    // AQE's per-query re-optimization is pure overhead on the iteration
+    // steps: every round is a pair of joins over small CACHED relations
+    // (the label and edge sets), re-planned from scratch each time —
+    // measured ~0.3 s/round at sf0.1. The heavy, skew-prone work (the
+    // pair stage above) already ran with AQE on; restore it after.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try while (!converged && iter < 64) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label").as("nlabel"))
       val next = labels.join(msgs, Seq("id"), "left")
@@ -435,7 +462,7 @@ object DedupQueries {
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
-    }
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     if (!converged) System.err.println(
       s"[d08] label propagation stopped at $iter rounds before the fixpoint " +
         "(component diameter exceeds the bound); cluster ids may be non-minimal " +
