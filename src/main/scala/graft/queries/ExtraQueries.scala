@@ -10,7 +10,11 @@ import graft.queries.Relational.{Fn, Q}
 object ExtraQueries {
 
   /** max_by / min_by with a tie-proof composite ordering key (price
-    * scaled, orderkey as tiebreak — exact in doubles below 2^53). */
+    * scaled, orderkey as tiebreak — exact in doubles below 2^53).
+    * BOUND: collision-free only while l_orderkey < 1e6 (two prices
+    * 0.01 apart differ by 1e6 in the key; fixture max orderkey is
+    * 149,999). Past that bound use r56's zero-padded string encoding,
+    * which cannot collide at any scale. */
   private val r29: Fn = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 import graft.Tables
 import graft.queries.Relational.{Fn, Q}
 
@@ -669,12 +669,18 @@ object ExtraQueries2 {
 
   /** r56: time-bucket OHLC resample — the finance/telemetry downsampling
     * shape: per (hour, event_type), open/close via composite-key
-    * arg_min/arg_max (r29's tie-proof scalar key: micros·1e6 + event_id,
-    * exact in doubles below 2^53), low/high/volume as plain extremes.
+    * arg_min/arg_max, low/high/volume as plain extremes. The tie key is
+    * a fixed-width zero-padded `(epoch_micros, event_id)` string —
+    * lexicographic order = numeric order, and unlike the earlier
+    * `seconds·1e6 + event_id` double it CANNOT collide (events 1 s
+    * apart with ids 1e6 apart shared a key; DuckDB 1.0 arg_min takes
+    * no struct keys, so a collision-free scalar encoding is required).
     * One partial-agg'd shuffle on the bucket key; at 100 TB the bucket
     * is also the natural partition column for the sink. */
   private val r56: Fn = (s, d) => {
-    val key = col("ts").cast(DoubleType) * lit(1e6) + col("event_id")
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
+      lpad(col("event_id").cast(StringType), 19, "0"))
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(
@@ -687,8 +693,8 @@ object ExtraQueries2 {
   }
   private val r56Sql =
     """SELECT date_trunc('hour', ts) AS bucket, event_type,
-      |  arg_min(value, epoch(ts) * 1e6 + event_id) AS open,
-      |  arg_max(value, epoch(ts) * 1e6 + event_id) AS close,
+      |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 19, '0')) AS open,
+      |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 19, '0')) AS close,
       |  min(value) AS low, max(value) AS high,
       |  count(*) AS volume
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin

@@ -466,7 +466,13 @@ object TextQueries {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // (?s): '.' must match line terminators too — a word containing a
       // newline would otherwise keep it glued to the next char as one
-      // bogus base symbol, diverging from the oracle's per-char split
+      // bogus base symbol, diverging from the oracle's per-char split.
+      // PORTABILITY BOUND: Java-regex '(.)' splits by CODE POINT while
+      // the t15 oracle's string_split(text, '') splits by grapheme/
+      // code-unit — identical only for single-code-unit text. The
+      // documents fixture is ASCII; a non-BMP or combining character in
+      // a future fixture would diverge silently. Normalize or filter to
+      // single-byte symbols on both sides before lifting that bound.
       .select(concat(lit(" "), regexp_replace(col("word"), "(?s)(.)", "$1 ")).as("w"), col("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = words.select(col("w"), col("cnt"))

@@ -34,10 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     directory — orphaned staging files are invisible by
   *     construction.
   *
-  * At 100 TB this is the pattern that makes concurrent writers, task
-  * retries, and mid-job crashes safe without any rename-the-directory
-  * tricks (object stores have no atomic directory rename; single-file
-  * manifest rename/put is the commit point). Rows serialize as JSON
+  * At 100 TB this is the pattern that makes task retries and mid-job
+  * crashes safe without any rename-the-directory tricks (object stores
+  * have no atomic directory rename; single-file manifest rename/put is
+  * the commit point). Sequence numbers are allocated by a SINGLE
+  * writer per table — concurrent committers need a coordinating
+  * catalog (as Delta/Iceberg require) to serialize seq allocation;
+  * the manifest content is fsynced before the rename and the parent
+  * directory after it, so a power loss leaves old-or-new, never torn.
+  * Rows serialize as JSON
   * lines over primitive columns (long/int/double/boolean/string) — a
   * production impl would plug columnar part-writers into the SAME
   * protocol unchanged. */
@@ -101,13 +106,37 @@ private class CommitLogBatchWrite(path: String, schema: StructType, queryId: Str
     val files = messages.map(_.asInstanceOf[CommittedFile].name)
     val commitsDir = Paths.get(s"$path/_commits")
     Files.createDirectories(commitsDir)
-    // monotone sequence prefix keeps manifest order = commit order
-    val seq = commitsDir.toFile.list().count(_.endsWith(".manifest"))
+    // Monotone sequence prefix keeps manifest order = commit order:
+    // max(existing)+1 rather than count(existing), so a deleted/compacted
+    // manifest can never recycle a live prefix. SINGLE-WRITER assumption
+    // (as in Delta/Iceberg without a locking catalog): two concurrent
+    // committers could still mint the same seq; a multi-writer deployment
+    // needs a coordinating catalog to allocate sequence numbers.
+    val seq = commitsDir.toFile.list()
+      .filter(_.endsWith(".manifest"))
+      .map(_.takeWhile(_.isDigit).toLong)
+      .foldLeft(-1L)(math.max) + 1
     val tmp = commitsDir.resolve(s".$txn.tmp")
-    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // fsync the tmp content BEFORE the rename — without it, a power loss
+    // after the move can expose a named-but-torn manifest, voiding the
+    // "old-or-new, never torn" crash contract.
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(files.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     // the commit point: a single atomic rename makes the write visible
     Files.move(tmp, commitsDir.resolve(f"$seq%06d-$txn.manifest"),
       StandardCopyOption.ATOMIC_MOVE)
+    // fsync the directory so the rename itself survives power loss
+    // (POSIX: a rename is durable only once the parent dir is synced);
+    // Lucene-style best effort — some platforms can't open a directory
+    try {
+      val dch = java.nio.channels.FileChannel.open(commitsDir, java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
