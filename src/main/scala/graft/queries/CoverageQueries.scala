@@ -510,7 +510,61 @@ object CoverageQueries {
       |  GROUP BY 1, 2)
       |SELECT a_id, b_id, l1 FROM dist ORDER BY a_id, b_id""".stripMargin
 
+  /** st4: BATCH twin of the streaming ingest front-end
+    * ([[graft.streaming.StreamingOps.ingestDocs]]): content-fingerprint
+    * dedup with deterministic first-arrival (min doc_id — the streaming
+    * form's first arrival IS the min id when arrivals are id-ordered,
+    * which StreamingSpec's equivalence test feeds), quality verdict,
+    * and the md5-deterministic split/shard assignment. Closes the
+    * oracle gap: st1-st3 batch forms were oracled, the ingest
+    * front-end ran as specs only. All stages are map-side except the
+    * one keyed shuffle on the fingerprint. */
+  private val st4: Fn = (s, d) => {
+    val w = Window.partitionBy(col("content_fp")).orderBy(col("doc_id"))
+    val firsts = Tables.documents(s, d)
+      .withColumn("content_fp", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    graft.queries.PipelineQueries.withQualityVerdict(firsts)
+      .withColumn("split", graft.functions.DetHash.splitOf(col("doc_id")))
+      .withColumn("shard", graft.functions.DetHash.shardOf(col("doc_id")))
+      .select("doc_id", "content_fp", "dup_word_frac", "top_bigram_frac",
+        "passes", "split", "shard")
+      .orderBy("doc_id")
+  }
+  private val st4Sql = {
+    val splitB = graft.functions.DetHash.mdBucketSql("b.doc_id", "split:", 100)
+    val shardB = graft.functions.DetHash.mdBucketSql("b.doc_id", "shuffle:", 8)
+    s"""WITH firsts AS (
+       |  SELECT doc_id, text, md5(text) AS content_fp,
+       |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, content_fp, string_split(text, ' ') AS w
+       |  FROM firsts WHERE rn = 1),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |                 i -> concat(w[i], ' ', w[i+1]))) AS bg
+       |  FROM base WHERE len(w) >= 2),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_bg
+       |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) t
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.content_fp,
+       |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+       |  CASE WHEN len(w) < 2 THEN 1.0
+       |       ELSE CAST(top_bg AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) END AS top_bigram_frac,
+       |  (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) <= 0.6
+       |    AND (CASE WHEN len(w) < 2 THEN 1.0
+       |              ELSE CAST(top_bg AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) END) <= 0.18 AS passes,
+       |  CASE WHEN $splitB < 80 THEN 'train' WHEN $splitB < 90 THEN 'val' ELSE 'test' END AS split,
+       |  $shardB AS shard
+       |FROM base b LEFT JOIN top USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("st4_ingest_front", st4, Some(st4Sql)),
     Q("r51_asof_native", r51, Some(r51Sql)),
     Q("m04_payload_neardup", m04, Some(m04Sql)),
     Q("r45_lateral_topn", r45, Some(r45Sql)),

@@ -102,7 +102,9 @@ object StreamingOps {
     * (partitionBy(split), the file-sink commit log guarantees no
     * duplicates on restart). Dedup state is keyed by the fingerprint;
     * on a stream that carries an ingest timestamp, bound it with
-    * `dropDuplicatesWithinWatermark` instead (see [[dedupWithinWatermark]]). */
+    * `dropDuplicatesWithinWatermark` instead (see [[dedupWithinWatermark]]).
+    * Batch twin ORACLED as `st4_ingest_front` (first arrival = min
+    * doc_id, the id-ordered-arrival case StreamingSpec feeds). */
   def ingestDocs(docs: DataFrame): DataFrame = {
     val keyed = docs
       .withColumn("content_fp", md5(col("text")))
