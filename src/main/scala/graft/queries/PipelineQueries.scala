@@ -779,7 +779,45 @@ object PipelineQueries {
        |GROUP BY 1, 2 ORDER BY bin, shard""".stripMargin
   }
 
+  /** u08: split-leakage audit — the eval-integrity check every
+    * train/val/test pipeline needs: a document whose content appears in
+    * more than one split leaks training data into evaluation. The
+    * fingerprint is d02's bag-of-words normalization (sorted distinct
+    * words), which catches reworded/shuffled near-copies the exact-text
+    * hash misses — and which the fixture actually contains at every SF
+    * (exact-text dup groups exist only at sf0.1, so an exact-hash audit
+    * would be vacuously green at the sf0.01 gate). Reports every
+    * duplicated fingerprint group with its split spread and a leak
+    * verdict; at 100 TB this is one keyed shuffle on the fingerprint
+    * (partial-agg'd), the same plan shape as d01/d02. */
+  private val u08: Fn = (s, d) =>
+    docs(s, d)
+      .select(
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"),
+        graft.functions.DetHash.splitOf(col("doc_id")).as("split"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_docs") > 1)
+      .withColumn("leaks", col("n_splits") > 1)
+      .orderBy("fp")
+  private val u08Sql = {
+    val b = mdBucketSql("doc_id", "split:", 100)
+    s"""WITH t AS (
+       |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+       |         CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT fp, count(*) AS n_docs,
+       |       count(DISTINCT split) AS n_splits,
+       |       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+       |       count(DISTINCT split) > 1 AS leaks
+       |FROM t GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("u08_split_leakage", u08, Some(u08Sql)),
     Q("p14_curriculum_bins", p14, Some(p14Sql)),
     Q("p13_weighted_sample", p13, Some(p13Sql)),
     Q("p12_per_source_cap", p12, Some(p12Sql)),

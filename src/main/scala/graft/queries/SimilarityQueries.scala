@@ -623,7 +623,76 @@ object SimilarityQueries {
        |SELECT q_id, rk, vec_id, label, sim FROM ranked WHERE rk <= $K
        |ORDER BY q_id, rk""".stripMargin
 
+  /** d11: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster the embedding space, then search for
+    * near-duplicates ONLY within each cluster: the candidate volume is
+    * Σ|cell|² instead of N², which is the property that makes semantic
+    * dedup feasible at corpus scale (clusters bound the quadratic term;
+    * at 100 TB the within-cell join is a keyed shuffle on the cell id
+    * and each cell's pairing is an independent task). Keeper policy is
+    * deterministic min-vec_id; every row is emitted with its cell and a
+    * kept flag so the output is a complete, hash-comparable verdict.
+    * Clustering is the u02 deterministic Lloyd trainer (k=8, 3 rounds)
+    * and the oracle replays it round by round via the shared CTE
+    * builder, then recomputes the within-cell cosine dups in SQL —
+    * the full cluster+dedup pipeline is cross-engine verified. */
+  private val d11: Fn = (s, d) => {
+    import s.implicits._
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val (cents, _) = graft.operators.KMeans.fit(e, 8, 3)
+    // Multi-probe membership (P=2 nearest cells): single-cell blocking
+    // measured recall 0.31 on this fixture — its similar pairs straddle
+    // cell boundaries (same finding as d09's cell experiment); probing
+    // the second-nearest cell recovers the straddlers at 2x candidate
+    // volume, the standard SemDeDup/IVF trade. Distances are the same
+    // sequential element-order fold on both engines, so probe ranks
+    // agree bit-for-bit.
+    val centDf = cents.map { case (id, c) => (id, c) }.toDF("cell", "cent")
+    val dist = aggregate(zip_with(col("embedding"), col("cent"),
+      (x, c) => { val df = x.cast(DoubleType) - c; df * df }), lit(0.0), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    val probes = e.crossJoin(broadcast(centDf))
+      .withColumn("dist", dist)
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("prk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probes.count() // materialize before the self-join branches race the cache
+    val a = probes.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = probes.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        round(VectorOps.cosine(col("va"), col("vb")), 4) >= 0.4)
+      .select(col("b_id").as("vec_id")).distinct()
+    probes.filter(col("prk") === 1)
+      .join(dups.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast(IntegerType).as("cell"),
+        col("__dup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+  private def d11Sql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansReplayCtes(k, iters)},
+       |probes AS (
+       |  SELECT vec_id, embedding, cell, rk AS prk FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_reduce(list_transform(range(1, ${Dim + 1}),
+       |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])),
+       |               (acc, x) -> acc + x), c.cell) AS rk
+       |    FROM embeddings e CROSS JOIN c$iters c) t WHERE rk <= 2),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |        sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+       |             list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) >= 0.4)
+       |SELECT f.vec_id, CAST(f.cell AS INTEGER) AS cell, d.vec_id IS NULL AS kept
+       |FROM probes f LEFT JOIN dups d ON f.vec_id = d.vec_id
+       |WHERE f.prk = 1
+       |ORDER BY f.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
     Q("s08_hard_negatives", s08, Some(s08Sql)),
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),
     Q("s06_ann_pq", s06, Some(s06Sql(8, 8, 16, 2))),
@@ -647,7 +716,11 @@ object SimilarityQueries {
     * lowest cell id in both. An iterative trainer hash-verified against
     * an independent engine is the strongest determinism witness the
     * codebook artifacts (s03/s06/d09 cells) can carry. */
-  private def u02Sql(k: Int, iters: Int): String = {
+  /** Shared Lloyd-replay WITH-clause body (u02's pattern, reused by
+    * d11): defines c0 (seed centroids), one assignment + fixed-point
+    * mean recompute pair per round (a{r}/m{r}/c{r}), and `afinal` —
+    * the final (vec_id, embedding, cell) assignment. */
+  private def kmeansReplayCtes(k: Int, iters: Int): String = {
     val dim = Dim
     def sqdist(vec: String, cent: String) =
       s"""list_reduce(list_transform(range(1, ${dim + 1}),
@@ -668,15 +741,18 @@ object SimilarityQueries {
          |  FROM a$r, range(1, ${dim + 1}) t(i) GROUP BY cell, i),
          |c$r AS (SELECT cell, list(cx ORDER BY pos) AS c FROM m$r GROUP BY cell)""".stripMargin
     }
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         embedding::DOUBLE[] AS c
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k) s),
        |${rounds.mkString(",\n")},
-       |${assignCte("afinal", s"c$iters")}
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
+  }
+
+  private def u02Sql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansReplayCtes(k, iters)}
        |SELECT CAST(a.cell AS INTEGER) AS cell, count(*) AS n_vecs,
        |       round(any_value(c.c[1]), 6) AS c0
        |FROM afinal a JOIN c$iters c ON a.cell = c.cell
        |GROUP BY a.cell ORDER BY cell""".stripMargin
-  }
 }
