@@ -623,6 +623,100 @@ object SimilarityQueries {
        |SELECT q_id, rk, vec_id, label, sim FROM ranked WHERE rk <= $K
        |ORDER BY q_id, rk""".stripMargin
 
+  /** s09: MMR-diversified retrieval (Carbonell & Goldstein 1998) — the
+    * selection op behind diverse hard-negative / demonstration-set
+    * mining: greedily pick K items maximizing relevance MINUS redundancy
+    * against what's already picked, score = λ·sim(q,v) − (1−λ)·max_{s∈S}
+    * sim(v,s) with λ=0.7. Scale shape: the candidate pool is the per-
+    * query top-P by similarity (one broadcast-scan + bounded window,
+    * s01's plan); the K greedy rounds then operate on Q×P rows — work
+    * independent of corpus size. Each round is one keyed join + argmax
+    * window, all distributed; lineage is truncated per round
+    * (localCheckpoint on Q×K rows) so the plan stays linear in K.
+    * Determinism: scores are INTEGER fixed-point (simfp = round(sim·1e4),
+    * score = 7·simfp − 3·maxfp) so the greedy argmax replays exactly in
+    * the oracle's unrolled round-CTEs — the same trick as the u02/s06/t15
+    * trainer replays, applied to a greedy selection loop. */
+  private val s09: Fn = (s, d) => {
+    val P = 30
+    def simFp(a: Column, b: Column): Column =
+      round(VectorOps.cosine(a, b) * 10000, 0).cast(LongType)
+    val scored = emb(s, d).join(broadcast(queriesDf(s, d)), col("vec_id") =!= col("q_id"))
+      .withColumn("simfp", simFp(col("qv"), col("embedding")))
+    val wp = Window.partitionBy(col("q_id")).orderBy(desc("simfp"), col("vec_id"))
+    val pool = scored
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= P)
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pool.count() // materialize: every greedy round reads the pool
+    var sel = pool.filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"), lit(1).as("pick"))
+      .localCheckpoint(true)
+    for (r <- 2 to K) {
+      val cand = pool
+        .join(sel.select(col("q_id"), col("vec_id"), lit(1).as("__s")), Seq("q_id", "vec_id"), "left")
+        .filter(col("__s").isNull)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"))
+      val mm = cand.as("c")
+        .join(sel.select(col("q_id"), col("embedding").as("se")), Seq("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(max(simFp(col("se"), col("c.embedding"))).as("maxfp"))
+      val pick = cand.join(mm, Seq("q_id", "vec_id"))
+        .withColumn("score", col("simfp") * 7 - col("maxfp") * 3)
+        .withColumn("prk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("prk") === 1)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"), lit(r).as("pick"))
+      sel = sel.union(pick).localCheckpoint(true)
+    }
+    sel.select(col("q_id"), col("pick").cast(LongType).as("pick"), col("vec_id"),
+        (col("simfp").cast(DoubleType) / 10000.0).as("sim"))
+      .orderBy("q_id", "pick")
+  }
+  private def s09Sql: String = {
+    val P = 30
+    def cosFp(a: String, b: String) =
+      s"""CAST(round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+         |     sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]) *
+         |          list_dot_product($b::DOUBLE[], $b::DOUBLE[])) * 10000, 0) AS BIGINT)""".stripMargin
+    // MATERIALIZED everywhere a CTE is referenced more than once:
+    // DuckDB inlines plain CTEs, so the sel{r} recurrence would expand
+    // ~4^K references to the parquet scan (observed: "Too many open
+    // files" at K=10) — materialization makes each round evaluate once.
+    val rounds = (2 to K).map { r =>
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT p.q_id, p.vec_id, p.embedding, p.simfp FROM pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |                    WHERE s.q_id = p.q_id AND s.vec_id = p.vec_id)),
+         |mm$r AS MATERIALIZED (
+         |  SELECT c.q_id, c.vec_id, max(${cosFp("s.embedding", "c.embedding")}) AS maxfp
+         |  FROM cand$r c JOIN sel${r - 1} s ON c.q_id = s.q_id
+         |  GROUP BY 1, 2),
+         |pick$r AS MATERIALIZED (
+         |  SELECT q_id, vec_id, embedding, simfp, $r AS pick FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY c.simfp * 7 - m.maxfp * 3 DESC, c.vec_id) AS prk
+         |    FROM cand$r c JOIN mm$r m ON c.q_id = m.q_id AND c.vec_id = m.vec_id) t
+         |  WHERE prk = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT q_id, vec_id, embedding, simfp, rk FROM (
+       |    SELECT q.q_id, e.vec_id, e.embedding,
+       |           ${cosFp("q.qv", "e.embedding")} AS simfp,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${cosFp("q.qv", "e.embedding")} DESC, e.vec_id) AS rk
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.q_id) t
+       |  WHERE rk <= $P),
+       |sel1 AS MATERIALIZED (SELECT q_id, vec_id, embedding, simfp, 1 AS pick FROM pool WHERE rk = 1),
+       |${rounds.mkString(",\n")}
+       |SELECT q_id, CAST(pick AS BIGINT) AS pick, vec_id,
+       |       CAST(simfp AS DOUBLE) / 10000.0 AS sim
+       |FROM sel$K ORDER BY q_id, pick""".stripMargin
+  }
+
   /** d11: SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540) — cluster the embedding space, then search for
     * near-duplicates ONLY within each cluster: the candidate volume is
@@ -693,6 +787,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
+    Q("s09_mmr_diversified", s09, Some(s09Sql)),
     Q("s08_hard_negatives", s08, Some(s08Sql)),
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),
     Q("s06_ann_pq", s06, Some(s06Sql(8, 8, 16, 2))),

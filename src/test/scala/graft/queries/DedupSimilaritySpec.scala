@@ -271,6 +271,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"d11 recall = $recall (${gotDropped.size}/${exactDropped.size})")
   }
 
+  test("s09 MMR: first pick is the top-1, picks are distinct, redundancy drops") {
+    val mmr = run("s09_mmr_diversified").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mmr.nonEmpty)
+    val byQ = mmr.groupBy(_._1)
+    // pick #1 must be the relevance argmax — same as s01's rank 1
+    val top1 = bruteTop.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    byQ.foreach { case (q, picks) =>
+      assert(picks.length == picks.map(_._3).distinct.length, s"q$q repeated a pick")
+      assert(picks.find(_._2 == 1L).get._3 == top1(q), s"q$q first pick != top-1")
+    }
+    // diversity: mean pairwise cosine among MMR picks must not exceed the
+    // plain top-K set's (that redundancy drop is the operator's purpose)
+    val e = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for { i <- ids.indices; j <- i + 1 until ids.length }
+        yield cos(e(ids(i)), e(ids(j)))
+      ps.sum / ps.length
+    }
+    val topkByQ = bruteTop.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSeq }
+    val (mmrSim, topkSim) = byQ.keys.map { q =>
+      (meanPairSim(byQ(q).sortBy(_._2).map(_._3).toSeq), meanPairSim(topkByQ(q)))
+    }.toSeq.unzip
+    assert(mmrSim.sum <= topkSim.sum + 1e-9,
+      s"MMR redundancy ${mmrSim.sum} not below top-K ${topkSim.sum}")
+    info(f"mean pairwise sim: mmr=${mmrSim.sum / mmrSim.size}%.4f topk=${topkSim.sum / topkSim.size}%.4f")
+  }
+
   test("pq ann recall floor vs brute force (deterministic codebooks)") {
     val exact = graft.SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
