@@ -118,6 +118,53 @@ object Multimodal {
     spark.createDataFrame(out, thumbSchema)
   }
 
+  private def resampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("t", IntegerType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  /** Batched temporal resample for "audio" payloads: linear
+    * interpolation of the byte signal onto a fixed `samples`-point grid
+    * — the rate-conversion leg of the multimodal checklist (decode /
+    * feature-extract / resize / frame-sample / resample). STUB in the
+    * same sense as [[decodeFeatures]]: a real implementation resamples
+    * decoded PCM here; the deterministic stand-in interpolates raw
+    * bytes, so the operator shape (fixed output rate regardless of
+    * input length, batched per-partition decode, exploded scalar rows)
+    * is real and exactly reproducible. Sample t maps to source position
+    * p = t·(len−1)/(samples−1) (integer numerator, ONE double
+    * division), v = b[⌊p⌋] + (b[⌊p⌋+1] − b[⌊p⌋])·(p − ⌊p⌋) — every
+    * step an identical IEEE op on any engine, so values are bitwise
+    * portable. Empty payloads yield no rows. */
+  def audioResample(withPayload: DataFrame, samples: Int = 32,
+                    batchSize: Int = 64): DataFrame = {
+    val spark = withPayload.sparkSession
+    val payloadIdx = withPayload.schema.fieldIndex("payload")
+    val idIdx = withPayload.schema.fieldIndex("doc_id")
+    val out = withPayload.rdd.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+          if (bytes.isEmpty) Iterator.empty
+          else (0 until samples).iterator.map { t =>
+            val v =
+              if (bytes.length == 1) (bytes(0) & 0xFF).toDouble
+              else {
+                val p = (t.toLong * (bytes.length - 1)).toDouble / (samples - 1)
+                val i0 = math.floor(p).toInt
+                val i1 = math.min(i0 + 1, bytes.length - 1)
+                val b0 = (bytes(i0) & 0xFF).toDouble
+                val b1 = (bytes(i1) & 0xFF).toDouble
+                b0 + (b1 - b0) * (p - i0)
+              }
+            Row(row.getLong(idIdx), t, v)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, resampleSchema)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (explode-shaped; a real impl samples
     * decoded frames the same way). */

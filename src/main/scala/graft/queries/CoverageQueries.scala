@@ -346,6 +346,35 @@ object CoverageQueries {
       |FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.bucket = a.bucket
       |ORDER BY g.doc_id, g.bucket""".stripMargin
 
+  /** m06: fixed-rate temporal resample of the "audio" slice through the
+    * batched decode path ([[graft.multimodal.Multimodal.audioResample]]).
+    * The oracle recomputes the interpolation relationally from the
+    * ASCII text (the m02/m04/m05 independence trick): source position
+    * p = t·(len−1)/(S−1) has an integer numerator and ONE double
+    * division, and the lerp is the same op sequence on both engines —
+    * bitwise-equal doubles, flat (doc_id, t, v) rows. */
+  private val m06: Fn = (s, d) =>
+    graft.multimodal.Multimodal.audioResample(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d))
+        .filter(col("meta.mime") === "audio/wav"))
+      .orderBy("doc_id", "t")
+  private val m06Sql = {
+    val S = 32
+    val p = s"CAST(t * (len - 1) AS DOUBLE) / ${S - 1}.0"
+    val i0 = s"CAST(floor($p) AS INTEGER)"
+    val b0 = s"CAST(arr[$i0 + 1] AS DOUBLE)"
+    val b1 = s"CAST(arr[least($i0 + 1, len - 1) + 1] AS DOUBLE)"
+    s"""WITH a AS (
+       |  SELECT doc_id, list_transform(split(text, ''), c -> ascii(c)) AS arr,
+       |         length(text) AS len
+       |  FROM documents WHERE source = 'src1' AND length(text) > 0),
+       |g AS (SELECT doc_id, arr, len, CAST(unnest(range($S)) AS INTEGER) AS t FROM a)
+       |SELECT doc_id, t,
+       |  CASE WHEN len = 1 THEN CAST(arr[1] AS DOUBLE)
+       |       ELSE $b0 + ($b1 - $b0) * ($p - floor($p)) END AS v
+       |FROM g ORDER BY doc_id, t""".stripMargin
+  }
+
   /** PURE band join — no equi key at all, the shape Spark can only plan
     * as a nested loop (O(n·m)). Scale path: bucketize the time axis into
     * band-width epochs and equi-join each row's bucket against the other
@@ -583,5 +612,6 @@ object CoverageQueries {
     Q("r47_approx_percentiles", r47, None),
     Q("m02_decode_features", m02, Some(m02Sql)),
     Q("m05_resize_thumb", m05, Some(m05Sql)),
+    Q("m06_audio_resample", m06, Some(m06Sql)),
     Q("m03_frame_sample", m03, Some(m03Sql)))
 }

@@ -77,6 +77,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == want2, s"got ${got(2L)}")
   }
 
+  test("audioResample: hand-computed lerp grid, fixed rate, degenerate payloads") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "x"), (3L, ""), (4L, "abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val got = Multimodal.audioResample(df, samples = 32).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val byDoc = got.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    // fixed output rate regardless of input length; empty payload -> no rows
+    assert(byDoc == Map(1L -> 32, 2L -> 32, 4L -> 32))
+    // "ab": p = t/31, v = 97 + (98-97)*(t/31)
+    for (t <- 0 until 32)
+      assert(got((1L, t)) == 97.0 + (t.toDouble / 31), s"t=$t")
+    // single byte: constant signal
+    assert((0 until 32).forall(t => got((2L, t)) == 'x'.toInt.toDouble))
+    // "abc": p = 2t/31; endpoint t=31 hits the last byte exactly
+    assert(got((4L, 0)) == 97.0 && got((4L, 31)) == 99.0)
+  }
+
   test("null payloads decode as empty, not as task failures") {
     import spark.implicits._
     val df = Seq((1L, Option("abc")), (2L, Option.empty[String])).toDF("doc_id", "text")
