@@ -539,7 +539,64 @@ object TextQueries {
        |$out) m ORDER BY round""".stripMargin
   }
 
+  /** t16: interpolated bigram language-model scoring — the stronger
+    * perplexity-style quality signal over t14's unigram: per bigram
+    * position, ln(λ·P(cur|prev) + (1−λ)·P(cur)) with λ=0.7, averaged
+    * per document. P(cur|prev) = bigram count / context count from the
+    * corpus itself (self-scoring, as t14). Scale shape: ONE window
+    * shuffle builds the bigram stream (lag over doc position), the
+    * three frequency relations are keyed partial-agg'd shuffles
+    * (broadcastable at vocabulary size), and the per-doc mean is a
+    * final keyed agg. Parity: both probabilities are exact-integer
+    * ratios divided identically, the interpolation is the fixed op
+    * sequence 0.7·pb + 0.3·pu, and each position's ln is truncated to
+    * 1e-9 fixed point BEFORE the sum (t14's precedent), so summation
+    * order cannot move the hash. */
+  private val t16: Fn = (s, d) => {
+    val tokPos = docs(s, d).select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = tokPos
+      .withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("token").as("cur"))
+    val total = tokPos.count()
+    val uni = tokPos.groupBy(col("token").as("cur")).agg(count(lit(1)).as("cu"))
+    val big = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ctx = bg.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val pb = col("cb").cast(DoubleType) / col("cp").cast(DoubleType)
+    val pu = col("cu").cast(DoubleType) / lit(total.toDouble)
+    val lpFp = (log(lit(0.7) * pb + lit(0.3) * pu) * 1e9).cast(LongType)
+    bg.join(big, Seq("prev", "cur")).join(ctx, Seq("prev")).join(uni, Seq("cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(lpFp).as("lp_fp"))
+      .withColumn("avg_logp",
+        round(col("lp_fp").cast(DoubleType) / 1e9 / col("n_bigrams").cast(DoubleType), 4))
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .orderBy("doc_id")
+  }
+  private val t16Sql =
+    """WITH tokpos AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+      |         CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INTEGER) AS pos
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, prev, token AS cur FROM (
+      |    SELECT doc_id, pos, token,
+      |           lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM tokpos) t WHERE prev IS NOT NULL),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tokpos),
+      |uni AS (SELECT token AS cur, count(*) AS cu FROM tokpos GROUP BY 1),
+      |big AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT prev, count(*) AS cp FROM bg GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(CAST(sum(CAST(trunc(ln(0.7 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+      |                                    + 0.3 * (CAST(cu AS DOUBLE) / total)) * 1e9) AS BIGINT)) AS DOUBLE)
+      |             / 1e9 / count(*), 4) AS avg_logp
+      |FROM bg JOIN big USING (prev, cur) JOIN ctx USING (prev) JOIN uni USING (cur), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t16_bigram_logprob", t16, Some(t16Sql)),
     Q("t15_bpe_merges", t15, Some(t15Sql)),
     Q("t14_unigram_logprob", t14, Some(t14Sql)),
     Q("t13_heavy_hitters", t13, Some(t13Sql)),
