@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -816,7 +817,71 @@ object PipelineQueries {
        |FROM t GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
   }
 
+  /** p15: preference-pair construction — the DPO/RLHF data-assembly op:
+    * within each group of content variants (d02's bag-of-words
+    * fingerprint — same word set, different arrangement/repetition),
+    * emit ONE (chosen, rejected) pair: chosen = the least-repetitive
+    * variant (top-bigram fraction, then dup-word fraction, then min
+    * doc_id), rejected = the most-repetitive (reverse order). The
+    * quality metrics are the parity-proven verdict doubles; the two
+    * rankings are windows over the same fingerprint partition, so the
+    * whole op is one keyed shuffle + two in-partition sorts. At 100 TB
+    * the fingerprint is the natural bucketing key and groups are tiny
+    * by construction (variant counts don't grow with the corpus). */
+  private val p15: Fn = (s, d) => {
+    val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val scored = withQualityVerdict(docs(s, d))
+      .withColumn("fp", fp)
+      .select(col("fp"), col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"))
+    val grp = Window.partitionBy(col("fp"))
+    val wCh = Window.partitionBy(col("fp"))
+      .orderBy(col("top_bigram_frac"), col("dup_word_frac"), col("doc_id"))
+    val wRe = Window.partitionBy(col("fp"))
+      .orderBy(desc("top_bigram_frac"), desc("dup_word_frac"), desc("doc_id"))
+    val g = scored
+      .withColumn("n", count(lit(1)).over(grp))
+      .filter(col("n") > 1)
+      .withColumn("rch", row_number().over(wCh))
+      .withColumn("rre", row_number().over(wRe))
+    val ch = g.filter(col("rch") === 1).select(col("fp"),
+      col("doc_id").as("chosen_id"), col("top_bigram_frac").as("chosen_tbf"))
+    val re = g.filter(col("rre") === 1).select(col("fp"),
+      col("doc_id").as("rejected_id"), col("top_bigram_frac").as("rejected_tbf"))
+    ch.join(re, "fp").orderBy("fp")
+  }
+  private val p15Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |         string_split(text, ' ') AS w
+      |  FROM documents),
+      |bgr AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                 i -> concat(w[i], ' ', w[i+1]))) AS bg
+      |  FROM base WHERE len(w) >= 2),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_bg
+      |  FROM (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2) t
+      |  GROUP BY doc_id),
+      |v AS (
+      |  SELECT b.doc_id, b.fp,
+      |         1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dwf,
+      |         CASE WHEN len(w) < 2 THEN 1.0
+      |              ELSE CAST(top_bg AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) END AS tbf
+      |  FROM base b LEFT JOIN top USING (doc_id)),
+      |g AS (
+      |  SELECT *, count(*) OVER (PARTITION BY fp) AS n,
+      |         row_number() OVER (PARTITION BY fp ORDER BY tbf, dwf, doc_id) AS rch,
+      |         row_number() OVER (PARTITION BY fp ORDER BY tbf DESC, dwf DESC, doc_id DESC) AS rre
+      |  FROM v)
+      |SELECT ch.fp, ch.doc_id AS chosen_id, ch.tbf AS chosen_tbf,
+      |       re.doc_id AS rejected_id, re.tbf AS rejected_tbf
+      |FROM (SELECT * FROM g WHERE n > 1 AND rch = 1) ch
+      |JOIN (SELECT * FROM g WHERE n > 1 AND rre = 1) re USING (fp)
+      |ORDER BY fp""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p15_preference_pairs", p15, Some(p15Sql)),
     Q("u08_split_leakage", u08, Some(u08Sql)),
     Q("p14_curriculum_bins", p14, Some(p14Sql)),
     Q("p13_weighted_sample", p13, Some(p13Sql)),
