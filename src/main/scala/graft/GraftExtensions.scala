@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.expressions.{CosineSimilarity, MinHashSignature, SimHashSignature}
-import graft.plans.{GraftStrategy, TopKRewriteRule}
+import graft.plans.{BandJoinRewriteRule, GraftStrategy, TopKRewriteRule}
 
 /** Session extensions: registers the engine's native functions for SQL
   * use, plus the whole-operator extension path — the top-k-per-group
@@ -16,6 +16,7 @@ import graft.plans.{GraftStrategy, TopKRewriteRule}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectOptimizerRule(_ => BandJoinRewriteRule)
     e.injectPlannerStrategy(_ => GraftStrategy)
     def arity(name: String, n: Int)(
         exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {

@@ -412,6 +412,26 @@ object CoverageQueries {
       | AND a.user_id <> b.user_id AND a.event_id < b.event_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** r57: r44's band join written NAIVELY — `abs(a.es − b.es) <= 60`
+    * with no equi key — and left to [[graft.plans.BandJoinRewriteRule]]
+    * to bucketize automatically. Same semantics and oracle as r44; the
+    * point is the optimizer extension: a user writes the O(n·m)
+    * theta-join and the plan that executes is the keyed bucket
+    * equi-join (BandJoinPlanSpec pins the absence of a nested-loop/
+    * cartesian operator in the physical plan). */
+  private val r57: Fn = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_seconds(col("ts")).as("es"))
+    val b = e.select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
+      col("event_type").as("b_event_type"), col("es").as("b_es"))
+    e.join(b,
+        abs(col("es") - col("b_es")) <= 60 &&
+          col("user_id") =!= col("b_user_id") && col("event_id") < col("b_event_id"))
+      .groupBy(col("event_type"), col("b_event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type", "b_event_type")
+  }
+
   /** LATERAL correlated subquery through the actual SQL front-end
     * (spark.sql, not the DataFrame DSL): top-2 orders per customer via a
     * correlated ORDER BY/LIMIT subquery. Exercises parsing, lateral
@@ -599,6 +619,7 @@ object CoverageQueries {
     Q("r45_lateral_topn", r45, Some(r45Sql)),
     Q("r46_gapfill", r46, Some(r46Sql)),
     Q("r44_band_join", r44, Some(r44Sql)),
+    Q("r57_band_join_auto", r57, Some(r44Sql)),
     Q("r24_asof_join", r24, Some(r24Sql)),
     Q("r25_range_join", r25, Some(r25Sql)),
     Q("r26_percentiles", r26, Some(r26Sql)),
