@@ -630,14 +630,23 @@ object SimilarityQueries {
     * sim(v,s) with λ=0.7. Scale shape: the candidate pool is the per-
     * query top-P by similarity (one broadcast-scan + bounded window,
     * s01's plan); the K greedy rounds then operate on Q×P rows — work
-    * independent of corpus size. Each round is one keyed join + argmax
-    * window, all distributed; lineage is truncated per round
-    * (localCheckpoint on Q×K rows) so the plan stays linear in K.
+    * independent of corpus size. The greedy stage runs per query group
+    * inside `flatMapGroups` (the KeyValueGroupedDataset shape for
+    * bounded per-key iteration): P rows of state per group, one
+    * shuffle, full query-parallelism, zero driver rounds. A
+    * DataFrame-loop formulation (one join + argmax window per pick,
+    * lineage checkpointed per round) measured 9 s at sf0.1 — pure
+    * driver/job overhead on Q×P rows of data.
     * Determinism: scores are INTEGER fixed-point (simfp = round(sim·1e4),
     * score = 7·simfp − 3·maxfp) so the greedy argmax replays exactly in
     * the oracle's unrolled round-CTEs — the same trick as the u02/s06/t15
-    * trainer replays, applied to a greedy selection loop. */
+    * trainer replays, applied to a greedy selection loop. The in-JVM
+    * cosine replicates CosineSimilarity.nullSafeEval's fold (ascending
+    * index, float→double per element, denom = sqrt(na·nb)) and Spark
+    * round()'s BigDecimal HALF_UP, so scores are bit-identical to the
+    * Column form the pool uses and to the oracle. */
   private val s09: Fn = (s, d) => {
+    import s.implicits._
     val P = 30
     def simFp(a: Column, b: Column): Column =
       round(VectorOps.cosine(a, b) * 10000, 0).cast(LongType)
@@ -646,30 +655,40 @@ object SimilarityQueries {
     val wp = Window.partitionBy(col("q_id")).orderBy(desc("simfp"), col("vec_id"))
     val pool = scored
       .withColumn("rk", row_number().over(wp)).filter(col("rk") <= P)
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"), col("rk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pool.count() // materialize: every greedy round reads the pool
-    var sel = pool.filter(col("rk") === 1)
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"), lit(1).as("pick"))
-      .localCheckpoint(true)
-    for (r <- 2 to K) {
-      val cand = pool
-        .join(sel.select(col("q_id"), col("vec_id"), lit(1).as("__s")), Seq("q_id", "vec_id"), "left")
-        .filter(col("__s").isNull)
-        .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"))
-      val mm = cand.as("c")
-        .join(sel.select(col("q_id"), col("embedding").as("se")), Seq("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(max(simFp(col("se"), col("c.embedding"))).as("maxfp"))
-      val pick = cand.join(mm, Seq("q_id", "vec_id"))
-        .withColumn("score", col("simfp") * 7 - col("maxfp") * 3)
-        .withColumn("prk", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(desc("score"), col("vec_id"))))
-        .filter(col("prk") === 1)
-        .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"), lit(r).as("pick"))
-      sel = sel.union(pick).localCheckpoint(true)
-    }
-    sel.select(col("q_id"), col("pick").cast(LongType).as("pick"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("simfp"))
+    val kPicks = K
+    val picked = pool.as[(Long, Long, Array[Float], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        def cosFp(a: Array[Float], b: Array[Float]): Long = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val xi = a(i).toDouble; val yi = b(i).toDouble
+            dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+          }
+          val sim = dot / math.sqrt(na * nb)
+          java.math.BigDecimal.valueOf(sim * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        }
+        // relevance order: simfp desc, vec_id asc (= the pool window)
+        val rest = scala.collection.mutable.ArrayBuffer(
+          it.toArray.sortBy(t => (-t._4, t._2)): _*)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var r = 1
+        while (r <= kPicks && rest.nonEmpty) {
+          val pick =
+            if (r == 1) rest.head
+            else rest.minBy(c => (sel.map(cosFp(_, c._3)).max * 3 - c._4 * 7, c._2))
+          sel += pick._3
+          rest -= pick
+          out += ((q, r.toLong, pick._2, pick._4))
+          r += 1
+        }
+        out.result().iterator
+      }
+    picked.toDF("q_id", "pick", "vec_id", "simfp")
+      .select(col("q_id"), col("pick"), col("vec_id"),
         (col("simfp").cast(DoubleType) / 10000.0).as("sim"))
       .orderBy("q_id", "pick")
   }
