@@ -880,7 +880,80 @@ object PipelineQueries {
       |JOIN (SELECT * FROM g WHERE n > 1 AND rre = 1) re USING (fp)
       |ORDER BY fp""".stripMargin
 
+  /** p16: mixture waterfilling — token-budget allocation under
+    * per-source availability, the planning step before p04's mixture
+    * sampling: give every source an equal share of the budget, but a
+    * source with fewer tokens than its share is capped at availability
+    * and its unused share redistributes to the rest. The classic
+    * water-level solution computes in CLOSED FORM with one ordered
+    * window over the per-source aggregate (availability asc): after
+    * saturating the k−1 smallest sources the candidate level is
+    * (B − prefix)/(S−k+1), saturation is a prefix of the sorted order,
+    * and the final water level is the first unsaturated row's
+    * candidate. No iteration, no driver state; the windows run over
+    * #sources rows (never the corpus — the global window is the
+    * documented per-source exception, like p04's mixture cuts).
+    * Budget B = 95% of total corpus tokens (high enough that the small
+    * sources saturate on this fixture, so the redistribution path is
+    * actually exercised), exact integer arithmetic; the level is one
+    * double division of exact integers, identical in both engines. */
+  private val p16: Fn = (s, d) => {
+    val stats = docs(s, d).groupBy("source")
+      .agg(sum(col("n_chars")).cast(LongType).as("c"))
+    val wAll = Window.partitionBy(lit(1))
+    val wOrd = Window.partitionBy(lit(1)).orderBy(col("c"), col("source"))
+    val annotated = stats
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .withColumn("budget", expr("total * 19 DIV 20"))
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("prefix", sum(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("c"))
+      .withColumn("lvl",
+        (col("budget") - col("prefix")).cast(DoubleType) /
+          (col("n_src") - col("k") + 1).cast(DoubleType))
+      .withColumn("saturated", col("c").cast(DoubleType) <= col("lvl"))
+    val levelled = annotated
+      // saturation is a prefix of the availability-sorted order, so the
+      // true water level is the FIRST unsaturated row's candidate (later
+      // rows' candidates over-subtract and can even go negative)
+      .withColumn("first_unsat", min(when(!col("saturated"), col("k"))).over(wAll))
+      .withColumn("water", min(when(col("k") === col("first_unsat"), col("lvl"))).over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("c"))
+          .otherwise(expr("CAST(water AS BIGINT)")))
+      .withColumn("share",
+        round(col("alloc_tokens").cast(DoubleType) / col("budget").cast(DoubleType), 6))
+    levelled.select("source", "c", "saturated", "alloc_tokens", "share")
+      .withColumnRenamed("c", "avail_tokens")
+      .orderBy("source")
+  }
+  private val p16Sql =
+    """WITH stats AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+      |  FROM documents GROUP BY source),
+      |ann AS (
+      |  SELECT source, c,
+      |         sum(c) OVER () AS total,
+      |         count(*) OVER () AS n_src,
+      |         (sum(c) OVER ()) * 19 // 20 AS budget,
+      |         row_number() OVER (ORDER BY c, source) AS k,
+      |         sum(c) OVER (ORDER BY c, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS prefix
+      |  FROM stats),
+      |lv AS (
+      |  SELECT *, CAST(budget - prefix AS DOUBLE) / CAST(n_src - k + 1 AS DOUBLE) AS lvl,
+      |         CAST(c AS DOUBLE) <= CAST(budget - prefix AS DOUBLE) / CAST(n_src - k + 1 AS DOUBLE) AS saturated
+      |  FROM ann),
+      |fu AS (SELECT *, min(CASE WHEN NOT saturated THEN k END) OVER () AS first_unsat FROM lv),
+      |wl AS (SELECT *, min(CASE WHEN k = first_unsat THEN lvl END) OVER () AS water FROM fu)
+      |SELECT source, c AS avail_tokens, saturated,
+      |       CASE WHEN saturated THEN c ELSE CAST(trunc(water) AS BIGINT) END AS alloc_tokens,
+      |       round(CAST(CASE WHEN saturated THEN c ELSE CAST(trunc(water) AS BIGINT) END AS DOUBLE)
+      |             / CAST(budget AS DOUBLE), 6) AS share
+      |FROM wl ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p16_mixture_waterfill", p16, Some(p16Sql)),
     Q("p15_preference_pairs", p15, Some(p15Sql)),
     Q("u08_split_leakage", u08, Some(u08Sql)),
     Q("p14_curriculum_bins", p14, Some(p14Sql)),

@@ -303,4 +303,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       if (vol == 1) assert(open == close && low == high)
     }
   }
+
+  test("p16 waterfill: allocation is feasible, budget-tight, and level-uniform") {
+    val spark = graft.SparkTestSession.spark
+    val rows = graft.SparkEntry.queries("p16_mixture_waterfill")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._2).sum * 19 / 20
+    // never allocate more than available; saturated = exactly available
+    rows.foreach { case (src, avail, sat, alloc) =>
+      assert(alloc <= avail, s"$src over-allocated")
+      if (sat) assert(alloc == avail, s"$src saturated but alloc != avail")
+    }
+    // unsaturated sources share one water level (uniform target weights)
+    val unsat = rows.filter(!_._3).map(_._4).distinct
+    assert(unsat.length <= 1, s"multiple water levels: $unsat")
+    // budget used to within one truncated token per unsaturated source
+    val total = rows.map(_._4).sum
+    assert(total <= budget && budget - total <= math.max(rows.count(r => !r._3), 1),
+      s"alloc $total vs budget $budget")
+    // the redistribution path must actually be exercised on this fixture
+    assert(rows.exists(_._3) && rows.exists(!_._3), "no saturation — spec is vacuous")
+  }
 }

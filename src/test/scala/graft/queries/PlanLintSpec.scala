@@ -38,9 +38,11 @@ class PlanLintSpec extends AnyFunSuite {
   //  - p04/p06 (mixtureCuts): grand-total window over the per-SOURCE
   //    aggregate — input rows = number of sources, never the corpus.
   //  - u04: ranks the 20 survivors of a TakeOrderedAndProject.
+  //  - p16: the waterfill level needs a total order over the per-SOURCE
+  //    availability aggregate — same #sources-rows class as p04.
   private val globalWindowAllowed = Set(
     "etl_enrich_gated", "p05_corpus_shuffle", "p06_assemble_training_set",
-    "p04_mixture_sample", "u04_skew_report")
+    "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill")
 
   private def hasGlobalWindow(name: String): Boolean =
     executions(name).optimizedPlan.collect {
