@@ -52,4 +52,32 @@ class SourceSinkSpec extends AnyFunSuite {
     val header = Files.readAllLines(part).get(0)
     assert(header.endsWith(",start_year"))
   }
+
+  test("writeExact is byte-identical to Python csv: CRLF, QUOTE_MINIMAL, restval") {
+    import spark.implicits._
+    val df = Seq(
+      ("NCT1", "has,comma", "has\"quote", "DONE", "T", "2020-01-01", "ALL",
+        "line\nbreak", "cr\rhere", "plain", "2020"),
+      ("NCT2", "plain", "", "DONE", "T", "2020-01-01", "ALL",
+        "s", "d", "c", "2020"))
+      .toDF("nct_id", "brief_title", "official_title", "overall_status",
+        "study_type", "start_date", "gender", "brief_summary",
+        "detailed_description", "criteria", "start_year")
+    val dir = Files.createTempDirectory("csvexact").toString
+    CsvSink.writeExact(df, dir)
+    val part = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".txt")).findFirst().get
+    val bytes = new String(Files.readAllBytes(part), java.nio.charset.StandardCharsets.UTF_8)
+    // hand-assembled per Python csv.DictWriter semantics: \r\n after
+    // EVERY row (header and last row included); a field quotes iff it
+    // contains delimiter/quote/\r/\n; embedded quotes double; absent
+    // keys (the phantom min/max age) write restval ''
+    val expected =
+      "nct_id,brief_title,official_title,overall_status,minimum_age,maximum_age," +
+        "study_type,start_date,gender,brief_summary,detailed_description,criteria,start_year\r\n" +
+        "NCT1,\"has,comma\",\"has\"\"quote\",DONE,,,T,2020-01-01,ALL," +
+        "\"line\nbreak\",\"cr\rhere\",plain,2020\r\n" +
+        "NCT2,plain,,DONE,,,T,2020-01-01,ALL,s,d,c,2020\r\n"
+    assert(bytes == expected,
+      s"byte diff:\n got=${bytes.replace("\r", "\\r").replace("\n", "\\n")}\nwant=${expected.replace("\r", "\\r").replace("\n", "\\n")}")
+  }
 }
