@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# Full pre-ship gate matrix: compile, tests, oracle compare at all three
+# scale factors in BOTH modes (arrow-exact + driver-equivalent repr),
+# strict row order, ANSI mode, smoke, bench line.
+#
+# Usage: tools/gates.sh [quick]
+#   quick = sf0.01 both-modes + tests only (the inner dev loop)
+#
+# NOTE: never run sbt compile while a background Verify/Bench JVM is
+# running — it clobbers classfiles mid-run.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CP="$(find /opt/spark/jars -name '*.jar' | tr '\n' ':')target/scala-2.13/classes"
+JAVA_FLAGS=(--add-exports java.base/sun.nio.ch=ALL-UNNAMED)
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
+run_verify() { # sfdir outdir  (honors SPARK_GRAFT_ANSI etc. from env)
+  local errs
+  errs=$(java -Xmx20g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Verify "$1" "$2" 2>&1 \
+    | grep '\[verify\]' || true)
+  if [ -n "$errs" ]; then echo "$errs"; echo "VERIFY FAILURES in $1"; exit 1; fi
+}
+
+echo "== compile"
+sbt -batch compile | tail -1
+
+echo "== sf0.01 dump + both-mode compare + ordered"
+run_verify /root/testdata/sf0.01 /tmp/gates_sf001
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_sf001 | tail -1
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_sf001 --ordered | tail -1
+
+echo "== sbt test"
+sbt -batch test 2>&1 | grep -E 'Tests:|\*\*\* FAILED'
+
+if [ "${1:-full}" != "quick" ]; then
+  echo "== sf0.001"
+  run_verify /root/testdata/sf0.001 /tmp/gates_sf0001
+  python3 tools/check_oracle.py /root/testdata/sf0.001 /tmp/gates_sf0001 | tail -1
+  echo "== sf0.1"
+  run_verify /root/testdata/sf0.1 /tmp/gates_sf01
+  python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/gates_sf01 | tail -1
+  echo "== ANSI (sf0.01)"
+  SPARK_GRAFT_ANSI=true run_verify /root/testdata/sf0.01 /tmp/gates_ansi
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_ansi | tail -1
+  echo "== smoke"
+  sbt -batch "runMain graft.Smoke" 2>&1 | grep ENTRY_ROWS
+  echo "== bench (sf0.001 line)"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
+    java -Xmx8g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | grep '"metric"'
+fi
+echo "== ALL GATES GREEN"
