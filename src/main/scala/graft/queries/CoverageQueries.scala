@@ -250,16 +250,30 @@ object CoverageQueries {
     * union-of-sketches estimate — computed FROM the sketch column, the
     * raw table untouched after the first aggregation. No oracle (sketch
     * binaries are engine-specific); CoverageSpec bounds every estimate
-    * against exact distinct counts. */
+    * against exact distinct counts.
+    *
+    * DETERMINISM: DataSketches HLL_4 register compression is lossy in a
+    * merge-order-dependent way (±1 on the estimate), and Spark's
+    * partial-agg merge order varies run to run — two identical runs
+    * produced union estimates 494 vs 495. A versionable sketch artifact
+    * must not flap, so both aggregations get a pinned order: each
+    * source's sketch builds from ONE source-partitioned, doc_id-sorted
+    * partial (the keyed shuffle the groupBy needs anyway), and the
+    * union merges the per-source sketches in source order within a
+    * single partial. */
   private val r52: Fn = (s, d) => {
     val sketches = Tables.documents(s, d)
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
       .groupBy("source")
       .agg(expr("hll_sketch_agg(doc_id)").as("sk"), count(lit(1)).as("n_docs"))
     val perSource = sketches.select(col("source"),
       expr("hll_sketch_estimate(sk)").as("approx_distinct"), col("n_docs"))
-    val total = sketches.agg(
-      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
-      sum(col("n_docs")).as("n_docs"))
+    val total = sketches
+      .repartition(1).sortWithinPartitions(col("source"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
+        sum(col("n_docs")).as("n_docs"))
       .select(lit("__union__").as("source"), col("approx_distinct"), col("n_docs"))
     perSource.unionByName(total).orderBy("source")
   }
