@@ -189,9 +189,9 @@ object DedupQueries {
       |WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
-  // ---- MinHash + LSH (no SQL oracle: hash family is engine-specific) ----
+  // ---- MinHash + LSH (md5-affine hash family — fully oracled) ----
 
-  val MinhashPerms = 64
+  val MinhashPerms = graft.functions.PortableHash.MinhashPerms
   val LshBands = 32 // 32 bands × 2 rows: P(candidate) ≈ 1-(1-j²)^32
   /** Largest (band,bucket) / (chunk,value) group allowed into a candidate
     * self-join. Within-bucket pair generation is quadratic in bucket size,
@@ -211,33 +211,42 @@ object DedupQueries {
 
   /** Per-document MinHash signature via the fused codegen'd
     * [[graft.expressions.MinHashSignature]] kernel: one traversal of the
-    * once-hashed shingles per document, no shuffle, no intermediate
-    * arrays — the signature stage is pure map work at any scale. Output
-    * is bit-identical to [[minhashSignaturesBuiltin]] (same xxhash64
-    * seed chain; asserted in SignatureExpressionsSpec). */
+    * shingles per document (one md5 + 64 affine remixes each), no
+    * shuffle, no intermediate arrays — the signature stage is pure map
+    * work at any scale. Output is bit-identical to
+    * [[minhashSignaturesBuiltin]] (same md5-affine family, see
+    * [[graft.functions.PortableHash]]; asserted in
+    * SignatureExpressionsSpec) AND to the d04 oracle's SQL replay. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     shingled(s, d)
       .select(col("doc_id"), graft.functions.SignatureOps.minhash(col("shingles")).as("sig"))
 
   /** Built-ins-only reference implementation of the same signature
-    * (64 `array_min`/`transform` passes over per-seed re-mixes): proof
-    * the semantics need no extension, and the bit-for-bit comparison
-    * target for the fused kernel. */
-  def minhashSignaturesBuiltin(s: SparkSession, d: String): DataFrame =
+    * (64 `array_min`/`transform` passes over per-perm affine remixes):
+    * proof the semantics need no extension, and the bit-for-bit
+    * comparison target for the fused kernel. */
+  def minhashSignaturesBuiltin(s: SparkSession, d: String): DataFrame = {
+    val PH = graft.functions.PortableHash
     shingled(s, d)
-      .select(col("doc_id"), transform(col("shingles"), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), transform(col("shingles"), x => PH.hex7(x)).as("hs"))
       .select(col("doc_id"),
         array((0 until MinhashPerms).map(j =>
-          array_min(transform(col("hs"), h => xxhash64(lit(j), h)))): _*).as("sig"))
+          array_min(transform(col("hs"),
+            h => (h * PH.MinhashA(j) + PH.MinhashB(j)) % PH.P))): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-dup: band the signature (32 bands × 2 rows), bucket
-    * by band hash, generate candidate pairs per bucket, verify candidates
+    * by the band's signature PAIR (encoded injectively as sv0·P + sv1 —
+    * plain integer arithmetic both engines share; an engine hash here
+    * would break oracle parity for zero benefit: LSH only needs bucket
+    * EQUALITY), generate candidate pairs per bucket, verify candidates
     * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified subset). */
   private val d04: Fn = (s, d) => {
+    val P = graft.functions.PortableHash.P
     val sig = minhashSignatures(s, d)
     val bands = capBuckets(sig.select(col("doc_id"),
       posexplode(array((0 until LshBands).map { b =>
-        xxhash64(lit(b.toString), col("sig")(b * 2), col("sig")(b * 2 + 1))
+        col("sig")(b * 2) * P + col("sig")(b * 2 + 1)
       }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
@@ -258,17 +267,22 @@ object DedupQueries {
       .orderBy("d1", "d2")
   }
 
-  /** SimHash near-dup: 64-bit signature from token hashes (sign-weighted
-    * bit voting), candidates must share one of four 16-bit chunks
-    * (pigeonhole: hamming ≤ 3 pairs are guaranteed candidates WITHIN the
-    * [[MaxBucket]] cap — a chunk bucket holding >MaxBucket docs keeps
-    * only the lowest doc_ids, trading that guarantee for bounded reducer
-    * cost on degenerate corpora; wider dists found best-effort),
-    * verified by popcount(xor) ≤ 8. */
-  /** Per-document 64-bit SimHash via the fused codegen'd
+  /** SimHash near-dup: 60-bit signature from token hashes (sign-weighted
+    * bit voting over the 60-bit md5-prefix base — the widest md5 prefix
+    * both engines parse exactly into a signed 64-bit, see
+    * [[graft.functions.PortableHash]]), candidates must share one of
+    * four 15-bit chunks (pigeonhole: hamming ≤ 3 pairs are guaranteed
+    * candidates WITHIN the [[MaxBucket]] cap — a chunk bucket holding
+    * >MaxBucket docs keeps only the lowest doc_ids, trading that
+    * guarantee for bounded reducer cost on degenerate corpora; wider
+    * dists found best-effort), verified by popcount(xor) ≤ 8. */
+  val SimhashBits = graft.expressions.SignatureKernels.SimhashBits
+  val SimhashChunkBits = SimhashBits / 4
+
+  /** Per-document 60-bit SimHash via the fused codegen'd
     * [[graft.expressions.SimHashSignature]] kernel: one pass over the
     * token occurrences per row replaces TWO aggregation shuffles (token
-    * weights, then 64 bit-vote sums) — at scale the signature stage goes
+    * weights, then 60 bit-vote sums) — at scale the signature stage goes
     * from two exchanges to zero. Public so the spec can compute exact
     * all-pairs hamming ground truth against the same signatures d05
     * buckets; bit-identical to [[simhashSignaturesBuiltin]]. */
@@ -277,18 +291,18 @@ object DedupQueries {
       graft.functions.SignatureOps.simhash(toks).as("simhash"))
 
   /** Built-ins-only reference implementation (explode → per-token
-    * weights → 64 signed bit-vote aggregates): the comparison target
+    * weights → 60 signed bit-vote aggregates): the comparison target
     * proving the fused kernel's semantics. */
   def simhashSignaturesBuiltin(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d).select(col("doc_id"), explode(toks).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", graft.functions.PortableHash.hex15(col("t")))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$b")
     }
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        (0 until SimhashBits).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
           .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
@@ -296,7 +310,8 @@ object DedupQueries {
     val sig = simhashSignatures(s, d)
     val chunks = capBuckets(sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v"))),
+        shiftright(col("simhash"), c * SimhashChunkBits)
+          .bitwiseAND((1L << SimhashChunkBits) - 1)): _*)).as(Seq("chunk", "v"))),
       Seq("chunk", "v"))
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
@@ -307,6 +322,88 @@ object DedupQueries {
       .filter(col("hamming") <= 8)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
+  }
+
+  /** d04 oracle: full SQL replay of the LSH pipeline — same shingles,
+    * same md5-affine signatures (the 64 (a_j, b_j) constants are
+    * interpolated from [[graft.functions.PortableHash]]), same band
+    * pairing, bucket cap, candidate join, and exact verification. */
+  private val d04Sql = {
+    val PH = graft.functions.PortableHash
+    s"""WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |hs AS (SELECT doc_id, ${PH.hexSql("s", 7)} AS h FROM sh),
+      |perms(j, a, b) AS (VALUES ${PH.permsValuesSql}),
+      |sig AS (
+      |  SELECT doc_id, j, min((h * a + b) % ${PH.P}) AS sv
+      |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
+      |bands AS (
+      |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+      |         CAST(sum(CASE WHEN j % 2 = 0 THEN sv * ${PH.P} ELSE sv END) AS BIGINT) AS bucket
+      |  FROM sig GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT doc_id, band, bucket FROM (
+      |    SELECT doc_id, band, bucket,
+      |           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+      |    FROM bands) t WHERE rn <= $MaxBucket),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS inter
+      |  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+      |              JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) AS jaccard
+      |FROM (SELECT i.d1, i.d2, i.inter, s1.n AS n1, s2.n AS n2
+      |      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id) t
+      |WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** d05 oracle: SQL replay of the SimHash pipeline — per-token 60-bit
+    * md5-prefix bit sources, exact integer bit-vote sums, chunk buckets,
+    * cap, and the popcount(xor) ≤ 8 verification. */
+  private val d05Sql = {
+    val PH = graft.functions.PortableHash
+    s"""WITH tok AS (
+      |  SELECT doc_id, t, count(*) AS w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, t),
+      |h AS (SELECT doc_id, w, ${PH.hexSql("t", 15)} AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS b) bits
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, simhash, CAST(c AS INTEGER) AS c,
+      |         (simhash >> CAST(c * $SimhashChunkBits AS INTEGER)) & ${(1L << SimhashChunkBits) - 1} AS v
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+      |capped AS (
+      |  SELECT doc_id, simhash, c, v FROM (
+      |    SELECT doc_id, simhash, c, v,
+      |           row_number() OVER (PARTITION BY c, v ORDER BY doc_id) AS rn
+      |    FROM chunks) t WHERE rn <= $MaxBucket),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         a.simhash AS s1, b.simhash AS s2
+      |  FROM capped a JOIN capped b
+      |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+      |FROM pairs
+      |WHERE bit_count(xor(s1, s2)) <= 8
+      |ORDER BY d1, d2""".stripMargin
   }
 
   /** Embedding-cosine near-dup, label-blocked (at 100 TB the block key is
@@ -583,8 +680,8 @@ object DedupQueries {
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_bow_dedup", d02, Some(d02Sql)),
     Q("d03_ngram_jaccard", d03, Some(d03Sql)),
-    Q("d04_minhash_lsh", d04, None),
-    Q("d05_simhash", d05, None),
+    Q("d04_minhash_lsh", d04, Some(d04Sql)),
+    Q("d05_simhash", d05, Some(d05Sql)),
     Q("d06_embedding_neardup", d06, Some(d06Sql)),
     Q("d09_embedding_ivf_neardup", d09, Some(d09Sql)),
     Q("d08_dedup_clusters", d08, Some(d08Sql)))

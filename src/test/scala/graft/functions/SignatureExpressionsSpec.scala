@@ -6,8 +6,10 @@ import graft.SparkTestSession
 import graft.queries.DedupQueries
 
 /** The fused signature kernels must be BIT-IDENTICAL to the built-in
-  * compositions they replace — same xxhash64 seed chain — so the LSH
-  * recall/precision characteristics carry over unchanged. */
+  * compositions they replace — same md5-prefix base hash and affine
+  * permutation family (PortableHash) — so the LSH recall/precision
+  * characteristics carry over unchanged AND the d04/d05 DuckDB oracles
+  * replay the identical signatures. */
 class SignatureExpressionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -61,7 +63,7 @@ class SignatureExpressionsSpec extends AnyFunSuite {
     assert(out.isNullAt(3))
     // simhash of a token multiset: occurrence voting, not distinct —
     // 'x' voting twice must dominate every bit where 'x' and 'y' differ
-    val hx = Seq("x").toDF("t").select(xxhash64(col("t"))).collect().head.getLong(0)
+    val hx = graft.functions.PortableHash.md5PrefixLong("x", 15)
     assert(out.getLong(2) == hx) // 2 x-votes vs 1 y-vote: sign(h_x bits) wins everywhere
   }
 }

@@ -41,11 +41,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("minhash-lsh measured recall: the FULL exact >= 0.4 pair set is found") {
     // Measured recall on this fixture is 1.0 (28/28 at sf0.001, 25/25 at
-    // sf0.01) and the pipeline is fully deterministic (xxhash64 signatures,
-    // fixed bands) — so the floor IS the measured value: any missed exact
-    // pair is a real regression in the signature/banding stages, not
-    // sampling noise. Together with the precision-1.0 spec above this
-    // pins d04's output to exactly the d03 pair set on this fixture.
+    // sf0.01) and the pipeline is fully deterministic (md5-affine
+    // signatures, fixed bands) — so the floor IS the measured value: any
+    // missed exact pair is a real regression in the signature/banding
+    // stages, not sampling noise. Together with the precision-1.0 spec
+    // above this pins d04's output to exactly the d03 pair set on this
+    // fixture.
     val lsh = run("d04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.keySet.subsetOf(lsh),
       s"missed: ${exactPairs.keySet -- lsh} (measured recall is 1.0; deterministic)")
@@ -88,7 +89,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("simhash pigeonhole guarantee: every pair with hamming <= 3 is found") {
-    // 3 bit flips can touch at most 3 of the 4 16-bit chunks, so one
+    // 3 bit flips can touch at most 3 of the 4 15-bit chunks, so one
     // chunk always collides — such pairs are GUARANTEED candidates, not
     // best-effort. The guarantee is scoped to buckets within MaxBucket
     // (this fixture's chunk buckets are far below the cap; the cap spec
