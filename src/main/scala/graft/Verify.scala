@@ -18,8 +18,13 @@ object Verify {
     * duckdb `.df()` (DECIMAL → float64), then hashes string reprs — so
     * `Decimal('218536.00')` vs float `218536.0` is a hash mismatch even
     * when values are identical. Internal arithmetic stays decimal-exact;
-    * only the dumped schema is widened, and the double conversion is
-    * bitwise-identical across both engines. */
+    * only the dumped schema is widened. The double conversion is
+    * bitwise-identical across both engines while the UNSCALED decimal
+    * magnitude stays within 2^53 (DuckDB converts int128/10^scale with
+    * one correctly-rounded divide; Spark's BigDecimal.doubleValue is
+    * correctly rounded throughout) — sum aggregates past ~9e15 unscaled
+    * could drift a ulp and flip the repr hash, which is why the gate
+    * matrix runs the driver-mode compare at the largest SF. */
   private def ntz(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map {
       case StructField(n, TimestampType, _, _) => col(n).cast(TimestampNTZType).as(n)

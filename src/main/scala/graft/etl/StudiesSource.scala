@@ -26,7 +26,11 @@ object StudiesSource {
     * inference (a full file pass) EAGERLY at plan time, on every
     * `spark.read.json` call — with four registered etl queries over the
     * same fixture that fixed cost dominates their benchmark time. Same
-    * immutable-once-loaded contract as [[graft.Tables]]. */
+    * immutable-once-loaded contract as [[graft.Tables]]: there is NO
+    * content invalidation, so a path whose file is rewritten within one
+    * session would serve the stale schema/plan. Callers (EtlQueries,
+    * Bench warm-up, PipelineSpec) all read fixed fixture paths; a test
+    * that mutates a page file must use a fresh path or session. */
   private val pageCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

@@ -33,6 +33,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    zero (the zero bucket is merely wider), so a span of length `C`
   *    crosses at most one transition and band pairs always land in
   *    adjacent-or-equal buckets;
+  *  - overflow: the kept band predicate is rebuilt over Long-CAST
+  *    operands, so for IntegerType columns every subtraction in the
+  *    rewritten plan is exact (|x−y| < 2^33 fits a Long) and agrees
+  *    with the bucket arithmetic — the rewrite implements the TRUE band
+  *    semantics. The un-rewritten nested loop under non-ANSI Int wrap
+  *    would ADDITIONALLY match pairs ~2^32 apart (and under ANSI would
+  *    raise); we deliberately do not preserve that wrap artifact. For
+  *    LongType columns the "no pair lost" claim holds while true
+  *    |x−y| stays below 2^63 − C — operands at opposite Long extremes
+  *    are outside the rule's contract (document, don't wrap);
   *  - disable wholesale with `spark.graft.bandJoinRewrite.enabled=false`.
   */
 object BandJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -43,16 +53,17 @@ object BandJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def isBandType(e: Expression): Boolean =
     e.dataType == IntegerType || e.dataType == LongType
 
-  /** (leftExpr, rightExpr, width) if `e` is `abs(x - y) <= C` (or
-    * `< C`) with x/y on opposite sides of the join. */
+  /** (leftExpr, rightExpr, width, strict) if `e` is `abs(x - y) <= C`
+    * (or `< C`, strict) with x/y on opposite sides of the join. */
   private def bandConjunct(e: Expression, left: LogicalPlan,
-                           right: LogicalPlan): Option[(Expression, Expression, Long)] = {
-    def sides(x: Expression, y: Expression, c: Long): Option[(Expression, Expression, Long)] = {
+                           right: LogicalPlan): Option[(Expression, Expression, Long, Boolean)] = {
+    def sides(x: Expression, y: Expression, c: Long,
+              strict: Boolean): Option[(Expression, Expression, Long, Boolean)] = {
       if (c <= 0 || !isBandType(x) || !isBandType(y)) None
       else if (x.references.subsetOf(left.outputSet) && y.references.subsetOf(right.outputSet))
-        Some((x, y, c))
+        Some((x, y, c, strict))
       else if (y.references.subsetOf(left.outputSet) && x.references.subsetOf(right.outputSet))
-        Some((y, x, c))
+        Some((y, x, c, strict))
       else None
     }
     def lit(l: Literal): Option[Long] = l.value match {
@@ -63,13 +74,13 @@ object BandJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     e match {
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), l: Literal) =>
-        lit(l).flatMap(sides(x, y, _))
+        lit(l).flatMap(sides(x, y, _, strict = false))
       case LessThan(Abs(Subtract(x, y, _), _), l: Literal) =>
-        lit(l).flatMap(sides(x, y, _))
+        lit(l).flatMap(sides(x, y, _, strict = true))
       case GreaterThanOrEqual(l: Literal, Abs(Subtract(x, y, _), _)) =>
-        lit(l).flatMap(sides(x, y, _))
+        lit(l).flatMap(sides(x, y, _, strict = false))
       case GreaterThan(l: Literal, Abs(Subtract(x, y, _), _)) =>
-        lit(l).flatMap(sides(x, y, _))
+        lit(l).flatMap(sides(x, y, _, strict = true))
       case _ => None
     }
   }
@@ -95,9 +106,11 @@ object BandJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
         if (hasEquiConjunct(conjuncts, left, right)) j
-        else conjuncts.flatMap(bandConjunct(_, left, right)).headOption match {
+        else conjuncts.iterator
+          .map(e => e -> bandConjunct(e, left, right))
+          .collectFirst { case (orig, Some(t)) => (orig, t) } match {
           case None => j
-          case Some((lx, rx, c)) =>
+          case Some((orig, (lx, rx, c, strict))) =>
             val width = Literal(c, LongType)
             def bucketOf(e: Expression): Expression =
               IntegralDivide(Cast(e, LongType), width)
@@ -112,7 +125,14 @@ object BandJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             val genOut = AttributeReference("__graft_band_bk_r", LongType, nullable = true)()
             val newRight = Generate(Explode(arr), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(genOut), child = right)
-            val newCond = And(EqualTo(lAlias.toAttribute, genOut), cond)
+            // Rebuild the band conjunct over Long-cast operands so the
+            // kept filter is exact for Int columns (no non-ANSI wrap, no
+            // ANSI overflow error) and consistent with the bucket keys.
+            val diff = Abs(Subtract(Cast(lx, LongType), Cast(rx, LongType)))
+            val exactBand =
+              if (strict) LessThan(diff, width) else LessThanOrEqual(diff, width)
+            val kept = conjuncts.map(e => if (e eq orig) exactBand else e).reduce(And)
+            val newCond = And(EqualTo(lAlias.toAttribute, genOut), kept)
             Project(j.output,
               Join(newLeft, newRight, Inner, Some(newCond), hint))
         }

@@ -282,16 +282,24 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
       |ORDER BY o_custkey""".stripMargin
 
-  /** EXCEPT — customers that never ordered; equivalently a left-anti join
-    * (DuckDB side uses EXCEPT, Spark side `except`). */
+  /** EXCEPT — customers that never placed an URGENT-priority order;
+    * equivalently a left-anti join (DuckDB side uses EXCEPT, Spark side
+    * `except`). Round 3's subtrahend was "any order", which this
+    * fixture's orders fully cover — both engines returned ZERO rows and
+    * the oracle was vacuously green (the EXCEPT path never touched data
+    * at the correctness SF). The priority predicate leaves real
+    * survivors at every SF; check_oracle.py now also fails any query
+    * whose dump is 0 rows, so a vacuous green cannot recur. */
   private val q13: Fn = (s, d) =>
     Tables.customer(s, d).select("c_custkey")
-      .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .except(Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
   private val q13Sql =
     """SELECT c_custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY c_custkey""".stripMargin
 
   /** UNION ALL of two branches then re-aggregate. */

@@ -112,9 +112,13 @@ private class CommitLogBatchWrite(path: String, schema: StructType, queryId: Str
     // (as in Delta/Iceberg without a locking catalog): two concurrent
     // committers could still mint the same seq; a multi-writer deployment
     // needs a coordinating catalog to allocate sequence numbers.
+    // Only names with a digit prefix participate in the max-fold: a
+    // stray/foreign "*.manifest" without one would otherwise throw on
+    // "".toLong and permanently fail every subsequent commit.
     val seq = commitsDir.toFile.list()
       .filter(_.endsWith(".manifest"))
-      .map(_.takeWhile(_.isDigit).toLong)
+      .map(_.takeWhile(_.isDigit))
+      .collect { case ds if ds.nonEmpty => ds.toLong }
       .foldLeft(-1L)(math.max) + 1
     val tmp = commitsDir.resolve(s".$txn.tmp")
     // fsync the tmp content BEFORE the rename — without it, a power loss

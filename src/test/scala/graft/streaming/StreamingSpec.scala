@@ -12,6 +12,11 @@ import graft.SparkTestSession
 case class E(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, source: String, text: String)
 
+/** Poison-pill switch for the crash-restart spec: a JVM-global object so
+  * executor threads (local mode, same JVM) see the flag without closure
+  * serialization capturing a stale copy. */
+object CrashFlag { @volatile var armed = false }
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -191,6 +196,55 @@ class StreamingSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/data")
     assert(back.count() == 30)
     assert(back.select("doc_id").distinct().count() == 30)
+  }
+
+  test("ingest front-end: hard mid-batch crash, restart is exactly-once and equals the batch twin") {
+    // Harsher than the graceful-stop restart above: incarnation 1 DIES
+    // from an executor-task exception thrown mid-batch (after some
+    // partitions may already have written sink files), not from stop().
+    // Exactly-once then rests entirely on the file sink's commit log —
+    // uncommitted files from the failed batch must stay invisible, and
+    // the replayed batch must commit once. Final output must equal the
+    // batch twin (st4 semantics) on the full input, proving the crash
+    // left no dupes AND no holes.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ingest_kill").toString
+    val docs = (1L to 40L).map(i => Doc(i, "srcA", s"word$i alpha beta gamma plus tail $i"))
+    val schema = org.apache.spark.sql.Encoders.product[Doc].schema
+    def startQuery(poisoned: Boolean) = {
+      val src = spark.readStream.schema(schema).json(s"$dir/in").as[Doc]
+        .map { d =>
+          if (poisoned && CrashFlag.armed && d.doc_id == 13L)
+            throw new RuntimeException("injected mid-batch crash")
+          d
+        }.toDF()
+      StreamingOps.ingestDocs(src).writeStream
+        .format("parquet").option("path", s"$dir/data")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .partitionBy("split").outputMode("append").start()
+    }
+    docs.take(20).toDF().coalesce(1).write.mode("append").json(s"$dir/in")
+    CrashFlag.armed = true
+    val q1 = startQuery(poisoned = true)
+    val died = intercept[Exception] { q1.processAllAvailable() }
+    assert(died.getMessage != null)
+    assert(!q1.isActive, "incarnation 1 must be dead, not gracefully stopped")
+    // restart from the same checkpoint, crash disarmed; deliver the rest
+    CrashFlag.armed = false
+    val q2 = startQuery(poisoned = false)
+    q2.processAllAvailable()
+    docs.drop(20).toDF().coalesce(1).write.mode("append").json(s"$dir/in")
+    q2.processAllAvailable(); q2.stop()
+    // read through the sink's commit log (_spark_metadata): uncommitted
+    // leftovers from the crashed batch are invisible by contract
+    val got = spark.read.parquet(s"$dir/data")
+      .select("doc_id", "content_fp", "split", "shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val want = StreamingOps.ingestDocs(docs.toDF())
+      .select("doc_id", "content_fp", "split", "shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == want, s"restart output diverged from the batch twin: ${got.size} vs ${want.size}")
+    assert(got.size == 40)
   }
 
   test("stream-static incremental dedup matches p07's 'new' disposition set") {

@@ -189,6 +189,13 @@ def main():
                     fails.append(f"driver: {d}")
             except Exception as e:
                 fails.append(f"driver: harness error {type(e).__name__}: {e}")
+        # Vacuous-green lint: a 0-row dump "matches" any oracle that also
+        # returns 0 rows without the query's operator path ever touching
+        # data (q13's round-3 lesson). Every registered query must yield
+        # survivors at every tested SF — an empty result is a FAIL even
+        # when both engines agree on it.
+        if not fails and not DRIVER_ONLY and nrows == 0:
+            fails.append("vacuous: 0 rows at this SF — parity proven on nothing")
         if fails:
             print(f"FAIL {name}: " + " | ".join(fails))
             n_fail += 1

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Cross-run determinism gate: arrow-level diff of two INDEPENDENT
+graft.Verify dumps of the same queries at the same SF.
+
+Usage: python3 tools/diff_dumps.py <dumpDirA> <dumpDirB>
+
+Any difference between two runs of identical code is run-to-run
+nondeterminism (merge-order-sensitive aggregation state, uncommitted
+ordering, wallclock leakage) — the r52 HLL flap (494<->495 on identical
+code) was exactly this shape and was caught by hand with this diff;
+this tool makes it a standing gate. Rows are canonicalized like the
+oracle compare (columns sorted by name, rows sorted by all non-nested
+columns); floats compare bitwise.
+"""
+import glob
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import check_oracle  # canon() + col_diff() — same comparison semantics
+
+
+def load(d, name):
+    files = sorted(glob.glob(f"{d}/{name}/*.parquet"))
+    if not files:
+        return None
+    return check_oracle.canon(pa.concat_tables([pq.read_table(f) for f in files]))
+
+
+def main():
+    a, b = sys.argv[1], sys.argv[2]
+    # Enumerate dump SUBDIRS, not oracle_sql.json: the no-oracle sketch
+    # queries (r28/r47/r52) are precisely where merge-order
+    # nondeterminism hides, and they must be covered too.
+    names = sorted(e.name for e in os.scandir(a) if e.is_dir())
+    n_fail = 0
+    for name in names:
+        ta, tb = load(a, name), load(b, name)
+        if ta is None or tb is None:
+            print(f"FAIL {name}: missing dump ({'A' if ta is None else 'B'})")
+            n_fail += 1
+            continue
+        if ta.column_names != tb.column_names:
+            print(f"FAIL {name}: columns {ta.column_names} vs {tb.column_names}")
+            n_fail += 1
+            continue
+        if ta.num_rows != tb.num_rows:
+            print(f"FAIL {name}: rows {ta.num_rows} vs {tb.num_rows}")
+            n_fail += 1
+            continue
+        diffs = [d for c in ta.column_names
+                 if (d := check_oracle.col_diff(c, ta.column(c), tb.column(c)))]
+        if diffs:
+            print(f"FAIL {name}: nondeterministic: " + "; ".join(diffs[:4]))
+            n_fail += 1
+    print(f"determinism: {len(names) - n_fail}/{len(names)} queries identical across runs")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,10 +15,14 @@ CP="$(find /opt/spark/jars -name '*.jar' | tr '\n' ':')target/scala-2.13/classes
 JAVA_FLAGS=(--add-exports java.base/sun.nio.ch=ALL-UNNAMED)
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
 run_verify() { # sfdir outdir  (honors SPARK_GRAFT_ANSI etc. from env)
-  local errs
-  errs=$(java -Xmx20g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Verify "$1" "$2" 2>&1 \
-    | grep '\[verify\]' || true)
-  if [ -n "$errs" ]; then echo "$errs"; echo "VERIFY FAILURES in $1"; exit 1; fi
+  # tee to a log instead of a bare pipe: a Verify JVM that dies printing
+  # no [verify] line (OOM, launch failure) must fail the gate directly,
+  # not surface downstream as per-query "no spark output".
+  local log=/tmp/gates_verify.log
+  if ! java -Xmx20g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Verify "$1" "$2" >"$log" 2>&1; then
+    tail -5 "$log"; echo "VERIFY JVM EXITED NONZERO for $1"; exit 1
+  fi
+  if grep '\[verify\]' "$log"; then echo "VERIFY FAILURES in $1"; exit 1; fi
 }
 
 echo "== compile"
@@ -42,6 +46,12 @@ if [ "${1:-full}" != "quick" ]; then
   echo "== ANSI (sf0.01)"
   SPARK_GRAFT_ANSI=true run_verify /root/testdata/sf0.01 /tmp/gates_ansi
   python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_ansi | tail -1
+  echo "== determinism (two independent sf0.01 dumps, arrow diff)"
+  # Second dump from a FRESH JVM: merge-order-sensitive state (HLL/GK
+  # sketch internals, uncommitted orderings) flaps across runs, not
+  # within one — the r52 494<->495 flap is this gate's reason to exist.
+  run_verify /root/testdata/sf0.01 /tmp/gates_sf001_b
+  (cd tools && python3 diff_dumps.py /tmp/gates_sf001 /tmp/gates_sf001_b) | tail -1
   echo "== smoke"
   sbt -batch "runMain graft.Smoke" 2>&1 | grep ENTRY_ROWS
   echo "== bench (sf0.001 line)"
