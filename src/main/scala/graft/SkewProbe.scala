@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical skew probe for the dedup path (round-3 verdict item 8):
+  * the prefix-filter (d03/d08) and bucket-cap (d04/d05) skew claims are
+  * proven on a corpus the fixtures cannot represent — ~10× sf0.1's
+  * document count with a HOT boilerplate sentence shared by 30% of
+  * documents (df ≈ 0.3·N). On that corpus the naive shared-shingle join
+  * would emit Σ c² ≈ 8·(0.3·N)² candidate rows through whichever
+  * reducer owns each hot shingle (at N=50k: ~1.8e9 rows — the job
+  * shape that dies at 100 TB); the prefix-filtered plan must exclude
+  * the hot shingles from every document's rarest-first prefix and
+  * finish with NO skewed stage.
+  *
+  * The probe runs d03 / d04 / d08 on the synthetic corpus under a
+  * listener that records per-task shuffle-read records per stage and
+  * FAILS if any large stage (≥8 tasks, ≥100k records) has one task
+  * reading more than 50% of the stage's records — the signature of a
+  * hot-key single-reducer stage. Wall times and the worst per-stage
+  * skew share are printed for the scale-design notes.
+  *
+  * Usage: graft.SkewProbe [nDocs] (default 50000)
+  *        graft.SkewProbe naive [nDocs] — negative control: run the
+  *        NAIVE shared-shingle join on the same skewed corpus and
+  *        require the listener to DETECT the hot-key stage (proves the
+  *        detector isn't vacuous; run at a smaller n — the naive plan
+  *        is quadratic in the hot df).
+  */
+object SkewProbe {
+
+  /** Deterministic skewed corpus:
+    *  - every doc: 60 globally-unique filler tokens (w<fam*61+i>) plus
+    *    a per-doc mutation token, so baseline shingles have df=1;
+    *  - ids ≡ 0 (mod 50): filler copied from doc id−1 → a true near-dup
+    *    pair (Jaccard ≈ 0.8 after the mutation token) every 50 docs;
+    *  - ids ≡ 0,1,2 (mod 10): a shared 12-token boilerplate sentence →
+    *    8 shingles with document frequency 0.3·N (the hot keys). */
+  def corpus(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    // exactly 5 tokens -> exactly ONE hot 5-gram shingle, so the whole
+    // Σc² blowup lands on a single join key (the worst case for a
+    // shuffle join; 8+ hot shingles would spread it over 8 reducers and
+    // soften the single-reducer signature this probe exists to catch)
+    val boiler = "the quick brown fox jumps"
+    spark.range(1, n + 1).select(col("id").as("doc_id"))
+      .withColumn("fam",
+        when(pmod(col("doc_id"), lit(50)) === 0, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("filler",
+        array_join(transform(sequence(lit(1), lit(60)),
+          i => concat(lit("w"), (col("fam") * 61 + i).cast("string"))), " "))
+      .withColumn("text", concat(
+        col("filler"),
+        lit(" m"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(10)) < 3, lit(" " + boiler)).otherwise(lit(""))))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("probe"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** stageId -> per-task (shuffleRead + shuffleWrite records, runtime).
+    * Both directions matter: a hot-key JOIN stage reads few records per
+    * key but EMITS the quadratic pair blowup — it shows up in shuffle
+    * WRITE records (and task time), not reads. */
+  private final class SkewListener extends SparkListener {
+    val stages =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[(Long, Long)]]()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val recs = m.shuffleReadMetrics.recordsRead + m.shuffleWriteMetrics.recordsWritten
+        stages.computeIfAbsent(te.stageId, _ => new java.util.Vector[(Long, Long)]())
+          .add((recs, m.executorRunTime))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val naiveControl = args.headOption.contains("naive")
+    val rest = if (naiveControl) args.drop(1) else args
+    val n = rest.headOption.map(_.toLong).getOrElse(if (naiveControl) 5000L else 50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (naiveControl)
+      // the control must reproduce the AT-SCALE plan shape: a corpus
+      // whose shingle relation cannot broadcast, so the shared-shingle
+      // join shuffles by shingle and the hot key owns one reducer. At
+      // toy size AQE broadcast-joins it and hides exactly that shape.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = java.nio.file.Files.createTempDirectory("skewprobe").toString
+    corpus(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    println(s"[probe] corpus: $n docs at $dir (hot-shingle df ≈ ${(0.3 * n).toLong})")
+
+    val listener = new SkewListener
+    spark.sparkContext.addSparkListener(listener)
+    var failed = false
+    val runs: Seq[(String, () => Long)] =
+      if (naiveControl)
+        Seq("d03_NAIVE_control" -> (() => queries.DedupQueries.jaccardPairsNaive(spark, dir).count()))
+      else Seq(
+        "d03_ngram_jaccard" -> (() => SparkEntry.queries("d03_ngram_jaccard")(spark, dir).count()),
+        "d04_minhash_lsh" -> (() => SparkEntry.queries("d04_minhash_lsh")(spark, dir).count()),
+        "d08_dedup_clusters" -> (() => SparkEntry.queries("d08_dedup_clusters")(spark, dir).count()))
+    runs.foreach { case (q, run) =>
+      listener.stages.clear()
+      val t0 = System.nanoTime()
+      val rows = run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      // skew audit: share of the stage's shuffle records (read+write)
+      // in its single heaviest task — a hot-key stage shows up as ~1.0
+      import scala.jdk.CollectionConverters._
+      val audits = listener.stages.asScala.toSeq.flatMap { case (sid, v) =>
+        val xs = v.asScala.toSeq
+        val total = xs.map(_._1).sum
+        val time = xs.map(_._2).sum
+        if (xs.size >= 8 && total >= 100000L)
+          Some((sid, xs.size, total, xs.map(_._1).max.toDouble / total,
+            if (time == 0) 0.0 else xs.map(_._2).max.toDouble / time))
+        else None
+      }
+      val worst = audits.sortBy(-_._4).headOption
+      audits.filter(_._4 > 0.5).foreach { case (sid, k, total, share, tshare) =>
+        println(f"[probe] SKEW $q stage $sid: ${share * 100}%.1f%% of $total%d shuffle records " +
+          f"(${tshare * 100}%.1f%% of run time) in 1 of $k%d tasks")
+        failed = true
+      }
+      val worstStr = worst.map { case (sid, k, total, share, tshare) =>
+        f"worst stage $sid: ${share * 100}%.1f%% of $total%d recs, ${tshare * 100}%.1f%% of time, in 1/$k%d tasks"
+      }.getOrElse("no large shuffle stage")
+      println(f"[probe] $q: $rows%d rows in $dt%.1f s; $worstStr")
+    }
+    if (naiveControl) {
+      // the control must TRIP the detector — a clean run here means the
+      // listener is blind, not that the naive plan is fine
+      if (!failed) { System.err.println("[probe] NEGATIVE CONTROL DID NOT TRIP"); sys.exit(1) }
+      println("[probe] CONTROL PASS: naive hot-shingle stage detected as skewed")
+    } else {
+      if (failed) { System.err.println("[probe] SKEWED STAGE DETECTED"); sys.exit(1) }
+      println("[probe] PASS: no stage put >50% of its shuffle records in one task")
+    }
+    spark.stop()
+  }
+}

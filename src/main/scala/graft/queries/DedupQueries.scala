@@ -85,7 +85,10 @@ object DedupQueries {
     * (DedupSimilaritySpec asserts equal output). */
   private val d03: Fn = (s, d) => jaccardPairsPrefix(s, d)
 
-  private[queries] def jaccardPairsNaive(s: SparkSession, d: String): DataFrame = {
+  /** Public: the spec's equality cross-check AND SkewProbe's negative
+    * control (the hot-shingle reducer this plan creates on a skewed
+    * corpus is what the prefix default exists to kill). */
+  def jaccardPairsNaive(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -235,19 +238,59 @@ object DedupQueries {
             h => (h * PH.MinhashA(j) + PH.MinhashB(j)) % PH.P))): _*).as("sig"))
   }
 
-  /** MinHash-LSH near-dup: band the signature (32 bands × 2 rows), bucket
-    * by the band's signature PAIR (encoded injectively as sv0·P + sv1 —
-    * plain integer arithmetic both engines share; an engine hash here
-    * would break oracle parity for zero benefit: LSH only needs bucket
-    * EQUALITY), generate candidate pairs per bucket, verify candidates
-    * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified subset). */
-  private val d04: Fn = (s, d) => {
+  /** One (doc_id, band, bucket) row per document per band: the
+    * signature banded 32 × 2, bucketed by the band's signature PAIR
+    * (encoded injectively as sv0·P + sv1 — plain integer arithmetic
+    * both engines share; an engine hash here would break oracle parity
+    * for zero benefit: LSH only needs bucket EQUALITY). Shared by
+    * d04 (self-join), d12 (delta-vs-corpus ingest gate) and u09
+    * (cross-split leakage audit). */
+  private[queries] def lshBands(s: SparkSession, d: String): DataFrame = {
     val P = graft.functions.PortableHash.P
-    val sig = minhashSignatures(s, d)
-    val bands = capBuckets(sig.select(col("doc_id"),
+    minhashSignatures(s, d).select(col("doc_id"),
       posexplode(array((0 until LshBands).map { b =>
         col("sig")(b * 2) * P + col("sig")(b * 2 + 1)
-      }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Shared oracle CTE text replaying [[shingled]] + [[lshBands]] in
+    * DuckDB: sh (per-doc distinct shingles), hs (28-bit md5 bases),
+    * perms (the interpolated affine constants), sig, bands. Queries
+    * append their own candidate/verification CTEs. */
+  private def lshCoreSql: String = {
+    val PH = graft.functions.PortableHash
+    s"""sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |hs AS (SELECT doc_id, ${PH.hexSql("s", 7)} AS h FROM sh),
+      |perms(j, a, b) AS (VALUES ${PH.permsValuesSql}),
+      |sig AS (
+      |  SELECT doc_id, j, min((h * a + b) % ${PH.P}) AS sv
+      |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
+      |bands AS (
+      |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+      |         CAST(sum(CASE WHEN j % 2 = 0 THEN sv * ${PH.P} ELSE sv END) AS BIGINT) AS bucket
+      |  FROM sig GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Exact-Jaccard verification tail shared by the LSH oracles: joins a
+    * `cand(d1, d2)` CTE back to the shingle relation. */
+  private def lshVerifySql(c1: String, c2: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.$c1, c.$c2, count(*) AS inter
+      |  FROM cand c JOIN sh s1 ON s1.doc_id = c.$c1
+      |              JOIN sh s2 ON s2.doc_id = c.$c2 AND s2.s = s1.s
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** MinHash-LSH near-dup: band the signature (32 bands × 2 rows),
+    * generate candidate pairs per (band, bucket), verify candidates
+    * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified subset). */
+  private val d04: Fn = (s, d) => {
+    val bands = capBuckets(lshBands(s, d), Seq("band", "bucket"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -328,23 +371,8 @@ object DedupQueries {
     * same md5-affine signatures (the 64 (a_j, b_j) constants are
     * interpolated from [[graft.functions.PortableHash]]), same band
     * pairing, bucket cap, candidate join, and exact verification. */
-  private val d04Sql = {
-    val PH = graft.functions.PortableHash
-    s"""WITH sh AS (
-      |  SELECT doc_id,
-      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
-      |                i -> array_to_string(w[i:i+4], ' ')))) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 5),
-      |hs AS (SELECT doc_id, ${PH.hexSql("s", 7)} AS h FROM sh),
-      |perms(j, a, b) AS (VALUES ${PH.permsValuesSql}),
-      |sig AS (
-      |  SELECT doc_id, j, min((h * a + b) % ${PH.P}) AS sv
-      |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
-      |bands AS (
-      |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
-      |         CAST(sum(CASE WHEN j % 2 = 0 THEN sv * ${PH.P} ELSE sv END) AS BIGINT) AS bucket
-      |  FROM sig GROUP BY 1, 2),
+  private val d04Sql =
+    s"""WITH $lshCoreSql,
       |capped AS (
       |  SELECT doc_id, band, bucket FROM (
       |    SELECT doc_id, band, bucket,
@@ -354,19 +382,13 @@ object DedupQueries {
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM capped a JOIN capped b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT c.d1, c.d2, count(*) AS inter
-      |  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
-      |              JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
-      |  GROUP BY 1, 2)
+      |${lshVerifySql("d1", "d2")}
       |SELECT d1, d2,
       |       round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) AS jaccard
       |FROM (SELECT i.d1, i.d2, i.inter, s1.n AS n1, s2.n AS n2
       |      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id) t
       |WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4
       |ORDER BY d1, d2""".stripMargin
-  }
 
   /** d05 oracle: SQL replay of the SimHash pipeline — per-token 60-bit
     * md5-prefix bit sources, exact integer bit-vote sums, chunk buckets,
@@ -404,6 +426,96 @@ object DedupQueries {
       |FROM pairs
       |WHERE bit_count(xor(s1, s2)) <= 8
       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** d12: incremental near-dup ingest gate — p07's delta-vs-corpus
+    * semantics upgraded from exact fingerprints to MinHash-LSH: each
+    * arriving (delta) document is checked against the STANDING corpus's
+    * band-bucket index and rejected when an exact-verified Jaccard ≥ 0.4
+    * match exists. The standing/delta split reuses p07's deterministic
+    * md5 arrival buckets (70% standing). At 100 TB the corpus index is a
+    * precomputed table bucketed by (band, bucket) (ScaleOps
+    * .writeBucketed), so the per-batch probe is a co-located join that
+    * touches only colliding buckets — never the corpus; the [[MaxBucket]]
+    * cap bounds any degenerate bucket exactly as in d04. Fully oracled:
+    * the portable signatures make the whole gate replayable in SQL. */
+  private val d12: Fn = (s, d) => {
+    val arrivals = graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100)
+    val bands = lshBands(s, d).withColumn("b", arrivals)
+    val corpus = capBuckets(bands.filter(col("b") < 70), Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("doc_id").as("dup_of"))
+    val delta = bands.filter(col("b") >= 70)
+      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+    val cand = delta.join(corpus, Seq("band", "bucket"))
+      .select("new_id", "dup_of").distinct()
+    val sh = shingled(s, d)
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("shingles").as("s1")), "new_id")
+      .join(sh.select(col("doc_id").as("dup_of"), col("shingles").as("s2")), "dup_of")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(DoubleType))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select("new_id", "dup_of", "jaccard")
+      .orderBy("new_id", "dup_of")
+  }
+  private val d12Sql = {
+    val b = graft.functions.DetHash.mdBucketSql("doc_id", "arrival:", 100)
+    s"""WITH $lshCoreSql,
+      |arr AS (SELECT doc_id, $b AS b FROM documents),
+      |cb AS (
+      |  SELECT band, bucket, doc_id FROM (
+      |    SELECT bd.band, bd.bucket, bd.doc_id,
+      |           row_number() OVER (PARTITION BY bd.band, bd.bucket ORDER BY bd.doc_id) AS rn
+      |    FROM bands bd JOIN arr ON bd.doc_id = arr.doc_id WHERE arr.b < 70) t
+      |  WHERE rn <= $MaxBucket),
+      |db AS (
+      |  SELECT bd.band, bd.bucket, bd.doc_id
+      |  FROM bands bd JOIN arr ON bd.doc_id = arr.doc_id WHERE arr.b >= 70),
+      |cand AS (
+      |  SELECT DISTINCT db.doc_id AS new_id, cb.doc_id AS dup_of
+      |  FROM db JOIN cb ON db.band = cb.band AND db.bucket = cb.bucket),
+      |${lshVerifySql("new_id", "dup_of")}
+      |SELECT new_id, dup_of,
+      |       round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) AS jaccard
+      |FROM (SELECT i.new_id, i.dup_of, i.inter, s1.n AS n1, s2.n AS n2
+      |      FROM inter i JOIN sizes s1 ON i.new_id = s1.doc_id
+      |                   JOIN sizes s2 ON i.dup_of = s2.doc_id) t
+      |WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4
+      |ORDER BY new_id, dup_of""".stripMargin
+  }
+
+  /** u09: NEAR-dup split-leakage audit — u08 catches bag-of-words
+    * identical documents across train/val/test; this catches the
+    * rewording-resistant leaks the decontamination literature worries
+    * about (an eval doc that is a ≥ 0.4-Jaccard near-copy of a training
+    * doc still leaks the answer). Every exact-verified LSH pair is
+    * reported with both splits and a `leaks` verdict (cross-split), so
+    * the audit is never vacuous on a split-free corpus and the leak
+    * rows are one `WHERE leaks` away. Same d04 candidate machinery —
+    * one banded join, bucket-capped, exact verification. */
+  private val u09: Fn = (s, d) => {
+    val pairs = d04(s, d)
+    val splits = docs(s, d).select(col("doc_id"),
+      graft.functions.DetHash.splitOf(col("doc_id")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split_a")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split_b")), "d2")
+      .withColumn("leaks", col("split_a") =!= col("split_b"))
+      .select("d1", "d2", "split_a", "split_b", "jaccard", "leaks")
+      .orderBy("d1", "d2")
+  }
+  private val u09Sql = {
+    val b = graft.functions.DetHash.mdBucketSql("doc_id", "split:", 100)
+    s"""WITH pairs AS ($d04Sql),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM documents)
+      |SELECT p.d1, p.d2, a.split AS split_a, b2.split AS split_b, p.jaccard,
+      |       a.split <> b2.split AS leaks
+      |FROM pairs p JOIN sp a ON p.d1 = a.doc_id JOIN sp b2 ON p.d2 = b2.doc_id
+      |ORDER BY p.d1, p.d2""".stripMargin
   }
 
   /** Embedding-cosine near-dup, label-blocked (at 100 TB the block key is
@@ -682,6 +794,8 @@ object DedupQueries {
     Q("d03_ngram_jaccard", d03, Some(d03Sql)),
     Q("d04_minhash_lsh", d04, Some(d04Sql)),
     Q("d05_simhash", d05, Some(d05Sql)),
+    Q("d12_incremental_lsh", d12, Some(d12Sql)),
+    Q("u09_neardup_leakage", u09, Some(u09Sql)),
     Q("d06_embedding_neardup", d06, Some(d06Sql)),
     Q("d09_embedding_ivf_neardup", d09, Some(d09Sql)),
     Q("d08_dedup_clusters", d08, Some(d08Sql)))

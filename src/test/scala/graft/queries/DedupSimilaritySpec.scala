@@ -62,6 +62,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.92, s"recall=$recall below measured 0.9286")
   }
 
+  test("d12: ingest gate pairs are exactly d04's pairs that cross the corpus boundary") {
+    // delta doc (arrival bucket >= 70) matched against corpus (< 70):
+    // with buckets far below the cap, the gate's output must be d04's
+    // verified pair set restricted to corpus->delta crossings, labeled
+    // (new_id, dup_of) with the delta doc first
+    val arrival = (id: Long) =>
+      graft.functions.PortableHash.md5PrefixLong(s"arrival:$id", 6) % 100
+    val d04pairs = run("d04_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = d04pairs.keySet.flatMap { case (a, b) =>
+      val (aDelta, bDelta) = (arrival(a) >= 70, arrival(b) >= 70)
+      if (aDelta && !bDelta) Some((a, b))
+      else if (bDelta && !aDelta) Some((b, a))
+      else None
+    }
+    val got = run("d12_incremental_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture yields no delta-vs-corpus near-dups; spec is vacuous")
+    assert(got == want, s"gate diverged: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("u09: leakage audit rows are d04's pairs with correct split labels") {
+    val d04pairs = run("d04_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def splitOf(id: Long): String = {
+      val b = graft.functions.PortableHash.md5PrefixLong(s"split:$id", 6) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val rows = run("u09_neardup_leakage").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2), r.getString(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.map(_._1).toSet == d04pairs.keySet)
+    assert(rows.exists(_._5), "fixture has no cross-split near-dup; audit is vacuous")
+    rows.foreach { case (pair @ (a, b), sa, sb, jac, leaks) =>
+      assert(sa == splitOf(a) && sb == splitOf(b), s"$pair splits")
+      assert(jac == d04pairs(pair))
+      assert(leaks == (sa != sb))
+    }
+  }
+
   test("bucket cap bounds candidate pairs on a pathologically skewed corpus") {
     import spark.implicits._
     // 300 identical docs: every doc lands in the SAME (band,bucket) for
