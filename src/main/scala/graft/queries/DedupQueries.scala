@@ -27,14 +27,18 @@ object DedupQueries {
     * array is materialized as a column FIRST: `slice(split(...), i, 5)`
     * inside the transform lambda would re-run the split per shingle
     * (the lambda body is a fresh expression tree each invocation —
-    * O(tokens²) splits per document). */
-  private[queries] def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    * O(tokens²) splits per document). Row-local, so it works unchanged
+    * on a STREAMING frame (the st5 ingest gate rides on it). */
+  private[graft] def shingledOf(df: DataFrame): DataFrame =
+    df
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(col("w")) - 4),
           i => array_join(slice(col("w"), i, lit(5)), " "))).as("shingles"))
+
+  private[queries] def shingled(s: SparkSession, d: String): DataFrame =
+    shingledOf(docs(s, d))
 
   /** Exact dedup: survivor = min doc_id per identical text (hash-groupBy;
     * the dropDuplicates plan shape with an explicit deterministic keeper). */
@@ -245,13 +249,31 @@ object DedupQueries {
     * for zero benefit: LSH only needs bucket EQUALITY). Shared by
     * d04 (self-join), d12 (delta-vs-corpus ingest gate) and u09
     * (cross-split leakage audit). */
-  private[queries] def lshBands(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshBandsOf(df: DataFrame): DataFrame = {
     val P = graft.functions.PortableHash.P
-    minhashSignatures(s, d).select(col("doc_id"),
-      posexplode(array((0 until LshBands).map { b =>
-        col("sig")(b * 2) * P + col("sig")(b * 2 + 1)
-      }: _*)).as(Seq("band", "bucket")))
+    shingledOf(df)
+      .select(col("doc_id"), col("shingles"),
+        graft.functions.SignatureOps.minhash(col("shingles")).as("sig"))
+      .select(col("doc_id"), col("shingles"),
+        posexplode(array((0 until LshBands).map { b =>
+          col("sig")(b * 2) * P + col("sig")(b * 2 + 1)
+        }: _*)).as(Seq("band", "bucket")))
   }
+
+  private[queries] def lshBands(s: SparkSession, d: String): DataFrame =
+    lshBandsOf(docs(s, d)).drop("shingles")
+
+  /** The standing corpus side of the incremental ingest gate as a
+    * STATIC index frame: capped (band, bucket) membership with each
+    * member's shingle set riding along so the streaming probe can
+    * verify candidates map-side (no second join back to the corpus).
+    * At 100 TB this is a bucketed-by-(band,bucket) table maintained
+    * incrementally; d12 and [[graft.streaming.StreamingOps
+    * .ingestNearDupGate]] both consume this shape. */
+  def corpusBandIndex(corpus: DataFrame): DataFrame =
+    capBuckets(lshBandsOf(corpus), Seq("band", "bucket"))
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("dup_of"), col("shingles").as("corpus_shingles"))
 
   /** Shared oracle CTE text replaying [[shingled]] + [[lshBands]] in
     * DuckDB: sh (per-doc distinct shingles), hs (28-bit md5 bases),

@@ -804,8 +804,89 @@ object SimilarityQueries {
        |WHERE f.prk = 1
        |ORDER BY f.vec_id""".stripMargin
 
+  // ---------------- s10 kNN-graph construction (IVF-blocked) ----------
+
+  val KnnK = 5
+  val KnnProbes = 2
+
+  /** s10: batch kNN-GRAPH construction — for EVERY corpus vector, its
+    * [[KnnK]] nearest neighbors by cosine. This is the backbone op of
+    * graph-based dedup (SemDeDup/near-dup clustering seed their
+    * components from exactly this graph) and of graph-ANN index builds
+    * (NSW/HNSW neighborhood lists). Brute force is N²·dim — the one
+    * shape that can never ship at corpus scale — so candidates come
+    * from d09's deterministic IVF cells (8 lowest-id seed vectors,
+    * multi-probe [[KnnProbes]] cells per vector), scored once per
+    * UNDIRECTED pair (cosine is symmetric; the mirror union doubles
+    * rows, not kernel work), salted [[graft.queries.DedupQueries]]-
+    * style so pair scoring spreads across cell×salt reducers, then
+    * ranked per source vector — the row_number ≤ k idiom the TopK
+    * rewrite turns into the native bounded-heap operator. Fully
+    * oracled: deterministic seeds/probes make the cells, candidates,
+    * and ranking an exact SQL replay; DedupSimilaritySpec measures
+    * graph recall against the exact all-pairs kNN ground truth. */
+  private val s10: Fn = (s, d) => {
+    val e = emb(s, d)
+    val seeded = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    val scored = e.crossJoin(broadcast(seeded))
+      .withColumn("csim", round(VectorOps.cosine(col("embedding"), col("sv")), 4))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
+    val assign = scored.withColumn("ark", row_number().over(wv))
+      .filter(col("ark") <= KnnProbes)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    val S = 8
+    val a = assign.select(col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(S)).as("salt"),
+      col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = assign.select(col("cell"),
+      explode(array((0 until S).map(lit): _*)).as("salt"),
+      col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val und = a.join(b, Seq("cell", "salt")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("va"), col("vb")), 4))
+      .select("a_id", "b_id", "sim").distinct()
+    val dir = und.union(und.select(col("b_id"), col("a_id"), col("sim")).toDF("a_id", "b_id", "sim"))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("sim"), col("b_id"))
+    dir.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= KnnK)
+      .select("a_id", "rk", "b_id", "sim")
+      .orderBy("a_id", "rk")
+  }
+  private val s10Sql =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS sv
+       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.seed_id,
+       |         round(list_dot_product(e.embedding::DOUBLE[], s.sv::DOUBLE[]) /
+       |               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) *
+       |                    list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])), 4) AS csim
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id AS cell
+       |  FROM (SELECT vec_id, embedding, seed_id,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, seed_id) AS ark
+       |        FROM scored) t
+       |  WHERE ark <= $KnnProbes),
+       |und AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+       |               list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS sim
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dir AS (
+       |  SELECT a_id, b_id, sim FROM und
+       |  UNION ALL
+       |  SELECT b_id, a_id, sim FROM und),
+       |ranked AS (
+       |  SELECT a_id, b_id, sim,
+       |         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rk
+       |  FROM dir)
+       |SELECT a_id, rk, b_id, sim FROM ranked WHERE rk <= $KnnK ORDER BY a_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
+    Q("s10_knn_graph", s10, Some(s10Sql)),
     Q("s09_mmr_diversified", s09, Some(s09Sql)),
     Q("s08_hard_negatives", s08, Some(s08Sql)),
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),

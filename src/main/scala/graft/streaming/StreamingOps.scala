@@ -114,6 +114,37 @@ object StreamingOps {
       .withColumn("shard", graft.functions.DetHash.shardOf(col("doc_id")))
   }
 
+  /** Streaming NEAR-dup ingest gate — d12's always-on twin, and the
+    * LSH upgrade of [[incrementalDedup]]: each arriving document's
+    * MinHash band keys (pure map work — shingles, the fused signature
+    * kernel, and the band explode are all row-local expressions) probe
+    * the STATIC standing-corpus band index per micro-batch; colliding
+    * candidates are exact-verified against the index row's own shingle
+    * set (carried on the index, so verification is map-side on the
+    * joined row — no second corpus join, no stream-stream join), and
+    * multi-band double-matches collapse via cross-batch
+    * `dropDuplicates` state on the (new_id, dup_of) pair. Output rows
+    * are the matches an ingest gate would REJECT on arrival. At scale
+    * the index is a bucketed-by-(band,bucket) table maintained
+    * incrementally (ScaleOps.writeBucketed) and the per-batch probe is
+    * co-located. Batch twin ORACLED as `d12_incremental_lsh`;
+    * StreamingSpec feeds the same delta across micro-batches and
+    * asserts set equality. */
+  def ingestNearDupGate(delta: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    graft.queries.DedupQueries.lshBandsOf(delta)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("new_id"), col("shingles").as("s1"))
+      .join(corpusIndex, Seq("band", "bucket"))
+      .withColumn("inter",
+        size(array_intersect(col("s1"), col("corpus_shingles"))).cast(DoubleType))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("s1")) + size(col("corpus_shingles")) - col("inter")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("new_id"), col("dup_of"), col("jaccard"))
+      .dropDuplicates("new_id", "dup_of")
+  }
+
   /** Stream-static incremental dedup — the always-on execution of p07's
     * delta-vs-corpus semantics: arriving docs are fingerprinted, LEFT
     * JOINED against the STATIC standing-corpus fingerprint index (a

@@ -346,6 +346,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"mean pairwise sim: mmr=${mmrSim.sum / mmrSim.size}%.4f topk=${topkSim.sum / topkSim.size}%.4f")
   }
 
+  test("s10 kNN graph: ranked, exact sims, measured recall vs exact kNN") {
+    val e = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      math.rint(d / math.sqrt(na * nb) * 1e4) / 1e4
+    }
+    // exact all-pairs kNN ground truth from the same vectors
+    val exact = e.keys.map { a =>
+      a -> e.keys.filter(_ != a).toSeq
+        .map(b => (b, cos(e(a), e(b)))).sortBy { case (b, s) => (-s, b) }
+        .take(SimilarityQueries.KnnK).map(_._1).toSet
+    }.toMap
+    val got = run("s10_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // per-edge exactness: reported sim IS the exact rounded cosine
+    got.foreach { case (a, _, b, sim) =>
+      assert(math.abs(sim - cos(e(a), e(b))) < 1e-9, s"($a,$b) sim not exact") }
+    // ranks are 1..k, descending sim within each source
+    got.groupBy(_._1).values.foreach { edges =>
+      val sorted = edges.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse == sorted.map(_._4).toSeq)
+    }
+    // graph recall vs exact kNN: deterministic cells (P=2 of 8), so the
+    // measured value is a floor, not a noisy estimate
+    val hits = got.count { case (a, _, b, _) => exact(a).contains(b) }
+    val total = exact.values.map(_.size).sum
+    // measured 0.6676 (1669/2500) at sf0.001 with P=2 of 8 cells;
+    // deterministic pipeline, so a drop below the measured value is a
+    // real regression in cells/candidates/ranking, not noise
+    val recall = hits.toDouble / total
+    info(s"s10 kNN-graph recall = $recall ($hits/$total)")
+    assert(recall >= 0.66, s"recall=$recall vs measured 0.6676")
+  }
+
   test("pq ann recall floor vs brute force (deterministic codebooks)") {
     val exact = graft.SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

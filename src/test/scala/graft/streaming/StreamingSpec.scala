@@ -247,6 +247,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 40)
   }
 
+  test("streaming near-dup ingest gate equals d12's oracled batch form") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100).as("b"))
+    val corpusIdx = graft.queries.DedupQueries.corpusBandIndex(
+      all.filter(col("b") < 70).select("doc_id", "text"))
+    val deltaDocs = all.filter(col("b") >= 70).orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("text")).as[Doc].collect()
+    val stream = MemoryStream[Doc]
+    val q = StreamingOps.ingestNearDupGate(stream.toDF(), corpusIdx).writeStream
+      .format("memory").queryName("neardup_gate_out").outputMode("append").start()
+    // two micro-batches: double-matches across bands/batches must
+    // collapse through the cross-batch pair state
+    val (b1, b2) = deltaDocs.splitAt(deltaDocs.length / 2)
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_gate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.SparkEntry.queries("d12_incremental_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture yields no ingest-gate matches; spec is vacuous")
+    assert(got == want, s"stream/batch diverged: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("stream-static incremental dedup matches p07's 'new' disposition set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
