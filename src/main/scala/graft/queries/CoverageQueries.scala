@@ -473,6 +473,51 @@ object CoverageQueries {
       |WHERE c_nationkey = 7
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** r58: recursive CTE through the SQL front-end (Spark 4 `WITH
+    * RECURSIVE`) — bounded-depth reachability along each duplicate
+    * group's doc-id-ordered successor chain: from every duplicate with
+    * a successor, walk up to 8 hops and report how many later
+    * duplicates are in reach and how deep the walk got. Spark restricts
+    * recursive terms to UNION ALL, so the edge set is the group's
+    * successor CHAIN (one path between any two members — termination
+    * and no path-count blowup by construction) and the walk is
+    * depth-capped at 8 (bounded BFS, 8 iterations in BOTH engines —
+    * also safely under Spark's 100-level recursion limit at any SF;
+    * sf0.1 has a 248-member group). The recursive text is identical in
+    * both engines modulo array-function dialect; d08 remains the scale
+    * path for whole-component labeling (keyed iterative propagation) —
+    * this row covers the SQL-front-end recursion surface itself:
+    * parsing, the recursion loop, and per-iteration plan reuse. */
+  private def r58Text(splitFp: String): String =
+    s"""WITH RECURSIVE
+       |grp AS (
+       |  SELECT doc_id, $splitFp AS fp
+       |  FROM documents),
+       |dup AS (
+       |  SELECT doc_id, fp,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS pos,
+       |         count(*) OVER (PARTITION BY fp) AS g
+       |  FROM grp),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM dup a JOIN dup b ON a.fp = b.fp AND b.pos = a.pos + 1
+       |  WHERE a.g > 1),
+       |reach(start_id, id, depth) AS (
+       |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges) s0
+       |  UNION ALL
+       |  SELECT r.start_id, e.dst, r.depth + 1
+       |  FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.depth < 8)
+       |SELECT start_id, count(*) AS n_reachable, max(depth) AS max_depth
+       |FROM reach WHERE depth > 0
+       |GROUP BY start_id ORDER BY start_id""".stripMargin
+  private val r58: Fn = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(r58Text("md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"))
+  }
+  private val r58Sql =
+    r58Text("md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))")
+
   /** Time-series gap-fill: hourly counts per event type with EMPTY hours
     * materialized as zero rows — generator functions (sequence/explode)
     * building the hour scaffold from the observed bounds, cross-joined
@@ -631,6 +676,7 @@ object CoverageQueries {
     Q("r51_asof_native", r51, Some(r51Sql)),
     Q("m04_payload_neardup", m04, Some(m04Sql)),
     Q("r45_lateral_topn", r45, Some(r45Sql)),
+    Q("r58_recursive_reach", r58, Some(r58Sql)),
     Q("r46_gapfill", r46, Some(r46Sql)),
     Q("r44_band_join", r44, Some(r44Sql)),
     Q("r57_band_join_auto", r57, Some(r44Sql)),

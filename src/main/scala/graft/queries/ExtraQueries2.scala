@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
@@ -699,7 +700,90 @@ object ExtraQueries2 {
       |  count(*) AS volume
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** u10: distribution-drift report (Population Stability Index) — the
+    * standing monitor a corpus pipeline runs between two snapshots to
+    * catch a scraper/source change before it trains: bin a per-doc
+    * metric (length) into fixed-width bins, compare the two snapshots'
+    * bin shares, PSI = Σ (p−q)·ln(p/q). Snapshots derive from the
+    * [[graft.functions.DetHash]] arrival buckets (d12's idiom); the
+    * "new" snapshot gets a deterministic injected shift (one arrival
+    * band's docs doubled in length — a new source emitting longer docs)
+    * so the report shows real drift and is never vacuous. Laplace
+    * (+1) smoothing keeps every bin's share nonzero, so ln is total; a
+    * static 0..9 bin scaffold keeps empty bins present in the report.
+    * Portability: shares are exact-integer ratios (identical doubles in
+    * both engines); each bin's PSI term is truncated to 1e-9 fixed
+    * point BEFORE the total sum (t14's precedent) so the headline
+    * number is an exact integer sum; the total row's shares are 1.0 by
+    * the smoothing identity, emitted as literals rather than a
+    * float-order-dependent sum. Scale shape: two keyed count
+    * aggregations (partial-agg'd) + a 10-row broadcast join — the
+    * report costs one scan regardless of corpus size. */
+  private val u10: Fn = (s, d) => {
+    val nb = 10
+    val ab = graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100)
+    val base = Tables.documents(s, d).select(col("n_chars"), ab.as("ab"))
+    def binOf(c: Column): Column =
+      least(floor(c.cast(DoubleType) / lit(200.0)), lit((nb - 1).toLong)).cast("int")
+    val aa = base.filter(col("ab") < 50).select(binOf(col("n_chars")).as("bin"))
+    val bb = base.filter(col("ab") >= 50)
+      .select(binOf(when(col("ab").between(50, 59), col("n_chars") * 2)
+        .otherwise(col("n_chars"))).as("bin"))
+    val ca = aa.groupBy("bin").agg(count(lit(1)).as("n_a"))
+    val cb = bb.groupBy("bin").agg(count(lit(1)).as("n_b"))
+    val tot = aa.agg(count(lit(1)).as("ta")).crossJoin(bb.agg(count(lit(1)).as("tb")))
+    val bins = s.range(0, nb).select(col("id").cast("int").as("bin"))
+    val j = bins.join(ca, Seq("bin"), "left").join(cb, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("p", (col("n_a") + lit(1)) / (col("ta") + lit(nb)).cast(DoubleType))
+      .withColumn("q", (col("n_b") + lit(1)) / (col("tb") + lit(nb)).cast(DoubleType))
+      .withColumn("psi_fp", ((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e9)).cast(LongType))
+    val perBin = j.select(col("bin"), col("n_a"), col("n_b"),
+      round(col("p"), 6).as("share_a"), round(col("q"), 6).as("share_b"),
+      round(col("psi_fp") / lit(1e9), 6).as("psi"))
+    val total = j.agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+        round(sum(col("psi_fp")) / lit(1e9), 6).as("psi"))
+      .select(lit(-1).as("bin"), col("n_a"), col("n_b"),
+        lit(1.0).as("share_a"), lit(1.0).as("share_b"), col("psi"))
+    perBin.unionByName(total).orderBy("bin")
+  }
+  private val u10Sql = {
+    val b = graft.functions.DetHash.mdBucketSql("doc_id", "arrival:", 100)
+    s"""WITH base AS (SELECT doc_id, n_chars, $b AS ab FROM documents),
+       |a AS (SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 9) AS bin
+       |      FROM base WHERE ab < 50),
+       |bs AS (SELECT least(CAST(floor((CASE WHEN ab BETWEEN 50 AND 59
+       |                                     THEN n_chars * 2 ELSE n_chars END) / 200.0) AS BIGINT), 9) AS bin
+       |       FROM base WHERE ab >= 50),
+       |bins AS (SELECT range AS bin FROM range(0, 10)),
+       |ca AS (SELECT bin, count(*) AS n FROM a GROUP BY bin),
+       |cb AS (SELECT bin, count(*) AS n FROM bs GROUP BY bin),
+       |tot AS (SELECT (SELECT count(*) FROM a) AS ta, (SELECT count(*) FROM bs) AS tb),
+       |j AS (
+       |  SELECT b.bin, coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b,
+       |         (coalesce(ca.n, 0) + 1) / CAST(ta + 10 AS DOUBLE) AS p,
+       |         (coalesce(cb.n, 0) + 1) / CAST(tb + 10 AS DOUBLE) AS q
+       |  FROM bins b
+       |  LEFT JOIN ca ON b.bin = ca.bin
+       |  LEFT JOIN cb ON b.bin = cb.bin
+       |  CROSS JOIN tot),
+       |f AS (SELECT bin, n_a, n_b, p, q,
+       |        CAST(trunc((p - q) * ln(p / q) * 1e9) AS BIGINT) AS psi_fp FROM j)
+       |SELECT CAST(bin AS INTEGER) AS bin, n_a, n_b,
+       |       round(p, 6) AS share_a, round(q, 6) AS share_b,
+       |       round(psi_fp / 1e9, 6) AS psi
+       |FROM f
+       |UNION ALL
+       |SELECT CAST(-1 AS INTEGER), CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT), 1.0, 1.0,
+       |       round(CAST(sum(psi_fp) AS DOUBLE) / 1e9, 6)
+       |FROM f
+       |ORDER BY bin""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("u10_drift_psi", u10, Some(u10Sql)),
     Q("r55_market_share", r55, Some(r55Sql)),
     Q("r56_ohlc_resample", r56, Some(r56Sql)),
     Q("r53_funnel", r53, Some(r53Sql)),

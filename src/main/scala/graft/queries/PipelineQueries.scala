@@ -952,7 +952,60 @@ object PipelineQueries {
       |             / CAST(budget AS DOUBLE), 6) AS share
       |FROM wl ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ p17 compaction planner
+
+  /** p17: shard-compaction planner — the small-file fixer every long-
+    * lived 100 TB table needs (the same bin-packing Delta/Iceberg
+    * OPTIMIZE and Spark's own file-scan coalescing perform): given the
+    * per-file byte footprint of the current layout (here: the
+    * source×shard export files, sized by their char sum as the byte
+    * proxy), assign each input file to a target output bin so every bin
+    * closes at ~`CompactTarget` bytes — `bin = floor(bytes_before /
+    * target)` over the running total in deterministic (source, shard)
+    * listing order. An oversized file simply claims several bin ids on
+    * its own (ids are sparse, never torn across two bins — compaction
+    * rewrites whole files). Scale shape: the window runs over file
+    * METADATA (#sources × #shards rows, ~160 here), never the corpus —
+    * exactly like the driver-side listing Spark itself packs scan
+    * splits from; the data-moving rewrite the plan feeds is per-bin
+    * parallel. PlanLint allowlists the metadata-sized global window.
+    * Complements [[graft.operators.Layout.compactionPlan]]: that is the
+    * physical pass (first-fit-decreasing over actual part-file bytes,
+    * driver-side, spec-tested); this is the LOGICAL planner — shard
+    * footprints computed relationally from the data itself, so it runs
+    * inside the engine, scales with the catalog, and is oracled. */
+  private val CompactTarget = 60000L
+  private val p17: Fn = (s, d) => {
+    val files = docs(s, d)
+      .groupBy(col("source"), mdBucket(col("doc_id"), "shuffle:", 8).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast(LongType).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("source"), col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files.withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("out_bin", floor((col("cum") - col("bytes")) / lit(CompactTarget.toDouble)))
+      .select("source", "shard", "n_docs", "bytes", "out_bin")
+      .orderBy("source", "shard")
+  }
+  private val p17Sql = {
+    val shard = mdBucketSql("doc_id", "shuffle:", 8)
+    s"""WITH files AS (
+       |  SELECT source, $shard AS shard,
+       |         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |planned AS (
+       |  SELECT source, shard, n_docs, bytes,
+       |         sum(bytes) OVER (ORDER BY source, shard
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM files)
+       |SELECT source, shard, n_docs, bytes,
+       |       CAST(floor((cum - bytes) / $CompactTarget.0) AS BIGINT) AS out_bin
+       |FROM planned ORDER BY source, shard""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p17_compaction_plan", p17, Some(p17Sql)),
     Q("p16_mixture_waterfill", p16, Some(p16Sql)),
     Q("p15_preference_pairs", p15, Some(p15Sql)),
     Q("u08_split_leakage", u08, Some(u08Sql)),

@@ -884,9 +884,52 @@ object SimilarityQueries {
        |  FROM dir)
        |SELECT a_id, rk, b_id, sim FROM ranked WHERE rk <= $KnnK ORDER BY a_id, rk""".stripMargin
 
+  /** s11: ANN recall-evaluation harness — the standing quality gate an
+    * index deployment runs after every build: recall@K of each
+    * approximate method (s02 LSH, s03 IVF) against the s01 exact
+    * ground truth, per query. Composes the REGISTERED query plans
+    * themselves (not reimplementations), so the number reported is the
+    * recall of exactly what ships. Scale shape: both sides are already
+    * top-K-per-query relations (K·|Q| rows each), so the eval join and
+    * per-query count are negligible next to the index queries they
+    * grade; at 100 TB you run it on a sampled query set and the cost
+    * is the ANN probes, not the comparison. The left join from the
+    * exact side keeps every (method, q_id) present even at recall 0 —
+    * the audit can never silently drop a failing query. */
+  private val s11: Fn = (s, d) => {
+    val exact = s01(s, d).select(col("q_id"), col("vec_id"))
+    Seq("ivf" -> s03, "lsh" -> s02).map { case (m, fn) =>
+      val approx = fn(s, d).select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx, col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("av")).as("hits"))
+        .withColumn("method", lit(m))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall", round(col("hits").cast(DoubleType) / lit(K), 4))
+      .select("method", "q_id", "hits", "recall")
+      .orderBy("method", "q_id")
+  }
+  /** Oracle embeds the oracle SQL of s01/s02/s03 verbatim as
+    * subqueries — the eval grades the same relations the driver
+    * already hash-verifies, in both engines. */
+  private def s11Sql: String = {
+    def arm(m: String, approxSql: String): String =
+      s"""SELECT '$m' AS method, e.q_id, count(a.vec_id) AS hits,
+         |       round(CAST(count(a.vec_id) AS DOUBLE) / $K, 4) AS recall
+         |FROM ($s01Sql) e LEFT JOIN ($approxSql) a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    s"""SELECT method, q_id, hits, recall FROM (
+       |${arm("ivf", s03Sql)}
+       |UNION ALL
+       |${arm("lsh", s02Sql)}
+       |) t ORDER BY method, q_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
     Q("s10_knn_graph", s10, Some(s10Sql)),
+    Q("s11_ann_recall", s11, Some(s11Sql)),
     Q("s09_mmr_diversified", s09, Some(s09Sql)),
     Q("s08_hard_negatives", s08, Some(s08Sql)),
     Q("s07_hybrid_rrf", s07, Some(s07Sql)),

@@ -55,13 +55,34 @@ class CommitLogSink extends TableProvider {
 }
 
 object CommitLogSink {
+  private def seqOf(name: String): Option[Long] = {
+    val ds = name.takeWhile(_.isDigit)
+    if (ds.nonEmpty) Some(ds.toLong) else None
+  }
+
   /** The committed view: union of the files listed by the manifests in
     * commit order. Staged-but-unpublished files never appear. */
-  def readCommitted(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def readCommitted(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readAsOf(spark, path, schema, Long.MaxValue)
+
+  /** Snapshot (time-travel) read: the committed view AS OF commit
+    * sequence `asOfSeq` — the union of exactly the manifests whose
+    * sequence number is <= asOfSeq. The log is append-only and the
+    * sequence monotone (max+1, never recycled), so every historical
+    * snapshot remains reproducible for free: an audit can re-read the
+    * exact table a training run consumed by pinning the sequence it
+    * recorded (p11's manifest fingerprints close the loop end-to-end).
+    * asOfSeq before the first commit is the empty table, not an error —
+    * the state a reader at that point in history actually saw. Foreign
+    * "*.manifest" names without a sequence prefix are not commits and
+    * are ignored on read, mirroring the writer's max-fold guard. */
+  def readAsOf(spark: SparkSession, path: String, schema: StructType, asOfSeq: Long): DataFrame = {
     val commits = new File(s"$path/_commits")
     val files: Seq[String] =
       if (!commits.isDirectory) Seq.empty
-      else commits.listFiles().toSeq.filter(_.getName.endsWith(".manifest"))
+      else commits.listFiles().toSeq
+        .filter(f => f.getName.endsWith(".manifest") &&
+          seqOf(f.getName).exists(_ <= asOfSeq))
         .sortBy(_.getName)
         .flatMap(m => new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
           .split("\n").filter(_.nonEmpty))

@@ -40,9 +40,13 @@ class PlanLintSpec extends AnyFunSuite {
   //  - u04: ranks the 20 survivors of a TakeOrderedAndProject.
   //  - p16: the waterfill level needs a total order over the per-SOURCE
   //    availability aggregate — same #sources-rows class as p04.
+  //  - p17: bin-packing cumsum over file METADATA (#sources × #shards
+  //    rows) — the driver-side listing class Spark itself packs scan
+  //    splits from, never the corpus.
   private val globalWindowAllowed = Set(
     "etl_enrich_gated", "p05_corpus_shuffle", "p06_assemble_training_set",
-    "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill")
+    "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill",
+    "p17_compaction_plan")
 
   private def hasGlobalWindow(name: String): Boolean =
     executions(name).optimizedPlan.collect {

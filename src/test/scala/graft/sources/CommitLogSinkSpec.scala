@@ -56,6 +56,30 @@ class CommitLogSinkSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 999).count() == 0)
   }
 
+  test("time travel: readAsOf(seq) reproduces each historical snapshot") {
+    val dir = freshDir()
+    sample(10).write.format(fmt).mode("append").option("path", dir).save()
+    sample(5).write.format(fmt).mode("append").option("path", dir).save()
+    sample(3).write.format(fmt).mode("append").option("path", dir).save()
+    // seq numbers are 0,1,2 in commit order
+    assert(CommitLogSink.readAsOf(spark, dir, schema, -1L).count() == 0,
+      "before the first commit the table was empty — not an error")
+    assert(CommitLogSink.readAsOf(spark, dir, schema, 0L).count() == 10)
+    assert(CommitLogSink.readAsOf(spark, dir, schema, 1L).count() == 15)
+    assert(CommitLogSink.readAsOf(spark, dir, schema, 2L).count() == 18)
+    // beyond-head pins still read the head (the snapshot that existed)
+    assert(CommitLogSink.readAsOf(spark, dir, schema, 99L).count() == 18)
+    // latest == readCommitted, row-for-row
+    assert(CommitLogSink.readAsOf(spark, dir, schema, Long.MaxValue)
+      .exceptAll(CommitLogSink.readCommitted(spark, dir, schema)).count() == 0)
+    // a foreign manifest name (no seq prefix) is not a commit: invisible
+    // to every snapshot, exactly as it is to the writer's seq fold
+    Files.write(Paths.get(s"$dir/_commits/foreign.manifest"),
+      "/nonexistent/file.json".getBytes(StandardCharsets.UTF_8))
+    assert(CommitLogSink.readAsOf(spark, dir, schema, 99L).count() == 18)
+    assert(CommitLogSink.readCommitted(spark, dir, schema).count() == 18)
+  }
+
   test("a failing write publishes nothing: readers keep the old state") {
     val dir = freshDir()
     sample(10).write.format(fmt).mode("append").option("path", dir).save()
