@@ -719,26 +719,38 @@ object ExtraQueries2 {
     * float-order-dependent sum. Scale shape: two keyed count
     * aggregations (partial-agg'd) + a 10-row broadcast join — the
     * report costs one scan regardless of corpus size. */
-  private val u10: Fn = (s, d) => {
-    val nb = 10
-    val ab = graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100)
-    val base = Tables.documents(s, d).select(col("n_chars"), ab.as("ab"))
-    def binOf(c: Column): Column =
-      least(floor(c.cast(DoubleType) / lit(200.0)), lit((nb - 1).toLong)).cast("int")
-    val aa = base.filter(col("ab") < 50).select(binOf(col("n_chars")).as("bin"))
-    val bb = base.filter(col("ab") >= 50)
-      .select(binOf(when(col("ab").between(50, 59), col("n_chars") * 2)
-        .otherwise(col("n_chars"))).as("bin"))
-    val ca = aa.groupBy("bin").agg(count(lit(1)).as("n_a"))
-    val cb = bb.groupBy("bin").agg(count(lit(1)).as("n_b"))
-    val tot = aa.agg(count(lit(1)).as("ta")).crossJoin(bb.agg(count(lit(1)).as("tb")))
-    val bins = s.range(0, nb).select(col("id").cast("int").as("bin"))
-    val j = bins.join(ca, Seq("bin"), "left").join(cb, Seq("bin"), "left")
+  private[graft] val DriftBins = 10
+
+  /** Fixed-width length bin (shared by u10 and the streaming monitor). */
+  private[graft] def driftBinOf(c: Column): Column =
+    least(floor(c.cast(DoubleType) / lit(200.0)), lit((DriftBins - 1).toLong)).cast("int")
+
+  /** Histogram + Laplace-smoothed shares of `metric` over the static
+    * 0..DriftBins-1 scaffold: (bin, n, share). The scaffold join keeps
+    * empty bins present; smoothing keeps every share nonzero so ln is
+    * total downstream. */
+  private[graft] def driftShares(df: org.apache.spark.sql.DataFrame, metric: Column): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val binned = df.select(driftBinOf(metric).as("bin"))
+    val counts = binned.groupBy("bin").agg(count(lit(1)).as("n"))
+    val tot = binned.agg(count(lit(1)).as("t"))
+    s.range(0, DriftBins).select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
-      .withColumn("p", (col("n_a") + lit(1)) / (col("ta") + lit(nb)).cast(DoubleType))
-      .withColumn("q", (col("n_b") + lit(1)) / (col("tb") + lit(nb)).cast(DoubleType))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("share", (col("n") + lit(1)) / (col("t") + lit(DriftBins)).cast(DoubleType))
+      .select("bin", "n", "share")
+  }
+
+  /** Per-bin PSI rows + exact-integer total row from two (bin, n,
+    * share) relations (a = reference, b = current). Each bin's term is
+    * truncated to 1e-9 fixed point BEFORE the total sum (t14's
+    * precedent); the total row's shares are 1.0 by the smoothing
+    * identity, emitted as literals rather than a float-order-dependent
+    * sum. */
+  private[graft] def psiReport(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val j = a.select(col("bin"), col("n").as("n_a"), col("share").as("p"))
+      .join(b.select(col("bin"), col("n").as("n_b"), col("share").as("q")), Seq("bin"))
       .withColumn("psi_fp", ((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e9)).cast(LongType))
     val perBin = j.select(col("bin"), col("n_a"), col("n_b"),
       round(col("p"), 6).as("share_a"), round(col("q"), 6).as("share_b"),
@@ -748,6 +760,17 @@ object ExtraQueries2 {
       .select(lit(-1).as("bin"), col("n_a"), col("n_b"),
         lit(1.0).as("share_a"), lit(1.0).as("share_b"), col("psi"))
     perBin.unionByName(total).orderBy("bin")
+  }
+
+  private val u10: Fn = (s, d) => {
+    val ab = graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100)
+    val base = Tables.documents(s, d).select(col("n_chars"), ab.as("ab"))
+    val aa = base.filter(col("ab") < 50)
+    val bb = base.filter(col("ab") >= 50)
+    psiReport(
+      driftShares(aa, col("n_chars")),
+      driftShares(bb, when(col("ab").between(50, 59), col("n_chars") * 2)
+        .otherwise(col("n_chars"))))
   }
   private val u10Sql = {
     val b = graft.functions.DetHash.mdBucketSql("doc_id", "arrival:", 100)

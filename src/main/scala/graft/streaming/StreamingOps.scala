@@ -165,6 +165,29 @@ object StreamingOps {
       .dropDuplicates("fp")
   }
 
+  /** Streaming distribution-drift monitor — u10's always-on twin: each
+    * micro-batch's metric histogram (fixed-width bins, Laplace-smoothed
+    * shares — the exact code path the oracled batch report uses) is
+    * compared against the STANDING reference shares, appending one
+    * batch-stamped PSI report (per-bin rows + exact-integer total) per
+    * micro-batch. `foreachBatch` is the right surface: PSI needs the
+    * batch's own total count, which a cumulative streaming aggregation
+    * cannot express per batch. The reference relation is DriftBins
+    * rows — broadcast-tiny by construction — so the per-batch cost is
+    * one keyed count over the batch plus a 10-row join; at scale the
+    * alerting threshold (e.g. PSI > 0.2 on the bin=-1 row) gates the
+    * ingest the same way the quality verdict does in [[ingestDocs]].
+    * StreamingSpec asserts each batch's report equals the batch
+    * computation on the same arrival slice. */
+  def driftMonitor(docs: DataFrame, refShares: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.queries.ExtraQueries2.psiReport(refShares,
+            graft.queries.ExtraQueries2.driftShares(batch, col("n_chars")))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(outDir)
+    }
+
   /** Streaming MERGE (upsert) sink via `foreachBatch` — the production
     * idiom for maintaining a standing keyed table from a stream when
     * the sink format has no native MERGE: each micro-batch full-outer

@@ -275,6 +275,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream/batch diverged: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val E2 = graft.queries.ExtraQueries2
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        graft.functions.DetHash.mdBucket(col("doc_id"), "arrival:", 100).as("b"))
+    val refShares = E2.driftShares(all.filter(col("b") < 50), col("n_chars"))
+    val arrivals = all.filter(col("b") >= 50).orderBy("doc_id")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("driftmon").toString
+    val stream = MemoryStream[(Long, Long)]
+    val q = StreamingOps.driftMonitor(
+      stream.toDF().toDF("doc_id", "n_chars"), refShares, s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.select("batch_id").distinct().count() == 2, "one report per micro-batch")
+    for ((slice, id) <- Seq((b1, 0L), (b2, 1L))) {
+      val want = E2.psiReport(refShares,
+          E2.driftShares(slice.toSeq.toDF("doc_id", "n_chars"), col("n_chars")))
+        .collect().map(_.toSeq).toSet
+      val gotB = got.filter(col("batch_id") === id).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(gotB == want, s"batch $id report diverged from the batch twin")
+    }
+    // non-vacuity: the total rows carry a real PSI value
+    assert(got.filter(col("bin") === -1 && col("psi") =!= 0.0).count() == 2)
+  }
+
   test("stream-static incremental dedup matches p07's 'new' disposition set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
