@@ -165,6 +165,47 @@ object Multimodal {
     spark.createDataFrame(out, resampleSchema)
   }
 
+  private val frameFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** Per-frame feature extraction for video payloads: every 64-byte
+    * chunk ("frame") yields the 16-bucket byte histogram, normalized by
+    * the chunk's own length (the last chunk is shorter). Same STUB-
+    * codec/real-plumbing contract as [[decodeFeatures]]; the
+    * normalization divides in double then narrows to float so the
+    * relational replay (`CAST(cnt / len AS FLOAT)`, double division
+    * then cast) is bit-identical. Empty/null payloads yield no frames
+    * on BOTH sides (`range(0, (len-1)//64 + 1)` is empty at len 0). */
+  def frameFeatures(withPayload: DataFrame, frameBytes: Int = 64): DataFrame = {
+    val spark = withPayload.sparkSession
+    val vids = withPayload.filter(col("meta.mime") === "video/mp4")
+    val payloadIdx = vids.schema.fieldIndex("payload")
+    val idIdx = vids.schema.fieldIndex("doc_id")
+    val out = vids.rdd.mapPartitions { iter =>
+      // per-partition: real impl initializes the video codec once here
+      iter.flatMap { row =>
+        val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          val nFrames = (bytes.length - 1) / frameBytes + 1
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameBytes
+            val end = math.min(start + frameBytes, bytes.length)
+            val hist = new Array[Float](FeatureDim)
+            var i = start
+            while (i < end) { hist((bytes(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
+            var j = 0
+            while (j < FeatureDim) { hist(j) = (hist(j) / (end - start).toDouble).toFloat; j += 1 }
+            Row(row.getLong(idIdx), f, hist.toSeq)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, frameFeatureSchema)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (explode-shaped; a real impl samples
     * decoded frames the same way). */

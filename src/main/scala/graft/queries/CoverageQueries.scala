@@ -592,6 +592,64 @@ object CoverageQueries {
       .select("a_id", "b_id", "l1")
       .orderBy("a_id", "b_id")
   }
+  /** m07: video scene-change detection — the shot-boundary pass a video
+    * training pipeline runs right after frame decode (cut points feed
+    * clip sampling and per-scene dedup): consecutive frames' feature
+    * histograms (through the REAL batched decode path,
+    * [[graft.multimodal.Multimodal.frameFeatures]]) compared by L1 over
+    * ONE keyed lag window per video, boundary where the distance
+    * exceeds 0.8 (103 cuts at sf0.01 — never vacuous). Scale shape:
+    * decode is map-side mapPartitions; the only shuffle is the
+    * (doc_id)-keyed window hash — no self-join, no cross-frame blowup.
+    * Float-parity with the oracle: frame features divide in double then
+    * narrow to float exactly as the SQL replay's CAST, and the L1 sums
+    * use the m04 scaled-long fixed-point trick. */
+  private val m07: Fn = (s, d) => {
+    val frames = graft.multimodal.Multimodal.frameFeatures(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frames.withColumn("prev", lag(col("features"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("l1", round(
+        aggregate(
+          zip_with(col("features"), col("prev"),
+            (x, y) => (abs(x.cast(DoubleType) - y.cast(DoubleType)) * 1e9).cast(LongType)),
+          lit(0L), (acc, v) => acc + v).cast(DoubleType) / 1e9, 6))
+      .filter(col("l1") > 0.8)
+      .select(col("doc_id"), col("frame_no"), col("l1"))
+      .orderBy("doc_id", "frame_no")
+  }
+  private val m07Sql =
+    """WITH docs AS (SELECT doc_id, text FROM documents
+      |              WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
+      |frames AS (
+      |  SELECT d.doc_id, unnest(range(0, (length(d.text) - 1) // 64 + 1)) AS fno FROM docs d),
+      |chunks AS (
+      |  SELECT f.doc_id, f.fno, substring(d.text, CAST(f.fno * 64 + 1 AS INTEGER), 64) AS chunk
+      |  FROM frames f JOIN docs d ON f.doc_id = d.doc_id),
+      |fbytes AS (
+      |  SELECT doc_id, fno, unnest(list_transform(split(chunk, ''), c -> ascii(c) % 16)) AS b
+      |  FROM chunks),
+      |hist0 AS (SELECT doc_id, fno, b, count(*) AS cnt FROM fbytes GROUP BY 1, 2, 3),
+      |grid AS (SELECT c.doc_id, c.fno, gs.b, length(c.chunk) AS clen
+      |         FROM chunks c, (SELECT unnest(range(16)) AS b) gs),
+      |feat AS (
+      |  SELECT g.doc_id, g.fno, g.b,
+      |         CAST(COALESCE(h.cnt, 0) / g.clen AS FLOAT) AS f
+      |  FROM grid g LEFT JOIN hist0 h ON g.doc_id = h.doc_id AND g.fno = h.fno AND g.b = h.b),
+      |lst AS (SELECT doc_id, fno, list(f ORDER BY b) AS lst FROM feat GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_id, fno, lst,
+      |         lag(lst) OVER (PARTITION BY doc_id ORDER BY fno) AS prev
+      |  FROM lst),
+      |cuts AS (
+      |  SELECT doc_id, CAST(fno AS INTEGER) AS frame_no,
+      |    round(CAST(list_sum(list_transform(range(1, 17),
+      |      i -> CAST(trunc(abs(CAST(lst[i] AS DOUBLE) - CAST(prev[i] AS DOUBLE)) * 1e9) AS BIGINT))) AS DOUBLE) / 1e9, 6) AS l1
+      |  FROM scored WHERE prev IS NOT NULL)
+      |SELECT doc_id, frame_no, l1 FROM cuts WHERE l1 > 0.8
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   private val m04Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents),
       |bytes AS (SELECT doc_id, unnest(list_transform(split(text, ''), c -> ascii(c) % 16)) AS b
@@ -675,6 +733,7 @@ object CoverageQueries {
     Q("st4_ingest_front", st4, Some(st4Sql)),
     Q("r51_asof_native", r51, Some(r51Sql)),
     Q("m04_payload_neardup", m04, Some(m04Sql)),
+    Q("m07_scene_cuts", m07, Some(m07Sql)),
     Q("r45_lateral_topn", r45, Some(r45Sql)),
     Q("r58_recursive_reach", r58, Some(r58Sql)),
     Q("r46_gapfill", r46, Some(r46Sql)),
