@@ -926,8 +926,95 @@ object SimilarityQueries {
        |) t ORDER BY method, q_id""".stripMargin
   }
 
+  // ---------------- s12 PageRank centrality over the kNN graph --------
+
+  val PrRounds = 8
+  val PrScale = 1000000000L // ranks carried in 1e-9 fixed-point units
+
+  /** PageRank over a directed (a_id, b_id) edge list in PURE INTEGER
+    * fixed-point — no float enters the iteration, so any engine (and
+    * any partitioning) replays it bit-exactly: rank r(v) in [[PrScale]]
+    * units, per round r'(v) = (15%·scale)/N + 85%·Σ_{u→v} r(u) div
+    * outdeg(u), every division an integral floor-div of positive longs
+    * (identical semantics to DuckDB's `//`) and every sum an exact
+    * integer. Fixed [[PrRounds]] rounds, no convergence action — the
+    * round count is part of the operator contract so the oracle can
+    * unroll it. Scale shape (the d08 iteration discipline): edges are
+    * persisted once with out-degrees pre-joined; each round is ONE
+    * keyed join (ranks onto edges by source) + ONE keyed aggregation
+    * (contributions by destination) + a left join back onto the node
+    * set — everything shuffle-keyed on vec_id, nothing single-
+    * partition, AQE off during the loop because every round re-plans
+    * the same two cached tiny-to-medium joins. Rank mass lost to floor
+    * division (≤ outdeg ulps per node per round) stays lost on BOTH
+    * sides — the scores are a deterministic total order, which is all
+    * a data-selection centrality needs. Kept-node contract: nodes =
+    * endpoints of the edge list; in the mirrored kNN graph every node
+    * has an out-edge, so nothing dangles by construction. */
+  private[queries] def pageRank(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges0 = edgesIn.select(col("a_id"), col("b_id")).persist(lvl)
+    val nodes = edges0.select(col("a_id").as("id"))
+      .union(edges0.select(col("b_id").as("id"))).distinct()
+      .persist(lvl)
+    val n = nodes.count()
+    val od = edges0.groupBy("a_id").agg(count(lit(1)).as("outdeg"))
+    val edges = edges0.join(od, "a_id")
+      .select(col("a_id"), col("b_id"), col("outdeg")).persist(lvl)
+    edges.count() // materialize outside the AQE-off window
+    val baseFp = (PrScale * 15L / 100L) / n
+    var ranks = nodes.withColumn("r_fp", lit(PrScale / n)).persist(lvl)
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (_ <- 1 to rounds) {
+      val contribs = edges.join(ranks, col("a_id") === col("id"))
+        .select(col("b_id"), expr("r_fp div outdeg").as("c"))
+        .groupBy("b_id").agg(sum(col("c")).as("s"))
+      val next = nodes.join(contribs, col("id") === col("b_id"), "left")
+        .select(col("id"),
+          (lit(baseFp) + expr("(85 * coalesce(s, 0)) div 100")).as("r_fp"))
+        .persist(lvl)
+      next.count()
+      ranks.unpersist(false)
+      ranks = next
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
+    ranks.select(col("id").as("vec_id"), col("r_fp").cast(LongType).as("pr_fp"))
+      .orderBy(desc("pr_fp"), col("vec_id"))
+  }
+
+  /** s12: PageRank centrality over the s10 kNN graph — the graph-based
+    * data-selection signal (central documents are representative; rank
+    * deciles drive keep/downsample decisions the way quality deciles
+    * drive p14's curriculum). Runs on the REGISTERED s10 edge list, so
+    * the centrality graded is the graph that ships. Fully oracled: the
+    * integer fixed-point iteration unrolls into one generated CTE pair
+    * per round on top of s10's oracle SQL as the edge relation. */
+  private val s12: Fn = (s, d) => pageRank(s10(s, d).select("a_id", "b_id"), PrRounds)
+  private def s12Sql: String = {
+    val rounds = (1 to PrRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT e.b_id AS id, CAST(sum(r.r // e.outdeg) AS BIGINT) AS s
+         |  FROM ed e JOIN r${k - 1} r ON e.a_id = r.id GROUP BY 1),
+         |r$k AS (
+         |  SELECT nd.id, (${PrScale * 15L / 100L} // n.n) + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM nodes nd LEFT JOIN c$k c ON nd.id = c.id, n)""".stripMargin
+    }
+    s"""WITH edges AS (SELECT a_id, b_id FROM ($s10Sql) t),
+       |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+       |n AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT a_id, count(*) AS outdeg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.a_id, e.b_id, o.outdeg FROM edges e JOIN od o ON e.a_id = o.a_id),
+       |r0 AS (SELECT id, $PrScale // n.n AS r FROM nodes, n),
+       |${rounds.mkString(",\n")}
+       |SELECT id AS vec_id, CAST(r AS BIGINT) AS pr_fp FROM r$PrRounds
+       |ORDER BY pr_fp DESC, vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
+    Q("s12_pagerank", s12, Some(s12Sql)),
     Q("s10_knn_graph", s10, Some(s10Sql)),
     Q("s11_ann_recall", s11, Some(s11Sql)),
     Q("s09_mmr_diversified", s09, Some(s09Sql)),

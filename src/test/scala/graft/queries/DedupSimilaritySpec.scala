@@ -447,4 +447,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((10L, 1L, 40L), (11L, 1L, 40L)))
   }
+
+  /** Independent single-threaded replay of the s12 fixed-point PageRank
+    * contract — same integer arithmetic, zero shared code with the
+    * distributed implementation. */
+  private def refPageRank(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val scale = SimilarityQueries.PrScale
+    val base = (scale * 15L / 100L) / n
+    val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to rounds) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (a, b) => contrib(b) += r(a) / od(a) }
+      r = nodes.map(v => v -> (base + 85L * contrib(v) / 100L)).toMap
+    }
+    r
+  }
+
+  test("s12: distributed pageRank matches the independent integer replay exactly") {
+    import spark.implicits._
+    // hub node 1 (everyone links to it), chain 2->3->4->2, all nodes
+    // with out-edges (the mirrored-kNN contract); mixed out-degrees.
+    val edges = Seq(
+      (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 3L))
+    val got = SimilarityQueries.pageRank(edges.toDF("a_id", "b_id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPageRank(edges, 8)
+    assert(got == want, s"got $got want $want")
+    // ranks must be positive with total mass <= scale (floor losses
+    // only shrink it); node 2 is this graph's sink of mass (it alone
+    // receives node 1's UNDIVIDED rank: outdeg(1) = 1)
+    assert(got(2L) == got.values.max)
+    assert(got.values.forall(_ > 0) && got.values.sum <= SimilarityQueries.PrScale)
+  }
+
+  test("s12: rank order on the real kNN graph is stable across reruns") {
+    val a = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
