@@ -509,7 +509,11 @@ object TextQueries {
   }
 
   private val t15: Fn = (s, d) => bpeTrain(docs(s, d).select(col("text")), BpeRounds)
-  private val t15Sql: String = {
+
+  /** The training-replay CTE block (w0 padded distinct words; per round
+    * pR pair counts, bR best pair, wR merged words), shared by t15Sql
+    * (emits the merge table) and t17Sql (applies it to the corpus). */
+  private def bpeTrainCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
          |  SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
@@ -526,17 +530,88 @@ object TextQueries {
          |  FROM w${r - 1} s CROSS JOIN
          |       (SELECT ' ' || l || ' ' || r || ' ' AS n, ' ' || l || r || ' ' AS rp FROM b$r) b)""".stripMargin
     }
-    val out = (1 to BpeRounds)
-      .map(r => s"SELECT $r AS round, l AS lhs, r AS rhs, pc AS pair_count FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w, cnt
        |  FROM (SELECT word, count(*) AS cnt
        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
        |        WHERE length(word) > 0 GROUP BY word) ww),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+  private val t15Sql: String = {
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, l AS lhs, r AS rhs, pc AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
        |SELECT * FROM (
        |$out) m ORDER BY round""".stripMargin
+  }
+
+  /** t17: tokenizer APPLICATION — encode the corpus with the t15-trained
+    * merge table, the deploy-side half of the BPE story: t15 mines the
+    * vocabulary once; THIS is the op the pipeline then runs over every
+    * shard to size sequences and price token budgets (p03 packing and
+    * p04/p16 mixture budgets consume exactly these counts). Per word:
+    * pad to the spaced char-sequence form, apply the merges IN TRAINING
+    * ORDER (4 exhaustive replace passes each — t15's confluence/fixpoint
+    * argument), count surviving symbols; per doc: words, chars, tokens,
+    * and chars-per-token (the compression-ratio quality signal). Scale
+    * shape: the merge table is a [[BpeRounds]]-row driver artifact
+    * (trainer-argmax precedent) folded into the projection as LITERALS,
+    * so the encode itself is a pure narrow map (codegen'd replace
+    * chain, no shuffle, no join) + one keyed agg — at 100 TB the merges
+    * come from the shipped tokenizer artifact and the cost is one scan.
+    * Oracle: the shared training CTEs rebuild b1..bN; a LEFT JOIN +
+    * CASE applies each round's merge so an early-exhausted bR leaves
+    * text unchanged on both sides (the Spark fold just has fewer
+    * rounds), never emptying the corpus. */
+  private val t17: Fn = (s, d) =>
+    bpeEncode(docs(s, d).select(col("doc_id"), col("text")), BpeRounds)
+
+  /** The encode body, factored so specs can drive a constructed corpus
+    * (a DataFrame with `doc_id` and `text`): train on the corpus, fold
+    * the merge table into the projection, aggregate per document. */
+  private[queries] def bpeEncode(corpus: DataFrame, rounds: Int): DataFrame = {
+    val merges = bpeTrain(corpus.select(col("text")), rounds)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+    val words = corpus
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+    val padded = concat(lit(" "), regexp_replace(col("word"), "(?s)(.)", "$1 "))
+    val applied = merges.foldLeft(padded) { case (c, (l, r)) =>
+      (1 to 4).foldLeft(c)((cc, _) => replace(cc, lit(s" $l $r "), lit(s" $l$r ")))
+    }
+    words.select(col("doc_id"), col("word"), applied.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast(LongType).as("n_chars"),
+        sum(size(split(trim(col("w")), " "))).cast(LongType).as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+      .select("doc_id", "n_words", "n_chars", "n_tokens", "chars_per_token")
+      .orderBy("doc_id")
+  }
+  private def t17Sql: String = {
+    val apply = (1 to BpeRounds).map { r =>
+      s"""e$r AS (
+         |  SELECT s.doc_id, s.word,
+         |         CASE WHEN b.n IS NULL THEN s.w
+         |              ELSE replace(replace(replace(replace(s.w, b.n, b.rp), b.n, b.rp), b.n, b.rp), b.n, b.rp) END AS w
+         |  FROM e${r - 1} s LEFT JOIN
+         |       (SELECT ' ' || l || ' ' || r || ' ' AS n, ' ' || l || r || ' ' AS rp FROM b$r) b ON TRUE)""".stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |dw AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE length(word) > 0),
+       |e0 AS (SELECT doc_id, word,
+       |         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w FROM dw),
+       |${apply.mkString(",\n")}
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |       CAST(sum(len(string_split(trim(w), ' '))) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(len(string_split(trim(w), ' '))) AS DOUBLE), 6) AS chars_per_token
+       |FROM e$BpeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** t16: interpolated bigram language-model scoring — the stronger
@@ -598,6 +673,7 @@ object TextQueries {
   val all: Seq[Q] = Seq(
     Q("t16_bigram_logprob", t16, Some(t16Sql)),
     Q("t15_bpe_merges", t15, Some(t15Sql)),
+    Q("t17_bpe_encode", t17, Some(t17Sql)),
     Q("t14_unigram_logprob", t14, Some(t14Sql)),
     Q("t13_heavy_hitters", t13, Some(t13Sql)),
     Q("t12_pii_redaction", t12, Some(t12Sql)),

@@ -32,6 +32,20 @@ class BpeSpec extends AnyFunSuite {
     assert(train("xyxyxyxyxy xyxy", 3) == Seq((1, "x", "y", 7L)))
   }
 
+  test("hand-computed corpus encode through the trained merges (t17 path)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ab ab ab abc abc"), (2L, "ba cab")).toDF("doc_id", "text")
+    def enc(rounds: Int) = TextQueries.bpeEncode(corpus, rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toList
+    // merges on this corpus: r1 (a,b) pc 6, r2 (ab,c) pc 2, r3 (b,a)
+    // pc 1 (tie vs (c,ab) broken on lhs), r4 (c,ab) pc 1, then
+    // exhausted. Full training collapses every word to ONE symbol:
+    assert(enc(6) == List((1L, 5L, 12L, 5L, 2.4), (2L, 2L, 5L, 2L, 2.5)))
+    // stopping after 2 rounds leaves doc 2 half-encoded: 'ba' -> b a,
+    // 'cab' -> c ab (2 tokens each)
+    assert(enc(2) == List((1L, 5L, 12L, 5L, 2.4), (2L, 2L, 5L, 4L, 1.25)))
+  }
+
   test("best-pair count is non-increasing across rounds (fixture)") {
     // a merged pair's occurrences bound any new pair it creates, and
     // existing counts never grow — so the winning count is monotone
