@@ -964,22 +964,35 @@ object SimilarityQueries {
       .select(col("a_id"), col("b_id"), col("outdeg")).persist(lvl)
     edges.count() // materialize outside the AQE-off window
     val baseFp = (PrScale * 15L / 100L) / n
+    // d08's iteration discipline, for measured reasons: each round is
+    // materialized eagerly (persist + count) so the next round's plan
+    // is one shallow join over cached inputs, with AQE off for the
+    // loop's duration. The lazy alternative (compose all rounds into
+    // one plan) measured WORSE on this fixture two ways — AQE re-plans
+    // the whole deepening tree per stage (~0.3 s/round, the d08
+    // finding), and any round whose join AQE flips to broadcast
+    // re-executes the entire uncached upstream chain as a separate
+    // broadcast job. Per round ONE keyed shuffle: the source-side join
+    // probes cached edges, and the keep-every-node left-join-back is
+    // replaced by unioning zero-contribution node rows into the same
+    // destination-keyed aggregation.
     var ranks = nodes.withColumn("r_fp", lit(PrScale / n)).persist(lvl)
+    val zeroRows = nodes.select(col("id").as("b_id"), lit(0L).as("c"))
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try for (_ <- 1 to rounds) {
-      val contribs = edges.join(ranks, col("a_id") === col("id"))
+      val next = edges.join(ranks, col("a_id") === col("id"))
         .select(col("b_id"), expr("r_fp div outdeg").as("c"))
+        .union(zeroRows)
         .groupBy("b_id").agg(sum(col("c")).as("s"))
-      val next = nodes.join(contribs, col("id") === col("b_id"), "left")
-        .select(col("id"),
-          (lit(baseFp) + expr("(85 * coalesce(s, 0)) div 100")).as("r_fp"))
+        .select(col("b_id").as("id"),
+          (lit(baseFp) + expr("(85 * s) div 100")).as("r_fp"))
         .persist(lvl)
       next.count()
       ranks.unpersist(false)
       ranks = next
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
+    edges0.unpersist(false)
     ranks.select(col("id").as("vec_id"), col("r_fp").cast(LongType).as("pr_fp"))
       .orderBy(desc("pr_fp"), col("vec_id"))
   }
