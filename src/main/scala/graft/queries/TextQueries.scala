@@ -670,8 +670,113 @@ object TextQueries {
       |FROM bg JOIN big USING (prev, cur) JOIN ctx USING (prev) JOIN uni USING (cur), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------- t18 weak-supervision quality classifier ---------
+
+  val PerceptronRounds = 4
+
+  /** t18: distributed BATCH-PERCEPTRON trainer for a document-quality
+    * classifier — the "train the quality filter" half of the pipeline
+    * story (t05/t10 SCORE with fixed rules; production filters LEARN
+    * weights from weak labels, fastText-style, then sweep the corpus).
+    * Weak labels come from a deterministic repetition rule (duplicate-
+    * word fraction ≥ 0.2 ⇔ 5·(n_tokens − n_distinct) ≥ n_tokens,
+    * integer-exact); features are the doc's (1, n_tokens, n_distinct,
+    * n_chars). Each round is ONE aggregation: margins y·(w·x) under
+    * the current weights, misclassified update Σ y·x and the error
+    * count in the same pass; the 4-long weight vector is the only
+    * thing the driver touches (u02/t15 trainer-artifact precedent).
+    * The batch (not online) update makes the trainer PARTITION-
+    * INVARIANT — the update is an exact integer sum over rows, so any
+    * parallelism computes identical weights, which is what lets the
+    * oracle replay every round as generated CTEs. Output: per round,
+    * the weight vector after the round's update and the error count
+    * under the PRE-update weights (round 0 = all-zero start, every
+    * margin 0 ⇒ all docs count as errors — pinned so both engines
+    * agree on the degenerate case). Overflow headroom: |w| grows ≤
+    * Σ|x| per round (~1e8 at sf0.1), margins ≤ |w|·|x| (~1e12) —
+    * Long-safe by 6 orders. */
+  private val t18: Fn = (s, d) =>
+    perceptronTrain(docs(s, d).select(col("doc_id"), col("text")), PerceptronRounds)
+
+  /** Trainer body, factored so specs can drive a constructed corpus (a
+    * DataFrame with `doc_id` and `text`). */
+  private[queries] def perceptronTrain(corpus: DataFrame, nRounds: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val feats = corpus.select(
+      col("doc_id"),
+      lit(1L).as("x0"),
+      size(toks).cast(LongType).as("x1"),
+      size(array_distinct(toks)).cast(LongType).as("x2"),
+      length(col("text")).cast(LongType).as("x3"))
+      .withColumn("y",
+        when(lit(5) * (col("x1") - col("x2")) >= col("x1"), lit(-1L)).otherwise(lit(1L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Array(0L, 0L, 0L, 0L)
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long, Long)]()
+    for (r <- 1 to nRounds) {
+      val margin = col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
+      val mis = when(margin <= 0, lit(1L)).otherwise(lit(0L))
+      val upd = feats.agg(
+        sum(mis).as("n_mis"),
+        sum(mis * col("y") * col("x0")).as("d0"),
+        sum(mis * col("y") * col("x1")).as("d1"),
+        sum(mis * col("y") * col("x2")).as("d2"),
+        sum(mis * col("y") * col("x3")).as("d3")).head
+      rows += ((r - 1, w(0), w(1), w(2), w(3), upd.getLong(0)))
+      w = Array(w(0) + upd.getLong(1), w(1) + upd.getLong(2),
+        w(2) + upd.getLong(3), w(3) + upd.getLong(4))
+    }
+    val finalMis = feats.agg(sum(when(col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")) <= 0, 1L).otherwise(0L))).head.getLong(0)
+    rows += ((nRounds, w(0), w(1), w(2), w(3), finalMis))
+    feats.unpersist()
+    val s2 = s
+    import s2.implicits._
+    rows.toSeq.toDF("round", "w0", "w1", "w2", "w3", "n_mis")
+      .select(col("round").cast(IntegerType).as("round"), col("w0"), col("w1"),
+        col("w2"), col("w3"), col("n_mis"))
+      .orderBy("round")
+  }
+  private def t18Sql: String = {
+    val rounds = (1 to PerceptronRounds).map { r =>
+      s"""u$r AS (
+         |  SELECT CAST(sum(m) AS BIGINT) AS n_mis,
+         |         CAST(sum(m * y * x0) AS BIGINT) AS d0, CAST(sum(m * y * x1) AS BIGINT) AS d1,
+         |         CAST(sum(m * y * x2) AS BIGINT) AS d2, CAST(sum(m * y * x3) AS BIGINT) AS d3
+         |  FROM (SELECT f.*, CASE WHEN f.y * (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) <= 0
+         |                         THEN 1 ELSE 0 END AS m
+         |        FROM feats f, w${r - 1} w) t),
+         |w$r AS (
+         |  SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1, w.w2 + u.d2 AS w2, w.w3 + u.d3 AS w3
+         |  FROM w${r - 1} w, u$r u)""".stripMargin
+    }
+    val out = (1 to PerceptronRounds)
+      .map(r => s"SELECT ${r - 1} AS round, w.*, u.n_mis FROM w${r - 1} w, u$r u")
+      .mkString("\nUNION ALL\n") +
+      s"""\nUNION ALL\nSELECT $PerceptronRounds AS round, w.*,
+         |  (SELECT CAST(sum(CASE WHEN f.y * (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) <= 0
+         |                        THEN 1 ELSE 0 END) AS BIGINT) FROM feats f) AS n_mis
+         |FROM w$PerceptronRounds w""".stripMargin
+    s"""WITH feats AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+       |         CAST(length(text) AS BIGINT) AS x3,
+       |         CASE WHEN 5 * (len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' '))))
+       |                   >= len(string_split(text, ' '))
+       |              THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS y
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |${rounds.mkString(",\n")}
+       |SELECT round, w0, w1, w2, w3, n_mis FROM (
+       |$out) m ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t16_bigram_logprob", t16, Some(t16Sql)),
+    Q("t18_perceptron_quality", t18, Some(t18Sql)),
     Q("t15_bpe_merges", t15, Some(t15Sql)),
     Q("t17_bpe_encode", t17, Some(t17Sql)),
     Q("t14_unigram_logprob", t14, Some(t14Sql)),
