@@ -60,6 +60,31 @@ object SkewProbe {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Deterministic skewed EMBEDDING corpus (the ANN-family analogue of
+    * the hot shingle): ids ≡ 0,1,2 (mod 10) form a tight blob around a
+    * common base vector (30% of the corpus lands in ONE IVF cell — the
+    * hot-cell shape where an unsalted within-cell pair join funnels
+    * c² ≈ (0.3·N)² rows through the reducer owning that cell); the
+    * rest spread deterministically across the unit cube. Same schema
+    * as the fixture (vec_id, embedding float[64], label). */
+  def annCorpus(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    spark.range(1, n + 1).select(col("id").as("vec_id"))
+      // ids 1..8 are the IVF seeds — keeping them OUT of the blob means
+      // every blob vector's nearest seed is the same spread seed, so
+      // the whole 0.3·N blob lands in ONE cell (the harshest shape);
+      // blob members among the seeds would split it across their own
+      // near-identical cells and dilute the very skew being probed
+      .withColumn("hot", pmod(col("vec_id"), lit(10)) < 3 && col("vec_id") > 8)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), j =>
+        when(col("hot"),
+          lit(1.0f) + (pmod(col("vec_id") * 31 + j, lit(97)).cast("float") * lit(1e-4f)))
+          .otherwise(
+            (pmod(col("vec_id") * 131 + j * 17, lit(2000)).cast("float") - lit(1000.0f)) / lit(1000.0f))
+          .cast("float")))
+      .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
+      .select("vec_id", "embedding", "label")
+  }
+
   /** stageId -> per-task (shuffleRead + shuffleWrite records, runtime).
     * Both directions matter: a hot-key JOIN stage reads few records per
     * key but EMITS the quadratic pair blowup — it shows up in shuffle
@@ -77,10 +102,36 @@ object SkewProbe {
     }
   }
 
+  /** Negative control for the ANN family: s10's IVF cell assignment
+    * (8 lowest-id seeds) but SINGLE-probe and an UNSALTED within-cell
+    * pair join — the canonical IVF blocking whose hot cell funnels c²
+    * pair rows through the one reducer owning it. The pair relation
+    * crosses a shuffle (distinct) exactly as s10's does, so the blowup
+    * is visible to the listener as shuffle-write concentration in the
+    * hot cell's join task. */
+  private def annNaivePairs(spark: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, d)
+    val seeded = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    val scored = e.crossJoin(broadcast(seeded))
+      .withColumn("csim", round(functions.VectorOps.cosine(col("embedding"), col("sv")), 4))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
+    val a = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= 1)
+      .select(col("vec_id").as("a_id"), col("seed_id").as("cell"))
+    val b = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= 1)
+      .select(col("vec_id").as("b_id"), col("seed_id").as("cell"))
+    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   def main(args: Array[String]): Unit = {
     val naiveControl = args.headOption.contains("naive")
-    val rest = if (naiveControl) args.drop(1) else args
-    val n = rest.headOption.map(_.toLong).getOrElse(if (naiveControl) 5000L else 50000L)
+    val annMode = args.headOption.exists(_.startsWith("ann"))
+    val annControl = args.headOption.contains("ann_naive")
+    val rest = if (naiveControl || annMode) args.drop(1) else args
+    val n = rest.headOption.map(_.toLong).getOrElse(
+      if (naiveControl) 5000L else if (annControl) 8000L else if (annMode) 20000L else 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
@@ -91,15 +142,26 @@ object SkewProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (naiveControl)
+    if (naiveControl || annControl)
       // the control must reproduce the AT-SCALE plan shape: a corpus
       // whose shingle relation cannot broadcast, so the shared-shingle
       // join shuffles by shingle and the hot key owns one reducer. At
       // toy size AQE broadcast-joins it and hides exactly that shape.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    if (annControl)
+      // same at-scale-shape rationale: AQE coalesces the toy-size cell
+      // shuffle below the detector's 8-task floor (at real scale the
+      // cell partitions stay wide); keep the partitions so the hot
+      // cell's reducer is an observable task
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val dir = java.nio.file.Files.createTempDirectory("skewprobe").toString
-    corpus(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    println(s"[probe] corpus: $n docs at $dir (hot-shingle df ≈ ${(0.3 * n).toLong})")
+    if (annMode) {
+      annCorpus(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"[probe] embeddings: $n vectors at $dir (hot-cell size ≈ ${(0.3 * n).toLong})")
+    } else {
+      corpus(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"[probe] corpus: $n docs at $dir (hot-shingle df ≈ ${(0.3 * n).toLong})")
+    }
 
     val listener = new SkewListener
     spark.sparkContext.addSparkListener(listener)
@@ -107,6 +169,12 @@ object SkewProbe {
     val runs: Seq[(String, () => Long)] =
       if (naiveControl)
         Seq("d03_NAIVE_control" -> (() => queries.DedupQueries.jaccardPairsNaive(spark, dir).count()))
+      else if (annControl)
+        Seq("ann_UNSALTED_control" -> (() => annNaivePairs(spark, dir).count()))
+      else if (annMode) Seq(
+        "s10_knn_graph" -> (() => SparkEntry.queries("s10_knn_graph")(spark, dir).count()),
+        "d09_embedding_ivf_neardup" -> (() => SparkEntry.queries("d09_embedding_ivf_neardup")(spark, dir).count()),
+        "s12_pagerank" -> (() => SparkEntry.queries("s12_pagerank")(spark, dir).count()))
       else Seq(
         "d03_ngram_jaccard" -> (() => SparkEntry.queries("d03_ngram_jaccard")(spark, dir).count()),
         "d04_minhash_lsh" -> (() => SparkEntry.queries("d04_minhash_lsh")(spark, dir).count()),
@@ -140,11 +208,11 @@ object SkewProbe {
       }.getOrElse("no large shuffle stage")
       println(f"[probe] $q: $rows%d rows in $dt%.1f s; $worstStr")
     }
-    if (naiveControl) {
+    if (naiveControl || annControl) {
       // the control must TRIP the detector — a clean run here means the
       // listener is blind, not that the naive plan is fine
       if (!failed) { System.err.println("[probe] NEGATIVE CONTROL DID NOT TRIP"); sys.exit(1) }
-      println("[probe] CONTROL PASS: naive hot-shingle stage detected as skewed")
+      println("[probe] CONTROL PASS: naive hot-key stage detected as skewed")
     } else {
       if (failed) { System.err.println("[probe] SKEWED STAGE DETECTED"); sys.exit(1) }
       println("[probe] PASS: no stage put >50% of its shuffle records in one task")
