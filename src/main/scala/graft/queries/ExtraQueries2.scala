@@ -805,8 +805,71 @@ object ExtraQueries2 {
        |ORDER BY bin""".stripMargin
   }
 
+  /** u12: embedding-corpus QA audit — the health gate an embedding
+    * pipeline runs after every encoder batch, because encoder bugs are
+    * SILENT (a crashed shard of zero vectors or a fp16-overflow NaN
+    * poisons every downstream cosine without a single error): per
+    * label, vector count, zero-vector count, NaN count, and the
+    * norm distribution (min/max/avg). Complements u05, which audits
+    * doc↔vector referential integrity — this audits the VALUES. Scale
+    * shape: one narrow map (per-row sequential-fold norm) + one keyed
+    * agg; everything partial-aggregates map-side. Parity: the norm
+    * fold is the s06 idiom (Spark `aggregate` from 0.0 ≡ DuckDB
+    * `list_reduce` from x1², bit-equal for the shared prefix sums),
+    * sqrt is IEEE correctly-rounded in both engines, and norms are
+    * truncated to 1e-6 fixed point before min/max/avg. */
+  private val u12: Fn = (s, d) => embeddingQa(Tables.embeddings(s, d))
+
+  /** Audit body, factored so specs can drive a constructed table with
+    * planted defects (zero vectors, NaNs). */
+  private[queries] def embeddingQa(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sum2 = aggregate(
+      transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (a, b) => a + b)
+    // a NaN component must take its row OUT of the norm stats EXPLICITLY
+    // (NULL): left to the engines, Spark's floor(NaN) casts to 0 while
+    // DuckDB errors casting NaN to BIGINT — the one defect the audit
+    // exists to catch would itself diverge
+    val nanc = size(filter(col("embedding"), x => isnan(x)))
+    val v = emb.select(
+      col("label"),
+      when(nanc > 0, lit(null).cast(LongType))
+        .otherwise(floor(sqrt(sum2) * lit(1e6)).cast(LongType)).as("norm_fp"),
+      when(sum2 === 0.0, 1L).otherwise(0L).as("is_zero"),
+      when(nanc > 0, 1L).otherwise(0L).as("has_nan"))
+    v.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("is_zero")).as("n_zero"),
+        sum(col("has_nan")).as("n_nan"),
+        min(col("norm_fp")).as("mn"), max(col("norm_fp")).as("mx"),
+        sum(col("norm_fp")).as("sm"), count(col("norm_fp")).as("n_normed"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"), col("n_zero"), col("n_nan"),
+        round(col("mn").cast(DoubleType) / 1e6, 6).as("min_norm"),
+        round(col("mx").cast(DoubleType) / 1e6, 6).as("max_norm"),
+        round(col("sm").cast(DoubleType) / 1e6 / col("n_normed").cast(DoubleType), 6).as("avg_norm"))
+      .orderBy("label")
+  }
+  private val u12Sql =
+    """WITH v AS (
+      |  SELECT label,
+      |         CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL
+      |              ELSE CAST(trunc(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                                               (a, b) -> a + b)) * 1e6) AS BIGINT) END AS norm_fp,
+      |         CASE WHEN list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                               (a, b) -> a + b) = 0.0 THEN 1 ELSE 0 END AS is_zero,
+      |         CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END AS has_nan
+      |  FROM embeddings)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+      |       CAST(sum(is_zero) AS BIGINT) AS n_zero,
+      |       CAST(sum(has_nan) AS BIGINT) AS n_nan,
+      |       round(CAST(min(norm_fp) AS DOUBLE) / 1e6, 6) AS min_norm,
+      |       round(CAST(max(norm_fp) AS DOUBLE) / 1e6, 6) AS max_norm,
+      |       round(CAST(sum(norm_fp) AS DOUBLE) / 1e6 / CAST(count(norm_fp) AS DOUBLE), 6) AS avg_norm
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("u10_drift_psi", u10, Some(u10Sql)),
+    Q("u12_embedding_qa", u12, Some(u12Sql)),
     Q("r55_market_share", r55, Some(r55Sql)),
     Q("r56_ohlc_resample", r56, Some(r56Sql)),
     Q("r53_funnel", r53, Some(r53Sql)),
