@@ -206,6 +206,43 @@ object Multimodal {
     spark.createDataFrame(out, frameFeatureSchema)
   }
 
+  private val energySchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("e_sum", LongType),
+    StructField("flen", IntegerType)))
+
+  /** Per-frame energy for "audio" payloads: every `frameBytes` chunk's
+    * unsigned-byte sum (EXACT integer — the downstream voiced/silent
+    * compare stays in integer arithmetic) plus the chunk length (the
+    * last chunk is shorter). Same STUB-codec/real-plumbing contract as
+    * [[decodeFeatures]]: a real implementation sums |PCM| here. */
+  def frameEnergy(withPayload: DataFrame, frameBytes: Int = 32): DataFrame = {
+    val spark = withPayload.sparkSession
+    val auds = withPayload.filter(col("meta.mime") === "audio/wav")
+    val payloadIdx = auds.schema.fieldIndex("payload")
+    val idIdx = auds.schema.fieldIndex("doc_id")
+    val out = auds.rdd.mapPartitions { iter =>
+      // per-partition: real impl initializes the audio codec once here
+      iter.flatMap { row =>
+        val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          val nFrames = (bytes.length - 1) / frameBytes + 1
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameBytes
+            val end = math.min(start + frameBytes, bytes.length)
+            var s = 0L
+            var i = start
+            while (i < end) { s += (bytes(i) & 0xFF); i += 1 }
+            Row(row.getLong(idIdx), f, s, end - start)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, energySchema)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (explode-shaped; a real impl samples
     * decoded frames the same way). */

@@ -650,6 +650,61 @@ object CoverageQueries {
       |SELECT doc_id, frame_no, l1 FROM cuts WHERE l1 > 0.8
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Mean-byte threshold for m08's voiced/silent split (empirical: the
+    * src1 frame-energy mean is 94.7 at sf0.01, so 95 splits 123/279
+    * frames voiced — both classes well-populated, segments non-trivial). */
+  val VadThreshold = 95
+
+  /** m08 body, factored so specs can drive constructed payloads. */
+  private[graft] def vadSegments(documents: DataFrame): DataFrame = {
+    val frames = graft.multimodal.Multimodal.frameEnergy(
+      graft.multimodal.Multimodal.attachPayload(documents))
+    val voiced = frames.filter(col("e_sum") > lit(VadThreshold) * col("flen"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    voiced.withColumn("grp", col("frame_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_no")).cast(LongType).as("start_f"),
+        max(col("frame_no")).cast(LongType).as("end_f"),
+        count(lit(1)).as("n_frames"),
+        sum(col("e_sum")).as("e_sum"))
+      .select("doc_id", "start_f", "end_f", "n_frames", "e_sum")
+      .orderBy("doc_id", "start_f")
+  }
+
+  /** m08: audio voice-activity segmentation — the VAD pass an audio
+    * training pipeline runs before ASR/captioning (only voiced segments
+    * are worth transcribing; silence is cut): per-frame energies
+    * through the REAL batched decode path
+    * ([[graft.multimodal.Multimodal.frameEnergy]]), an integer-exact
+    * voiced threshold (e_sum > T·len — no float enters the decision),
+    * then consecutive voiced frames merged into maximal segments with
+    * the d10 gaps-and-islands idiom on ONE doc-keyed window. Scale
+    * shape: decode is map-side; the only shuffles are the window hash
+    * and the (doc, island) aggregation — both keyed by doc_id. */
+  private val m08: Fn = (s, d) => vadSegments(Tables.documents(s, d))
+  private val m08Sql =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents
+      |              WHERE source = 'src1' AND text IS NOT NULL),
+      |frames AS (
+      |  SELECT d.doc_id, unnest(range(0, (length(d.text) - 1) // 32 + 1)) AS fno FROM docs d),
+      |chunks AS (
+      |  SELECT f.doc_id, f.fno, substring(d.text, CAST(f.fno * 32 + 1 AS INTEGER), 32) AS chunk
+      |  FROM frames f JOIN docs d ON f.doc_id = d.doc_id),
+      |en AS (
+      |  SELECT doc_id, fno,
+      |         CAST(list_sum(list_transform(split(chunk, ''), c -> ascii(c))) AS BIGINT) AS es,
+      |         length(chunk) AS flen
+      |  FROM chunks),
+      |voiced AS (SELECT doc_id, fno, es FROM en WHERE es > $VadThreshold * flen),
+      |isl AS (
+      |  SELECT doc_id, fno, es,
+      |         fno - row_number() OVER (PARTITION BY doc_id ORDER BY fno) AS grp
+      |  FROM voiced)
+      |SELECT doc_id, CAST(min(fno) AS BIGINT) AS start_f, CAST(max(fno) AS BIGINT) AS end_f,
+      |       count(*) AS n_frames, CAST(sum(es) AS BIGINT) AS e_sum
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, start_f""".stripMargin
+
   private val m04Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents),
       |bytes AS (SELECT doc_id, unnest(list_transform(split(text, ''), c -> ascii(c) % 16)) AS b
@@ -734,6 +789,7 @@ object CoverageQueries {
     Q("r51_asof_native", r51, Some(r51Sql)),
     Q("m04_payload_neardup", m04, Some(m04Sql)),
     Q("m07_scene_cuts", m07, Some(m07Sql)),
+    Q("m08_vad_segments", m08, Some(m08Sql)),
     Q("r45_lateral_topn", r45, Some(r45Sql)),
     Q("r58_recursive_reach", r58, Some(r58Sql)),
     Q("r46_gapfill", r46, Some(r46Sql)),

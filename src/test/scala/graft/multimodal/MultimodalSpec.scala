@@ -96,6 +96,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got((4L, 0)) == 97.0 && got((4L, 31)) == 99.0)
   }
 
+  test("m08 path: hand-computed frame energies and VAD segments") {
+    import spark.implicits._
+    // 'z' = 122 (voiced above threshold 95), ' ' = 32 (silent); layout:
+    // frame0 voiced, frame1 silent, frames 2-3 voiced, frame4 = 10-byte
+    // voiced tail (the short-chunk case): segments [0,0] and [2,4]
+    val text = "z" * 32 + " " * 32 + "z" * 64 + "z" * 10
+    val docs = Seq((1L, text, "src1", "en", text.length.toLong))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val en = Multimodal.frameEnergy(Multimodal.attachPayload(docs)).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).sortBy(_._1).toList
+    assert(en == List((0, 122L * 32, 32), (1, 32L * 32, 32),
+      (2, 122L * 32, 32), (3, 122L * 32, 32), (4, 122L * 10, 10)), en.toString)
+    val segs = graft.queries.CoverageQueries.vadSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    assert(segs == List((1L, 0L, 0L, 1L, 122L * 32), (1L, 2L, 4L, 3L, 122L * 74)), segs.toString)
+  }
+
   test("null payloads decode as empty, not as task failures") {
     import spark.implicits._
     val df = Seq((1L, Option("abc")), (2L, Option.empty[String])).toDF("doc_id", "text")
