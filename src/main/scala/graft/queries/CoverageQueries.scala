@@ -369,7 +369,12 @@ object CoverageQueries {
     * bitwise-equal doubles, flat (doc_id, t, v) rows. */
   private val m06: Fn = (s, d) =>
     graft.multimodal.Multimodal.audioResample(
-      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d))
+      graft.multimodal.Multimodal.attachPayload(
+        // pushable pre-filter: the mime dispatch inside the decode path
+        // is a CASE over `source` that cannot reach the parquet scan;
+        // this plain predicate does (PushedFilters), so at scale the
+        // audio op reads only the audio source's row groups
+        Tables.documents(s, d).filter(col("source") === "src1"))
         .filter(col("meta.mime") === "audio/wav"))
       .orderBy("doc_id", "t")
   private val m06Sql = {
@@ -606,7 +611,10 @@ object CoverageQueries {
     * use the m04 scaled-long fixed-point trick. */
   private val m07: Fn = (s, d) => {
     val frames = graft.multimodal.Multimodal.frameFeatures(
-      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)))
+      graft.multimodal.Multimodal.attachPayload(
+        // pushable pre-filter (see m06): the video slice's plain source
+        // predicate reaches the parquet scan; the mime dispatch cannot
+        Tables.documents(s, d).filter(!col("source").isin("src0", "src1"))))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
     frames.withColumn("prev", lag(col("features"), 1).over(w))
       .filter(col("prev").isNotNull)
@@ -681,7 +689,9 @@ object CoverageQueries {
     * the d10 gaps-and-islands idiom on ONE doc-keyed window. Scale
     * shape: decode is map-side; the only shuffles are the window hash
     * and the (doc, island) aggregation — both keyed by doc_id. */
-  private val m08: Fn = (s, d) => vadSegments(Tables.documents(s, d))
+  private val m08: Fn = (s, d) =>
+    // pushable pre-filter (see m06): audio rows only, at the scan
+    vadSegments(Tables.documents(s, d).filter(col("source") === "src1"))
   private val m08Sql =
     s"""WITH docs AS (SELECT doc_id, text FROM documents
       |              WHERE source = 'src1' AND text IS NOT NULL),

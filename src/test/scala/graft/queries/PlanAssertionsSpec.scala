@@ -227,4 +227,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "class-size count must partial-aggregate map-side")
     assert(!p.contains("Join"), "QI class audit needs no join")
   }
+
+  test("m06/m08: the source pre-filter reaches the parquet scan") {
+    // the registered plans hide behind the decode RDD boundary, so
+    // assert on the exact pre-decode DataFrame the queries build: the
+    // plain `source` predicate must be in PushedFilters (the mime
+    // dispatch inside the decode path is a CASE over source, which
+    // Parquet cannot evaluate — without the pre-filter the audio/video
+    // slices would scan every source's row groups at 100 TB)
+    import org.apache.spark.sql.functions.col
+    val pre = graft.multimodal.Multimodal.attachPayload(
+      graft.Tables.documents(spark, sf).filter(col("source") === "src1"))
+    val p = pre.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(source,src1)"), p)
+  }
 }
