@@ -228,6 +228,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "QI class audit needs no join")
   }
 
+  test("t17: encode is join-free — merges ride the projection as literals") {
+    val p = planOf("t17_bpe_encode")
+    assert(!p.contains("Join"), "the merge table must fold into the map, not join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc counts must partial-aggregate map-side")
+  }
+
+  test("t18: each training round is one aggregation, never a join") {
+    val p = planOf("t18_perceptron_quality")
+    assert(!p.contains("Join"), "batch-perceptron rounds are single aggregations")
+  }
+
+  test("u12: embedding audit is one keyed partial agg, no join") {
+    val p = planOf("u12_embedding_qa")
+    assert(!p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("m06/m08: the source pre-filter reaches the parquet scan") {
     // the registered plans hide behind the decode RDD boundary, so
     // assert on the exact pre-decode DataFrame the queries build: the
