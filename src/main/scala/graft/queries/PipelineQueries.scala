@@ -1004,7 +1004,95 @@ object PipelineQueries {
        |FROM planned ORDER BY source, shard""".stripMargin
   }
 
+  // --------------- p18 two-constraint inference batch packing ---------
+
+  val BatchMaxDocs = 8
+  val BatchMaxTokens = 512
+  val BatchBucketWidth = 32
+
+  /** p18 body, factored for specs: greedy two-constraint batching of a
+    * (doc_id, n_tok, bucket) relation — within each length bucket, docs
+    * in doc_id order join the current batch until it holds `maxDocs`
+    * documents OR adding the next doc would exceed `maxTokens`; either
+    * constraint closes the batch. Scale shape: the SECONDARY-SORT
+    * idiom — repartition by bucket, sortWithinPartitions(bucket,
+    * doc_id), then ONE streaming mapPartitions pass with O(1) state
+    * (current bucket, batch number, count, token sum). No group is ever
+    * materialized in memory (flatMapGroups would hold a whole bucket),
+    * so the pass handles any bucket size at any scale; batch numbering
+    * restarts per bucket, so the output is partition-placement
+    * independent. */
+  private[queries] def packBatches(withTok: DataFrame, maxDocs: Int, maxTokens: Long): DataFrame = {
+    val spark = withTok.sparkSession
+    val sorted = withTok.select(col("bucket").cast(LongType), col("doc_id").cast(LongType),
+        col("n_tok").cast(LongType))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("bucket", LongType), StructField("doc_id", LongType),
+      StructField("n_tok", LongType), StructField("batch_no", LongType)))
+    val out = sorted.rdd.mapPartitions { iter =>
+      var curBucket = Long.MinValue
+      var batch = 0L
+      var cnt = 0
+      var tok = 0L
+      iter.map { r =>
+        val (b, id, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (b != curBucket) { curBucket = b; batch = 0L; cnt = 1; tok = n }
+        else if (cnt >= maxDocs || tok + n > maxTokens) { batch += 1; cnt = 1; tok = n }
+        else { cnt += 1; tok += n }
+        org.apache.spark.sql.Row(b, id, n, batch)
+      }
+    }
+    spark.createDataFrame(out, schema)
+      .groupBy(col("bucket"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("bucket", "batch_no")
+  }
+
+  /** p18: inference batch packing — the vLLM-style batcher an eval or
+    * RLHF-sampling pipeline runs over the corpus: length-bucketed
+    * micro-batches capped at [[BatchMaxDocs]] sequences AND
+    * [[BatchMaxTokens]] total tokens (the count cap binds on short
+    * buckets, the token budget on long ones — both constraints bind on
+    * this fixture). Oracle: the greedy recurrence is inherently
+    * sequential per bucket, so the replay is a WITH RECURSIVE walk over
+    * each bucket's row_number chain (every bucket advances one row per
+    * recursion step — the r58-proven mechanism, no round-count bound
+    * needed). */
+  private val p18: Fn = (s, d) =>
+    packBatches(
+      docs(s, d).select(col("doc_id"), size(toks).cast(LongType).as("n_tok"))
+        .withColumn("bucket", (col("n_tok") / BatchBucketWidth).cast(LongType)),
+      BatchMaxDocs, BatchMaxTokens)
+  private val p18Sql =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tok, CAST(n_tok // $BatchBucketWidth AS BIGINT) AS bucket,
+       |         row_number() OVER (PARTITION BY n_tok // $BatchBucketWidth ORDER BY doc_id) AS rn
+       |  FROM d),
+       |state AS (
+       |  SELECT bucket, rn, doc_id, n_tok,
+       |         CAST(0 AS BIGINT) AS batch_no, 1 AS cnt, n_tok AS tok
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.bucket, n.rn, n.doc_id, n.n_tok,
+       |         CASE WHEN s.cnt >= $BatchMaxDocs OR s.tok + n.n_tok > $BatchMaxTokens
+       |              THEN s.batch_no + 1 ELSE s.batch_no END,
+       |         CASE WHEN s.cnt >= $BatchMaxDocs OR s.tok + n.n_tok > $BatchMaxTokens
+       |              THEN 1 ELSE s.cnt + 1 END,
+       |         CASE WHEN s.cnt >= $BatchMaxDocs OR s.tok + n.n_tok > $BatchMaxTokens
+       |              THEN n.n_tok ELSE s.tok + n.n_tok END
+       |  FROM state s JOIN r n ON n.bucket = s.bucket AND n.rn = s.rn + 1)
+       |SELECT bucket, batch_no, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM state GROUP BY bucket, batch_no
+       |ORDER BY bucket, batch_no""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p18_inference_batches", p18, Some(p18Sql)),
     Q("p17_compaction_plan", p17, Some(p17Sql)),
     Q("p16_mixture_waterfill", p16, Some(p16Sql)),
     Q("p15_preference_pairs", p15, Some(p15Sql)),

@@ -347,6 +347,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 3L, 1L, 1L, 0.0, 5.0, 2.5)), got.toString)
   }
 
+  test("p18: hand-computed batches under both closing constraints") {
+    import spark.implicits._
+    // bucket 0: five 10-token docs, maxDocs=3 binds -> batches 3+2;
+    // bucket 1: three 60-token docs, maxTokens=100 binds -> singletons;
+    // bucket 2: three 40-token docs -> 40+40=80 fits, +40 would be 120
+    // -> batch of 2 then 1
+    val rows = (
+      (1 to 5).map(i => (0L, i.toLong, 10L)) ++
+      (1 to 3).map(i => (1L, (10 + i).toLong, 60L)) ++
+      (1 to 3).map(i => (2L, (20 + i).toLong, 40L))
+    ).toDF("bucket", "doc_id", "n_tok")
+    val got = PipelineQueries.packBatches(rows, 3, 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      (0L, 0L, 3L, 30L, 1L, 3L), (0L, 1L, 2L, 20L, 4L, 5L),
+      (1L, 0L, 1L, 60L, 11L, 11L), (1L, 1L, 1L, 60L, 12L, 12L), (1L, 2L, 1L, 60L, 13L, 13L),
+      (2L, 0L, 2L, 80L, 21L, 22L), (2L, 1L, 1L, 40L, 23L, 23L)), got.toString)
+  }
+
+  test("p18: fixture batches respect both caps and cover every doc once") {
+    val batches = run("p18_inference_batches").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(batches.nonEmpty)
+    batches.foreach { case (nDocs, nToks) =>
+      assert(nDocs <= PipelineQueries.BatchMaxDocs)
+      assert(nToks <= PipelineQueries.BatchMaxTokens || nDocs == 1L)
+    }
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(batches.map(_._1).sum == total, "every doc must land in exactly one batch")
+    // both closing constraints must actually bind on this fixture
+    assert(batches.exists(_._1 == PipelineQueries.BatchMaxDocs.toLong))
+    assert(batches.exists(b => b._1 < PipelineQueries.BatchMaxDocs && b._2 > 400))
+  }
+
   test("u12: fixture run is non-vacuous (every label present, all healthy)") {
     val rows = run("u12_embedding_qa").collect()
     assert(rows.length == 10)
