@@ -976,22 +976,34 @@ object SimilarityQueries {
     // probes cached edges, and the keep-every-node left-join-back is
     // replaced by unioning zero-contribution node rows into the same
     // destination-keyed aggregation.
-    var ranks = nodes.withColumn("r_fp", lit(PrScale / n)).persist(lvl)
+    var ranks = nodes.withColumn("r_fp", lit(PrScale / n))
     val zeroRows = nodes.select(col("id").as("b_id"), lit(0L).as("c"))
+    val mids = Seq.newBuilder[DataFrame]
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try for (_ <- 1 to rounds) {
-      val next = edges.join(ranks, col("a_id") === col("id"))
-        .select(col("b_id"), expr("r_fp div outdeg").as("c"))
-        .union(zeroRows)
-        .groupBy("b_id").agg(sum(col("c")).as("s"))
-        .select(col("b_id").as("id"),
-          (lit(baseFp) + expr("(85 * s) div 100")).as("r_fp"))
-        .persist(lvl)
-      next.count()
-      ranks.unpersist(false)
-      ranks = next
+    try {
+      for (_ <- 1 to rounds) {
+        val next = edges.join(ranks, col("a_id") === col("id"))
+          .select(col("b_id"), expr("r_fp div outdeg").as("c"))
+          .union(zeroRows)
+          .groupBy("b_id").agg(sum(col("c")).as("s"))
+          .select(col("b_id").as("id"),
+            (lit(baseFp) + expr("(85 * s) div 100")).as("r_fp"))
+          .persist(lvl)
+        mids += ranks
+        ranks = next
+      }
+      // ONE materialization for the whole chain, inside the AQE-off
+      // window: each round's output has exactly one consumer (the next
+      // round), so the stages run sequentially in this single job —
+      // no per-round count() jobs, no cache races, and the final
+      // action outside this fn just reads the cached result. (Static
+      // planning also cannot flip a loop join to broadcast here — an
+      // aggregate's size estimate is unknown — so the re-executed-
+      // broadcast-subtree trap documented above stays closed.)
+      ranks.count()
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    mids.result().drop(1).foreach(_.unpersist(false))
     edges0.unpersist(false)
     ranks.select(col("id").as("vec_id"), col("r_fp").cast(LongType).as("pr_fp"))
       .orderBy(desc("pr_fp"), col("vec_id"))
