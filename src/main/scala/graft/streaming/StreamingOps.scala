@@ -244,6 +244,43 @@ object StreamingOps {
     spark.read.parquet(
       s"$tableDir/${java.nio.file.Files.readString(new java.io.File(s"$tableDir/_current").toPath).trim}")
 
+  // ---- custom state: cross-batch inference batch packer (p18 twin) ----
+
+  case class PackIn(bucket: Long, doc_id: Long, n_tok: Long)
+  case class PackState(batchNo: Long, cnt: Int, tok: Long)
+  case class PackOut(bucket: Long, doc_id: Long, n_tok: Long, batch_no: Long)
+
+  /** Streaming twin of p18's two-constraint batcher: arriving docs join
+    * their length bucket's OPEN batch, carried across micro-batches in
+    * `flatMapGroupsWithState` (a batch left half-full by one micro-batch
+    * fills up in the next — the behavior a continuous eval/scoring
+    * ingest needs; the batch form would restart numbering per run).
+    * State per bucket is O(1): (open batch number, its count, its token
+    * sum). Arrivals are packed in doc_id order within each micro-batch;
+    * the stream equals p18's batch assignment exactly when docs arrive
+    * in doc_id order across micro-batches (StreamingSpec feeds them so
+    * and asserts equality). */
+  def packStream(docs: Dataset[PackIn], maxDocs: Int = 8,
+                 maxTokens: Long = 512L): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[PackIn], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(-1L, 0, 0L))
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            st =
+              if (st.batchNo < 0L) PackState(0L, 1, r.n_tok)
+              else if (st.cnt >= maxDocs || st.tok + r.n_tok > maxTokens)
+                PackState(st.batchNo + 1L, 1, r.n_tok)
+              else PackState(st.batchNo, st.cnt + 1, st.tok + r.n_tok)
+            PackOut(bucket, r.doc_id, r.n_tok, st.batchNo)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: Timestamp)

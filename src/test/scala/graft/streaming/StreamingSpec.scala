@@ -418,4 +418,45 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == want)
   }
+
+  test("streaming batch packer: open batches carry across micro-batches; equals p18") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val P = graft.queries.PipelineQueries
+    val arrivals = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", (col("n_tok") / P.BatchBucketWidth).cast("long"))
+      .orderBy("doc_id")
+      .select("bucket", "doc_id", "n_tok")
+      .as[StreamingOps.PackIn].collect()
+    // three in-order micro-batches with cuts NOT on batch boundaries —
+    // some batch must straddle a micro-batch edge for the state carry
+    // to be exercised
+    val thirds = arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).toSeq
+    val stream = MemoryStream[StreamingOps.PackIn]
+    val q = StreamingOps.packStream(stream.toDS(),
+        P.BatchMaxDocs, P.BatchMaxTokens.toLong).writeStream
+      .format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      thirds.foreach { t => stream.addData(t.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val gotSummary = spark.table("pack_out")
+      .groupBy("bucket", "batch_no")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSet
+    val want = graft.SparkEntry.queries("p18_inference_batches")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && gotSummary == want,
+      s"stream/batch diverged: extra=${gotSummary -- want} missing=${want -- gotSummary}")
+    // the carry must actually be exercised: at least one batch's docs
+    // span two micro-batches
+    val sliceOf = thirds.zipWithIndex
+      .flatMap { case (t, i) => t.map(_.doc_id -> i) }.toMap
+    val straddles = spark.table("pack_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3), sliceOf(r.getLong(1))))
+      .groupBy(t => (t._1, t._2)).values
+      .exists(g => g.map(_._3).distinct.size >= 2)
+    assert(straddles, "no batch straddled a micro-batch edge — carry untested")
+  }
 }
