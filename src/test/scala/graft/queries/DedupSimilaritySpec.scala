@@ -484,6 +484,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0) && got.values.sum <= SimilarityQueries.PrScale)
   }
 
+  test("s12: ranks are partition-placement invariant (the fixed-point claim)") {
+    import spark.implicits._
+    val edges = Seq(
+      (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 3L))
+    def ranksAt(parts: Int) =
+      SimilarityQueries.pageRank(edges.toDF("a_id", "b_id").repartition(parts), 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(ranksAt(1) == ranksAt(13))
+  }
+
   test("s12: rank order on the real kNN graph is stable across reruns") {
     val a = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val b = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -366,6 +366,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 0L, 2L, 80L, 21L, 22L), (2L, 1L, 1L, 40L, 23L, 23L)), got.toString)
   }
 
+  test("p18: batches are partition-placement invariant") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => ((i % 3).toLong, i.toLong, (10 + i % 7).toLong))
+      .toDF("bucket", "doc_id", "n_tok")
+    def at(parts: Int) = PipelineQueries.packBatches(rows.repartition(parts), 4, 50L)
+      .collect().map(_.toSeq).toList
+    assert(at(1) == at(9))
+  }
+
   test("p18: fixture batches respect both caps and cover every doc once") {
     val batches = run("p18_inference_batches").collect()
       .map(r => (r.getLong(2), r.getLong(3)))
