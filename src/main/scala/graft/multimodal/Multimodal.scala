@@ -170,21 +170,21 @@ object Multimodal {
     StructField("frame_no", IntegerType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** Per-frame feature extraction for video payloads: every 64-byte
-    * chunk ("frame") yields the 16-bucket byte histogram, normalized by
-    * the chunk's own length (the last chunk is shorter). Same STUB-
-    * codec/real-plumbing contract as [[decodeFeatures]]; the
-    * normalization divides in double then narrows to float so the
-    * relational replay (`CAST(cnt / len AS FLOAT)`, double division
-    * then cast) is bit-identical. Empty/null payloads yield no frames
-    * on BOTH sides (`range(0, (len-1)//64 + 1)` is empty at len 0). */
-  def frameFeatures(withPayload: DataFrame, frameBytes: Int = 64): DataFrame = {
+  /** Shared per-frame chunk walk for the frame-level decode ops: one
+    * mime-filtered batched mapPartitions pass emitting `(doc_id,
+    * frame_no, kernel(chunk))` rows. The frame contract lives HERE
+    * once — chunk f covers bytes [f·frameBytes, min((f+1)·frameBytes,
+    * len)), the last chunk is shorter, empty/null payloads yield no
+    * frames (`range(0, (len-1)//frameBytes + 1)` is empty at len 0) —
+    * and the m07/m08 oracle SQL replays exactly this arithmetic. */
+  private def frameRows(withPayload: DataFrame, mime: String, frameBytes: Int,
+                        schema: StructType)(kernel: (Array[Byte], Int, Int) => Seq[Any]): DataFrame = {
     val spark = withPayload.sparkSession
-    val vids = withPayload.filter(col("meta.mime") === "video/mp4")
-    val payloadIdx = vids.schema.fieldIndex("payload")
-    val idIdx = vids.schema.fieldIndex("doc_id")
-    val out = vids.rdd.mapPartitions { iter =>
-      // per-partition: real impl initializes the video codec once here
+    val sel = withPayload.filter(col("meta.mime") === mime)
+    val payloadIdx = sel.schema.fieldIndex("payload")
+    val idIdx = sel.schema.fieldIndex("doc_id")
+    val out = sel.rdd.mapPartitions { iter =>
+      // per-partition: real impl initializes the codec once here
       iter.flatMap { row =>
         val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
         if (bytes.isEmpty) Iterator.empty
@@ -193,18 +193,30 @@ object Multimodal {
           (0 until nFrames).iterator.map { f =>
             val start = f * frameBytes
             val end = math.min(start + frameBytes, bytes.length)
-            val hist = new Array[Float](FeatureDim)
-            var i = start
-            while (i < end) { hist((bytes(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
-            var j = 0
-            while (j < FeatureDim) { hist(j) = (hist(j) / (end - start).toDouble).toFloat; j += 1 }
-            Row(row.getLong(idIdx), f, hist.toSeq)
+            Row.fromSeq(row.getLong(idIdx) +: f +: kernel(bytes, start, end))
           }
         }
       }
     }
-    spark.createDataFrame(out, frameFeatureSchema)
+    spark.createDataFrame(out, schema)
   }
+
+  /** Per-frame feature extraction for video payloads: every 64-byte
+    * chunk ("frame") yields the 16-bucket byte histogram, normalized by
+    * the chunk's own length (the last chunk is shorter). Same STUB-
+    * codec/real-plumbing contract as [[decodeFeatures]]; the
+    * normalization divides in double then narrows to float so the
+    * relational replay (`CAST(cnt / len AS FLOAT)`, double division
+    * then cast) is bit-identical. */
+  def frameFeatures(withPayload: DataFrame, frameBytes: Int = 64): DataFrame =
+    frameRows(withPayload, "video/mp4", frameBytes, frameFeatureSchema) { (bytes, start, end) =>
+      val hist = new Array[Float](FeatureDim)
+      var i = start
+      while (i < end) { hist((bytes(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
+      var j = 0
+      while (j < FeatureDim) { hist(j) = (hist(j) / (end - start).toDouble).toFloat; j += 1 }
+      Seq(hist.toSeq)
+    }
 
   private val energySchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -217,31 +229,16 @@ object Multimodal {
     * compare stays in integer arithmetic) plus the chunk length (the
     * last chunk is shorter). Same STUB-codec/real-plumbing contract as
     * [[decodeFeatures]]: a real implementation sums |PCM| here. */
-  def frameEnergy(withPayload: DataFrame, frameBytes: Int = 32): DataFrame = {
-    val spark = withPayload.sparkSession
-    val auds = withPayload.filter(col("meta.mime") === "audio/wav")
-    val payloadIdx = auds.schema.fieldIndex("payload")
-    val idIdx = auds.schema.fieldIndex("doc_id")
-    val out = auds.rdd.mapPartitions { iter =>
-      // per-partition: real impl initializes the audio codec once here
-      iter.flatMap { row =>
-        val bytes = Option(row.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
-        if (bytes.isEmpty) Iterator.empty
-        else {
-          val nFrames = (bytes.length - 1) / frameBytes + 1
-          (0 until nFrames).iterator.map { f =>
-            val start = f * frameBytes
-            val end = math.min(start + frameBytes, bytes.length)
-            var s = 0L
-            var i = start
-            while (i < end) { s += (bytes(i) & 0xFF); i += 1 }
-            Row(row.getLong(idIdx), f, s, end - start)
-          }
-        }
-      }
+  def frameEnergy(withPayload: DataFrame, frameBytes: Int = 32): DataFrame =
+    frameRows(withPayload, "audio/wav", frameBytes, energySchema) { (bytes, start, end) =>
+      var s = 0L
+      var i = start
+      while (i < end) { s += (bytes(i) & 0xFF); i += 1 }
+      // Seq[Any] on purpose: a plain Seq(s, end - start) would UNIFY
+      // the elements to Long (numeric widening), boxing flen as a Long
+      // and failing the IntegerType row encoder at runtime
+      Seq[Any](s, end - start)
     }
-    spark.createDataFrame(out, energySchema)
-  }
 
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (explode-shaped; a real impl samples

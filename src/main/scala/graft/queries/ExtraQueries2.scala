@@ -823,45 +823,58 @@ object ExtraQueries2 {
   /** Audit body, factored so specs can drive a constructed table with
     * planted defects (zero vectors, NaNs). */
   private[queries] def embeddingQa(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // aggregate from 0.0 returns 0.0 on an EMPTY array — the oracle's
+    // CASE len=0 guard mirrors it (a bare list_reduce errors on empty)
     val sum2 = aggregate(
       transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (a, b) => a + b)
-    // a NaN component must take its row OUT of the norm stats EXPLICITLY
-    // (NULL): left to the engines, Spark's floor(NaN) casts to 0 while
-    // DuckDB errors casting NaN to BIGINT — the one defect the audit
-    // exists to catch would itself diverge
-    val nanc = size(filter(col("embedding"), x => isnan(x)))
+    // a non-finite component (NaN OR ±Inf) or an overflowing norm must
+    // take its row OUT of the norm stats EXPLICITLY (NULL): left to the
+    // engines, Spark's floor(NaN) casts to 0 and its Long cast
+    // SATURATES on overflow, while DuckDB errors on both casts — the
+    // very defects the audit exists to catch would themselves diverge.
+    // The 8e25 bound keeps norm*1e6 well under Long.MaxValue.
+    val nBad = size(filter(col("embedding"), x =>
+      isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
+    val bad = nBad > 0 || sum2 > lit(8e25)
     val v = emb.select(
       col("label"),
-      when(nanc > 0, lit(null).cast(LongType))
+      when(bad, lit(null).cast(LongType))
         .otherwise(floor(sqrt(sum2) * lit(1e6)).cast(LongType)).as("norm_fp"),
       when(sum2 === 0.0, 1L).otherwise(0L).as("is_zero"),
-      when(nanc > 0, 1L).otherwise(0L).as("has_nan"))
+      when(bad, 1L).otherwise(0L).as("is_bad"))
     v.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("is_zero")).as("n_zero"),
-        sum(col("has_nan")).as("n_nan"),
+        sum(col("is_bad")).as("n_nonfinite"),
         min(col("norm_fp")).as("mn"), max(col("norm_fp")).as("mx"),
         sum(col("norm_fp")).as("sm"), count(col("norm_fp")).as("n_normed"))
-      .select(col("label").cast(LongType).as("label"), col("n_vecs"), col("n_zero"), col("n_nan"),
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"), col("n_zero"),
+        col("n_nonfinite"),
         round(col("mn").cast(DoubleType) / 1e6, 6).as("min_norm"),
         round(col("mx").cast(DoubleType) / 1e6, 6).as("max_norm"),
         round(col("sm").cast(DoubleType) / 1e6 / col("n_normed").cast(DoubleType), 6).as("avg_norm"))
       .orderBy("label")
   }
   private val u12Sql =
-    """WITH v AS (
+    """WITH s AS (
       |  SELECT label,
-      |         CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL
-      |              ELSE CAST(trunc(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
-      |                                               (a, b) -> a + b)) * 1e6) AS BIGINT) END AS norm_fp,
-      |         CASE WHEN list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
-      |                               (a, b) -> a + b) = 0.0 THEN 1 ELSE 0 END AS is_zero,
-      |         CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END AS has_nan
-      |  FROM embeddings)
+      |         CASE WHEN len(embedding) = 0 THEN 0.0
+      |              ELSE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                               (a, b) -> a + b) END AS s2,
+      |         CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+      |              THEN 1 ELSE 0 END AS nbad
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT label,
+      |         CASE WHEN nbad > 0 OR s2 > 8e25 THEN NULL
+      |              ELSE CAST(trunc(sqrt(s2) * 1e6) AS BIGINT) END AS norm_fp,
+      |         CASE WHEN s2 = 0.0 THEN 1 ELSE 0 END AS is_zero,
+      |         CASE WHEN nbad > 0 OR s2 > 8e25 THEN 1 ELSE 0 END AS is_bad
+      |  FROM s)
       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
       |       CAST(sum(is_zero) AS BIGINT) AS n_zero,
-      |       CAST(sum(has_nan) AS BIGINT) AS n_nan,
+      |       CAST(sum(is_bad) AS BIGINT) AS n_nonfinite,
       |       round(CAST(min(norm_fp) AS DOUBLE) / 1e6, 6) AS min_norm,
       |       round(CAST(max(norm_fp) AS DOUBLE) / 1e6, 6) AS max_norm,
       |       round(CAST(sum(norm_fp) AS DOUBLE) / 1e6 / CAST(count(norm_fp) AS DOUBLE), 6) AS avg_norm

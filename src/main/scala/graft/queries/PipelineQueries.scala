@@ -1063,12 +1063,17 @@ object PipelineQueries {
     * needed). */
   private val p18: Fn = (s, d) =>
     packBatches(
-      docs(s, d).select(col("doc_id"), size(toks).cast(LongType).as("n_tok"))
+      // NULL text would flow through as a null n_tok/bucket and NPE in
+      // the packer's typed state pass — filter at the scan (pushable),
+      // exactly as the oracle's WHERE clause does
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), size(toks).cast(LongType).as("n_tok"))
         .withColumn("bucket", (col("n_tok") / BatchBucketWidth).cast(LongType)),
       BatchMaxDocs, BatchMaxTokens)
   private val p18Sql =
     s"""WITH RECURSIVE d AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL),
        |r AS (
        |  SELECT doc_id, n_tok, CAST(n_tok // $BatchBucketWidth AS BIGINT) AS bucket,
        |         row_number() OVER (PARTITION BY n_tok // $BatchBucketWidth ORDER BY doc_id) AS rn

@@ -964,18 +964,16 @@ object SimilarityQueries {
       .select(col("a_id"), col("b_id"), col("outdeg")).persist(lvl)
     edges.count() // materialize outside the AQE-off window
     val baseFp = (PrScale * 15L / 100L) / n
-    // d08's iteration discipline, for measured reasons: each round is
-    // materialized eagerly (persist + count) so the next round's plan
-    // is one shallow join over cached inputs, with AQE off for the
-    // loop's duration. The lazy alternative (compose all rounds into
-    // one plan) measured WORSE on this fixture two ways — AQE re-plans
-    // the whole deepening tree per stage (~0.3 s/round, the d08
-    // finding), and any round whose join AQE flips to broadcast
-    // re-executes the entire uncached upstream chain as a separate
-    // broadcast job. Per round ONE keyed shuffle: the source-side join
-    // probes cached edges, and the keep-every-node left-join-back is
-    // replaced by unioning zero-contribution node rows into the same
-    // destination-keyed aggregation.
+    // Iteration discipline, for measured reasons: the rounds compose
+    // lazily but the WHOLE chain is materialized by ONE count() inside
+    // the AQE-off window below — under AQE the deepening tree re-plans
+    // per stage (~0.3 s/round, the d08 finding), and any round whose
+    // join AQE flips to broadcast re-executes the entire uncached
+    // upstream chain as a separate broadcast job (measured 13-32 s vs
+    // 10 s at sf0.1). Per round ONE keyed shuffle: the source-side
+    // join probes cached edges, and the keep-every-node left-join-back
+    // is replaced by unioning zero-contribution node rows into the
+    // same destination-keyed aggregation.
     var ranks = nodes.withColumn("r_fp", lit(PrScale / n))
     val zeroRows = nodes.select(col("id").as("b_id"), lit(0L).as("c"))
     val mids = Seq.newBuilder[DataFrame]
@@ -1003,8 +1001,12 @@ object SimilarityQueries {
       // broadcast-subtree trap documented above stays closed.)
       ranks.count()
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // after the materialization only the FINAL cached ranks are needed
+    // by the caller's action — release every other cached relation so
+    // repeated invocations (bench reps, probes, specs) leak one tiny
+    // dataset, not four (the d08 precedent)
     mids.result().drop(1).foreach(_.unpersist(false))
-    edges0.unpersist(false)
+    edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
     ranks.select(col("id").as("vec_id"), col("r_fp").cast(LongType).as("pr_fp"))
       .orderBy(desc("pr_fp"), col("vec_id"))
   }

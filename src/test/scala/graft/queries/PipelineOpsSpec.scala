@@ -326,25 +326,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3) && rows.exists(!_._3), "no saturation — spec is vacuous")
   }
 
-  test("u12: planted zero vectors and NaNs are counted, norms exact") {
+  test("u12: planted zero/NaN/Inf/empty vectors are counted, norms exact") {
     import spark.implicits._
-    // label 0: two unit vectors; label 1: one zero vector, one NaN
-    // vector, one 3-4-5 triangle vector (norm 5 exactly)
+    // label 0: two unit vectors + an EMPTY array (zero vector by
+    // contract, no engine error); label 1: one zero vector, one NaN
+    // vector, one +Inf vector, one 3-4-5 triangle vector (norm 5)
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),
       (2L, Array(0.0f, 1.0f), 0),
+      (6L, Array.empty[Float], 0),
       (3L, Array(0.0f, 0.0f), 1),
       (4L, Array(Float.NaN, 1.0f), 1),
+      (7L, Array(Float.PositiveInfinity, 1.0f), 1),
       (5L, Array(3.0f, 4.0f), 1)).toDF("vec_id", "embedding", "label")
     val got = ExtraQueries2.embeddingQa(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5), r.getDouble(6))).toList
-    // NaN row: norm explicitly NULL (counted in n_nan, excluded from
-    // min/max/avg). label 1 norm stats over (0, 5000000): min 0.0,
-    // max 5.0, avg over the 2 non-NaN vectors = 2.5.
+    // NaN/Inf rows: norm explicitly NULL (counted in n_nonfinite,
+    // excluded from min/max/avg). label 0 norms (1, 1, 0): avg over 3;
+    // label 1 norms over the 2 finite vectors (0, 5): avg 2.5.
     assert(got == List(
-      (0L, 2L, 0L, 0L, 1.0, 1.0, 1.0),
-      (1L, 3L, 1L, 1L, 0.0, 5.0, 2.5)), got.toString)
+      (0L, 3L, 1L, 0L, 0.0, 1.0, 0.666667),
+      (1L, 4L, 1L, 2L, 0.0, 5.0, 2.5)), got.toString)
   }
 
   test("p18: hand-computed batches under both closing constraints") {
