@@ -926,6 +926,65 @@ object SimilarityQueries {
        |) t ORDER BY method, q_id""".stripMargin
   }
 
+  // ---------------- s13 matryoshka truncation recall harness ----------
+
+  /** s13: dimension-truncation recall harness — the measurement behind
+    * Matryoshka-style embedding deployment (store 64 dims, serve
+    * searches on a prefix): exact cosine top-K over the FIRST 16 and
+    * 32 dimensions, graded against the full-width s01 ground truth per
+    * query. A truncated scan reads 4x/2x less vector data; this is the
+    * harness that tells you what recall that buys back. Same composed
+    * shape as s11 (the ranked relations are K·|Q| rows; the cost is
+    * the scans), same left-join-keeps-every-query audit property. */
+  private val s13: Fn = (s, d) => {
+    val exact = s01(s, d).select(col("q_id"), col("vec_id"))
+    Seq(16, 32).map { dims =>
+      val e = emb(s, d).select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+      val approx = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx, col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("av")).as("hits"))
+        .withColumn("dims", lit(dims))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall", round(col("hits").cast(DoubleType) / lit(K), 4))
+      .select(col("dims"), col("q_id"), col("hits"), col("recall"))
+      .orderBy("dims", "q_id")
+  }
+  private def s13Sql: String = {
+    def arm(dims: Int): String =
+      s"""SELECT $dims AS dims, e.q_id, count(a.av) AS hits,
+         |       round(CAST(count(a.av) AS DOUBLE) / $K, 4) AS recall
+         |FROM ($s01Sql) e LEFT JOIN (
+         |  SELECT q_id AS aq, vec_id AS av FROM (
+         |    SELECT q.q_id, e2.vec_id,
+         |      round(list_dot_product(q.qv::DOUBLE[], e2.emb::DOUBLE[]) /
+         |            sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+         |                 list_dot_product(e2.emb::DOUBLE[], e2.emb::DOUBLE[])), 4) AS sim,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |                         ORDER BY round(list_dot_product(q.qv::DOUBLE[], e2.emb::DOUBLE[]) /
+         |                                        sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+         |                                             list_dot_product(e2.emb::DOUBLE[], e2.emb::DOUBLE[])), 4) DESC,
+         |                         e2.vec_id) AS rk
+         |    FROM (SELECT vec_id, embedding[1:$dims] AS emb FROM embeddings) e2
+         |    JOIN (SELECT vec_id AS q_id, embedding[1:$dims] AS qv FROM embeddings
+         |          WHERE vec_id < $NumQueries) q ON e2.vec_id <> q.q_id) t
+         |  WHERE rk <= $K) a
+         |  ON e.q_id = a.aq AND e.vec_id = a.av
+         |GROUP BY e.q_id""".stripMargin
+    s"""SELECT dims, q_id, hits, recall FROM (
+       |${arm(16)}
+       |UNION ALL
+       |${arm(32)}
+       |) t ORDER BY dims, q_id""".stripMargin
+  }
+
   // ---------------- s12 PageRank centrality over the kNN graph --------
 
   val PrRounds = 8
@@ -1042,6 +1101,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
     Q("s12_pagerank", s12, Some(s12Sql)),
+    Q("s13_matryoshka_recall", s13, Some(s13Sql)),
     Q("s10_knn_graph", s10, Some(s10Sql)),
     Q("s11_ann_recall", s11, Some(s11Sql)),
     Q("s09_mmr_diversified", s09, Some(s09Sql)),

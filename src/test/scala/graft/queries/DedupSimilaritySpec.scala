@@ -495,6 +495,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ranksAt(1) == ranksAt(13))
   }
 
+  test("s13: truncation recall is non-vacuous and widens with dimensions (fixture)") {
+    val rows = run("s13_matryoshka_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2 * SimilarityQueries.NumQueries)
+    assert(rows.forall { case (_, _, h) => h >= 0 && h <= SimilarityQueries.K })
+    // deterministic fixture measurement: 32 of 64 dims must recover
+    // strictly more of the exact top-K than 16 dims in aggregate
+    val byDim = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDim(32) > byDim(16), byDim.toString)
+  }
+
   test("s12: rank order on the real kNN graph is stable across reruns") {
     val a = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val b = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
