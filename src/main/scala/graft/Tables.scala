@@ -48,15 +48,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to microseconds
-    * (exactly what DuckDB reports for the same file), keeping the column
-    * a proper TimestampType for window/watermark operators. */
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read
+    * nanos as long, truncate to micros, exactly what DuckDB reports for
+    * the same file) and plain TIMESTAMP(MICROS) with isAdjustedToUTC
+    * false (infers as TIMESTAMP_NTZ). Branch on the type the reader
+    * actually inferred so either generation yields the same
+    * TimestampType column — the session tz is pinned UTC, so the
+    * NTZ→TZ cast preserves wall-clock values on both engines. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

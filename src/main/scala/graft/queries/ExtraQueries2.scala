@@ -880,7 +880,55 @@ object ExtraQueries2 {
       |       round(CAST(sum(norm_fp) AS DOUBLE) / 1e6 / CAST(count(norm_fp) AS DOUBLE), 6) AS avg_norm
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  /** r59: cohort retention matrix — the product-analytics staple the
+    * reference's event log invites (and a shape every OLAP engine is
+    * benchmarked on): users cohorted by first-activity day, then for
+    * each (cohort, day-offset) the share of the cohort still active.
+    * Two keyed shuffles at scale: the first-activity agg on user_id and
+    * the (cohort, offset) distinct-count — both partial-aggregate
+    * map-side. The first-activity relation is user-dimension sized
+    * (<< event count), so AQE may broadcast it at bench scale while the
+    * 100 TB plan falls back to a sort-merge join on user_id; nothing
+    * here depends on which it picks. Retention = int/int divided once
+    * in double, round 6 (exact parity — both engines' division is
+    * correctly rounded). */
+  private val r59: Fn = (s, d) => {
+    // day as a midnight TIMESTAMP, not DATE: every other query dumps
+    // timestamps, and the fixture ts is UTC-truncation-safe in both
+    // engines; offsets are exact integer day differences.
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("offset_days"), col("active_users"),
+        col("cohort_users"),
+        round(col("active_users").cast(DoubleType) /
+          col("cohort_users").cast(DoubleType), 6).as("retention"))
+      .orderBy("cohort_day", "offset_days")
+  }
+  private val r59Sql =
+    """WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+      |sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM first GROUP BY cohort_day),
+      |ret AS (
+      |  SELECT f.cohort_day,
+      |         CAST(date_diff('day', f.cohort_day, ev.day) AS BIGINT) AS offset_days,
+      |         count(DISTINCT ev.user_id) AS active_users
+      |  FROM ev JOIN first f ON ev.user_id = f.user_id
+      |  GROUP BY f.cohort_day, offset_days)
+      |SELECT r.cohort_day, r.offset_days, r.active_users, s.cohort_users,
+      |       round(CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6) AS retention
+      |FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+      |ORDER BY r.cohort_day, r.offset_days""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r59_retention_cohorts", r59, Some(r59Sql)),
     Q("u10_drift_psi", u10, Some(u10Sql)),
     Q("u12_embedding_qa", u12, Some(u12Sql)),
     Q("r55_market_share", r55, Some(r55Sql)),

@@ -1098,7 +1098,62 @@ object SimilarityQueries {
        |ORDER BY pr_fp DESC, vec_id""".stripMargin
   }
 
+  /** s14: kNN label-vote classifier — the eval loop a labeled embedding
+    * corpus runs to sanity-check the encoder (neighbors sharing labels
+    * = the embedding space is organized; falling accuracy after an
+    * encoder change is the regression alarm). Top-K exact neighbors per
+    * held-out query (s01's broadcast-scan shape — at 100 TB swap in the
+    * s03 IVF candidate stage unchanged, the vote is identical), then a
+    * majority vote on the neighbors' labels with a deterministic
+    * (count desc, label asc) tie-break. All derived columns are exact
+    * ints; the only float is the s01-proven rounded cosine. */
+  private val s14: Fn = (s, d) => {
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("true_label"))
+    val scored = emb(s, d).join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    val votes = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .groupBy(col("q_id"), col("true_label"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(desc("votes"), col("pred_label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("q_id"),
+        col("true_label").cast(LongType).as("true_label"),
+        col("pred_label").cast(LongType).as("pred_label"),
+        col("votes"),
+        (col("pred_label") === col("true_label")).cast(LongType).as("correct"))
+      .orderBy("q_id")
+  }
+  private val s14Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, q.true_label, e.vec_id, e.label,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |nn AS (
+       |  SELECT q_id, true_label, label FROM (
+       |    SELECT q_id, true_label, vec_id, label,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |    FROM scored) t WHERE rk <= $K),
+       |votes AS (
+       |  SELECT q_id, true_label, label AS pred_label, count(*) AS votes
+       |  FROM nn GROUP BY q_id, true_label, label)
+       |SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
+       |       CAST(pred_label AS BIGINT) AS pred_label, votes,
+       |       CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY votes DESC, pred_label) AS vr
+       |      FROM votes) v
+       |WHERE vr = 1 ORDER BY q_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s14_knn_classify", s14, Some(s14Sql)),
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
     Q("s12_pagerank", s12, Some(s12Sql)),
     Q("s13_matryoshka_recall", s13, Some(s13Sql)),

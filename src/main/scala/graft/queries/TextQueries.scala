@@ -774,7 +774,68 @@ object TextQueries {
        |$out) m ORDER BY round""".stripMargin
   }
 
+  /** t19: Zipf-law fit over the corpus vocabulary — the distributional
+    * health check a tokenizer/corpus pipeline runs to detect boilerplate
+    * floods and template spam (natural text fits log(freq) ≈ a + s·log
+    * (rank) with s ≈ -1; machine-generated or deduplicated-to-death
+    * corpora bend the curve). Least squares over the top-1000 terms:
+    * the token count is the t03 shuffle (partial-agg'd), the top-k is a
+    * TakeOrderedAndProject, and the 1000 survivors are ranked by one
+    * bounded global window (u04 class, allowlisted). Parity: ln(rank)/
+    * ln(count) are floored to 1e-6 fixed point per term (ints, so the
+    * sums are order-free and exact); the closed-form slope/intercept/r²
+    * are computed from those exact integer sums with an IDENTICAL
+    * double expression tree on both engines, so every fp op is the
+    * same correctly-rounded IEEE step on both sides. */
+  private val t19: Fn = (s, d) => {
+    val w = Window.orderBy(desc("n"), col("token"))
+    val fp = docs(s, d).select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(1000)
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(log(col("rank").cast(DoubleType)) * 1e6).cast(LongType).as("x"),
+        floor(log(col("n").cast(DoubleType)) * 1e6).cast(LongType).as("y"))
+    val sums = fp.agg(
+      count(lit(1)).cast(DoubleType).as("nt"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+      sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+      sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+    val num = col("nt") * col("sxy") - col("sx") * col("sy")
+    val den = col("nt") * col("sxx") - col("sx") * col("sx")
+    val sl = num / den
+    sums.select(
+      col("nt").cast(LongType).as("n_terms"),
+      round(sl, 4).as("slope"),
+      round((col("sy") - sl * col("sx")) / col("nt") / 1e6, 4).as("intercept"),
+      round(num * num / (den * (col("nt") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+  private val t19Sql =
+    """WITH top AS (
+      |  SELECT token, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY token ORDER BY n DESC, token LIMIT 1000),
+      |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM top),
+      |fp AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |              CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |       FROM rk),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS nt,
+      |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |             CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |             CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |             CAST(sum(y * y) AS DOUBLE) AS syy
+      |      FROM fp)
+      |SELECT CAST(nt AS BIGINT) AS n_terms,
+      |       round((nt * sxy - sx * sy) / (nt * sxx - sx * sx), 4) AS slope,
+      |       round((sy - ((nt * sxy - sx * sy) / (nt * sxx - sx * sx)) * sx) / nt / 1e6, 4) AS intercept,
+      |       round((nt * sxy - sx * sy) * (nt * sxy - sx * sy)
+      |             / ((nt * sxx - sx * sx) * (nt * syy - sy * sy)), 4) AS r2
+      |FROM s""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t19_zipf_fit", t19, Some(t19Sql)),
     Q("t16_bigram_logprob", t16, Some(t16Sql)),
     Q("t18_perceptron_quality", t18, Some(t18Sql)),
     Q("t15_bpe_merges", t15, Some(t15Sql)),

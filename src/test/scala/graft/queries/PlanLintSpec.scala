@@ -43,10 +43,12 @@ class PlanLintSpec extends AnyFunSuite {
   //  - p17: bin-packing cumsum over file METADATA (#sources × #shards
   //    rows) — the driver-side listing class Spark itself packs scan
   //    splits from, never the corpus.
+  //  - t19: ranks the 1000 survivors of a TakeOrderedAndProject (u04
+  //    class — bounded by the preceding limit, never the vocabulary).
   private val globalWindowAllowed = Set(
     "etl_enrich_gated", "p05_corpus_shuffle", "p06_assemble_training_set",
     "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill",
-    "p17_compaction_plan")
+    "p17_compaction_plan", "t19_zipf_fit")
 
   private def hasGlobalWindow(name: String): Boolean =
     executions(name).optimizedPlan.collect {
