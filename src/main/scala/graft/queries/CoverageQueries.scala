@@ -794,7 +794,27 @@ object CoverageQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** st5: windowed top-k leaderboard, batch form — the DuckDB-oracled
+    * ground truth for the streaming pre-agg/serve split
+    * ([[graft.streaming.StreamingOps.windowedTypeCounts]] +
+    * [[graft.streaming.StreamingOps.rankTopK]]; StreamingSpec proves
+    * the MemoryStream-driven composition emits these exact rows). */
+  private val st5: Fn = (s, d) =>
+    graft.streaming.StreamingOps.rankTopK(
+      graft.streaming.StreamingOps.windowedTypeCounts(Tables.events(s, d)))
+  private val st5Sql =
+    """WITH counts AS (
+      |  SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT w_start, event_type, n,
+      |         row_number() OVER (PARTITION BY w_start ORDER BY n DESC, event_type) AS rk
+      |  FROM counts)
+      |SELECT w_start, rk, event_type, n FROM ranked
+      |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("st5_stream_topk", st5, Some(st5Sql)),
     Q("st4_ingest_front", st4, Some(st4Sql)),
     Q("r51_asof_native", r51, Some(r51Sql)),
     Q("m04_payload_neardup", m04, Some(m04Sql)),

@@ -927,7 +927,74 @@ object ExtraQueries2 {
       |FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
       |ORDER BY r.cohort_day, r.offset_days""".stripMargin
 
+  /** u11: per-source dataset card — the "datasheet for datasets" row a
+    * curation pipeline publishes per source before a training run: doc/
+    * token/char volume, exact-duplicate rate, short-doc share, and the
+    * language-mix entropy (a mono-lingual source that suddenly reads
+    * multilingual — or vice versa — is an ingest bug). One narrow
+    * row-level projection, then two keyed shuffles (source and
+    * source×lang), both partial-aggregated; the dedup signal uses
+    * count(DISTINCT md5(text)) so the distinct shuffle key is a fixed
+    * 32-byte hash, not the document body. Entropy parity: per-lang
+    * −p·ln p terms floored to 1e-9 fixed point (non-negative, so floor
+    * = trunc on both engines) and summed as exact ints — the u10 psi
+    * idiom. */
+  private val u11: Fn = (s, d) => {
+    val base = Tables.documents(s, d).select(
+      col("source"), col("lang"), col("n_chars"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+      md5(col("text")).as("h"))
+    val perSrc = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("h")).as("n_uniq"),
+      sum(when(col("n_toks") < 20, 1L).otherwise(0L)).as("n_short"))
+    val ent = base.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      .join(perSrc.select(col("source"), col("n_docs")), "source")
+      .select(col("source"),
+        floor(-(col("nl").cast(DoubleType) / col("n_docs").cast(DoubleType)) *
+          log(col("nl").cast(DoubleType) / col("n_docs").cast(DoubleType)) * 1e9)
+          .cast(LongType).as("term_fp"))
+      .groupBy("source").agg(sum(col("term_fp")).as("ent_fp"))
+    perSrc.join(ent, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+          .as("dup_rate"),
+        round(col("n_short").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+          .as("short_share"),
+        round(col("ent_fp").cast(DoubleType) / 1e9, 6).as("lang_entropy"))
+      .orderBy("source")
+  }
+  private val u11Sql =
+    """WITH base AS (
+      |  SELECT source, lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         md5(text) AS h
+      |  FROM documents),
+      |per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |         count(DISTINCT h) AS n_uniq,
+      |         CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |  FROM base GROUP BY source),
+      |ent AS (
+      |  SELECT l.source, CAST(sum(CAST(floor(
+      |           -(CAST(l.nl AS DOUBLE) / CAST(p.n_docs AS DOUBLE)) *
+      |           ln(CAST(l.nl AS DOUBLE) / CAST(p.n_docs AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS ent_fp
+      |  FROM (SELECT source, lang, count(*) AS nl FROM base GROUP BY source, lang) l
+      |  JOIN per_src p ON l.source = p.source
+      |  GROUP BY l.source)
+      |SELECT p.source, p.n_docs, p.n_tokens, p.n_chars,
+      |       round(1.0 - CAST(p.n_uniq AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6) AS dup_rate,
+      |       round(CAST(p.n_short AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6) AS short_share,
+      |       round(CAST(e.ent_fp AS DOUBLE) / 1e9, 6) AS lang_entropy
+      |FROM per_src p JOIN ent e ON p.source = e.source
+      |ORDER BY p.source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("u11_dataset_card", u11, Some(u11Sql)),
     Q("r59_retention_cohorts", r59, Some(r59Sql)),
     Q("u10_drift_psi", u10, Some(u10Sql)),
     Q("u12_embedding_qa", u12, Some(u12Sql)),

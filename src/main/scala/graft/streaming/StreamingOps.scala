@@ -47,6 +47,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
 
+  /** Streaming leaderboard, stage 1: tumbling-window counts per
+    * event_type — the pre-aggregation an always-on "top pages / top
+    * errors this hour" pipeline keeps in streaming state. Top-k itself
+    * is NOT computed here: ranking inside the stream would need a
+    * per-window global sort in state, while the pre-aggregated counts
+    * are tiny (windows × #types), so the rank belongs in the serving
+    * read ([[rankTopK]]) — the standard pre-agg/serve split for
+    * streaming top-k. Keyed by (window, type), watermark-bounded. */
+  def windowedTypeCounts(events: DataFrame, window: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Streaming leaderboard, stage 2 (serving side): rank the
+    * pre-aggregated counts to top-k per window with a deterministic
+    * (count desc, type asc) tie-break. Input is windows × #types rows
+    * — the window partition bounds the rank's shuffle at any scale.
+    * The same composition over a batch scan is the DuckDB-oracled
+    * `st5_stream_topk`. */
+  def rankTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start")).orderBy(desc("n"), col("event_type"))
+    counts.withColumn("rk",
+        row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rk") <= k)
+      .select(col("w_start"), col("rk"), col("event_type"), col("n"))
+      .orderBy("w_start", "rk")
+  }
+
   /** Streaming dedup on a business key within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")

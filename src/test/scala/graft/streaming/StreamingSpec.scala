@@ -56,6 +56,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming windowed top-k: pre-agg via MemoryStream + serving rank equals batch twin") {
+    val pre = feedAll("topk_counts", df => StreamingOps.windowedTypeCounts(df), "complete")
+    val got = StreamingOps.rankTopK(pre).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val want = StreamingOps.rankTopK(StreamingOps.windowedTypeCounts(eventsBatch)).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes injected dupes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
