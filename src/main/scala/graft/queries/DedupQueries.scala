@@ -809,7 +809,79 @@ object DedupQueries {
       |FROM isl GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** d13: asymmetric containment dedup — the near-dup class Jaccard
+    * systematically under-scores: a short document wholly embedded in a
+    * long one (quote farms, article + boilerplate wrapper, excerpt
+    * pages) has high containment |A∩B| / min(|A|,|B|) but low Jaccard,
+    * so a J-threshold pass keeps both copies. Same 5-gram shingle
+    * space as d03; candidates come from the prefix-filter theorem
+    * specialized to the min-normalizer: if C(A,B) ≥ t then the SMALLER
+    * set's first n − ⌈t·n⌉ + 1 shingles (in any fixed total order —
+    * here d03's rarest-first (df, h, s)) must intersect the larger set
+    * *somewhere*, so the candidate join is small-side PREFIX × full
+    * other side. Hot shingles sort last and drop out of prefixes, so
+    * the skew blowup of a naive shingle self-join never forms; all
+    * join keys are 8-byte hashes; prefix arithmetic is exact-integer
+    * (⌈4n/5⌉ = (4n+4) div 5), and candidates are verified against the
+    * full string arrays, so hash collisions only add candidates that
+    * verification rejects. Oracle: the definitional all-pairs form. */
+  private val d13: Fn = (s, d) => {
+    val dfWin = Window.partitionBy(col("h"))
+    val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+      .withColumn("df", count(lit(1)).over(dfWin))
+    val ranked = ex
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("s")))).as("ss"))
+      .select(col("doc_id"),
+        transform(col("ss"), x => x.getField("s")).as("arr"),
+        transform(col("ss"), x => x.getField("h")).as("harr"),
+        size(col("ss")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // materialize before the branches race (d03's lesson)
+    // prefix of the POTENTIALLY-SMALLER side: n − ⌈0.8·n⌉ + 1 entries
+    val pre = ranked.select(col("doc_id"), col("n"),
+      explode(slice(col("harr"), lit(1),
+        (col("n") - floor((col("n") * 4 + 4) / 5) + 1).cast(IntegerType))).as("h"))
+    val full = ranked.select(col("doc_id"), col("n"), explode(col("harr")).as("h"))
+    val cand = pre.as("a").join(full.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") =!= col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    cand
+      .join(ranked.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("n").as("n1")), "d1")
+      .join(ranked.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
+      .withColumn("containment",
+        round(col("inter").cast(DoubleType) / least(col("n1"), col("n2")).cast(DoubleType), 6))
+      .filter(col("containment") >= 0.8)
+      .select("d1", "d2", "n1", "n2", "containment")
+      .orderBy("d1", "d2")
+  }
+  private val d13Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> array_to_string(w[i:i+4], ' ')))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, n1, n2,
+      |       round(CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE), 6) AS containment
+      |FROM (SELECT i.d1, i.d2, i.inter, s1.n AS n1, s2.n AS n2
+      |      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id) t
+      |WHERE round(CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE), 6) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("d13_containment_dedup", d13, Some(d13Sql)),
     Q("d10_duplicate_spans", d10, Some(d10Sql)),
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_bow_dedup", d02, Some(d02Sql)),

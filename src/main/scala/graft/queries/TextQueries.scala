@@ -834,7 +834,63 @@ object TextQueries {
       |             / ((nt * sxx - sx * sx) * (nt * syy - sy * sy)), 4) AS r2
       |FROM s""".stripMargin
 
+  /** t20: perplexity-tier bucketing (the CCNet recipe, Wenzek et al.
+    * 2020): score every document with the t14 unigram LM, split the
+    * corpus at the score terciles into head/middle/tail, and report the
+    * per-(lang, tier) volume — the table a curation run reads to decide
+    * which tail slice to drop. Shapes: the t14 scoring shuffles (token
+    * freq join + per-doc agg), then ONE tiny percentile aggregation
+    * broadcast back over the scored corpus (the p14 cutoff idiom — no
+    * ntile, no global sort), then one keyed rollup. Parity: scores are
+    * the t14 fixed-point values; tier cutoffs come from the same
+    * interpolated-percentile formula in both engines (p14 precedent);
+    * tier min/max are order-free. */
+  private val t20: Fn = (s, d) => {
+    val tok = docs(s, d).select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    val total = tok.count()
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val lpFp = (log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e9).cast(LongType)
+    val scored = tok.join(freq, "token")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(lpFp).as("lp_fp"))
+      .withColumn("score",
+        round(col("lp_fp").cast(DoubleType) / 1e9 / col("n_tokens").cast(DoubleType), 4))
+    val cuts = scored.agg(
+      percentile(col("score"), lit(1.0 / 3)).as("c1"),
+      percentile(col("score"), lit(2.0 / 3)).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("score") <= col("c1"), "tail")
+          .when(col("score") <= col("c2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(min(col("score")), 4).as("score_min"),
+        round(max(col("score")), 4).as("score_max"))
+      .orderBy("lang", "tier")
+  }
+  private val t20Sql =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+      |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      |scored AS (
+      |  SELECT doc_id, lang, count(*) AS n_tokens,
+      |         round(CAST(sum(CAST(trunc(ln(CAST(cnt AS DOUBLE) / total) * 1e9) AS BIGINT)) AS DOUBLE)
+      |               / 1e9 / count(*), 4) AS score
+      |  FROM tok JOIN freq USING (token), tot
+      |  GROUP BY doc_id, lang),
+      |cuts AS (SELECT quantile_cont(score, 1.0/3) AS c1, quantile_cont(score, 2.0/3) AS c2
+      |         FROM scored)
+      |SELECT lang,
+      |       CASE WHEN score <= c1 THEN 'tail' WHEN score <= c2 THEN 'middle'
+      |            ELSE 'head' END AS tier,
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       round(min(score), 4) AS score_min, round(max(score), 4) AS score_max
+      |FROM scored CROSS JOIN cuts
+      |GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t20_perplexity_tiers", t20, Some(t20Sql)),
     Q("t19_zipf_fit", t19, Some(t19Sql)),
     Q("t16_bigram_logprob", t16, Some(t16Sql)),
     Q("t18_perceptron_quality", t18, Some(t18Sql)),
