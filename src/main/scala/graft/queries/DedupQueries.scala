@@ -825,9 +825,14 @@ object DedupQueries {
     * (⌈4n/5⌉ = (4n+4) div 5), and candidates are verified against the
     * full string arrays, so hash collisions only add candidates that
     * verification rejects. Oracle: the definitional all-pairs form. */
-  private val d13: Fn = (s, d) => {
+  private val d13: Fn = (s, d) => containmentPairsOf(docs(s, d))
+
+  /** d13 body over any `(doc_id, text)` relation — factored so specs can
+    * plant exact containment cases and assert prefix-filter losslessness
+    * on constructed corpora. */
+  private[queries] def containmentPairsOf(docsDf: DataFrame): DataFrame = {
     val dfWin = Window.partitionBy(col("h"))
-    val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex = shingledOf(docsDf).select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h", xxhash64(col("s")))
       .withColumn("df", count(lit(1)).over(dfWin))
     val ranked = ex

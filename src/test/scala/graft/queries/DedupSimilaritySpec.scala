@@ -102,6 +102,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("d13: planted short-in-long embedding yields containment 1.0; controls stay out") {
+    import spark.implicits._
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val wrapper = words + " " + (1 to 40).map(i => s"pad$i").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"x$i").mkString(" ")
+    val rows = DedupQueries.containmentPairsOf(Seq(
+        (1L, words), (2L, wrapper), (3L, unrelated)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // doc 1's 26 shingles all appear in doc 2 (prefix of its 66) -> C=1.0;
+    // doc 3 shares no shingle with either.
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("d13: prefix-filtered candidates are lossless vs the naive all-pairs form") {
+    import spark.implicits._
+    // Constructed corpus with hot shingles (a shared boilerplate tail on
+    // every doc) plus three true containment pairs at different sizes —
+    // the shape the prefix filter must survive WITHOUT losing a pair.
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+    val mk = (n: Int, tag: String) => (1 to n).map(i => s"$tag$i").mkString(" ")
+    // Containment needs the short text CONTIGUOUS in the long one —
+    // shingles spanning an insertion point differ — so each container
+    // is the contained doc's full text plus a tail.
+    val docsDf = (Seq(
+      (10L, mk(20, "a") + " " + boiler),
+      (11L, mk(20, "a") + " " + boiler + " " + mk(15, "q")), // 10 ⊂ 11
+      (20L, mk(8, "c") + " " + boiler),
+      (21L, mk(8, "c") + " " + boiler + " " + mk(30, "r")), // 20 ⊂ 21
+      (30L, mk(40, "d") + " " + boiler),
+      (31L, mk(40, "d") + " " + boiler), // identical pair
+      (40L, mk(25, "e") + " " + boiler)) // boilerplate-only overlap
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.containmentPairsOf(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // Naive definitional form computed independently in the spec.
+    val sh = DedupQueries.shingledOf(docsDf)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val want = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("c", round(col("inter").cast("double") /
+        least(col("n1"), col("n2")).cast("double"), 6))
+      .filter(col("c") >= 0.8)
+      .select("d1", "d2", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want && got.contains((10L, 11L)) && got.contains((20L, 21L))
+      && got((30L, 31L)) == 1.0)
+  }
+
   test("bucket cap bounds candidate pairs on a pathologically skewed corpus") {
     import spark.implicits._
     // 300 identical docs: every doc lands in the SAME (band,bucket) for
