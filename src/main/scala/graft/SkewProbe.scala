@@ -178,7 +178,11 @@ object SkewProbe {
       else Seq(
         "d03_ngram_jaccard" -> (() => SparkEntry.queries("d03_ngram_jaccard")(spark, dir).count()),
         "d04_minhash_lsh" -> (() => SparkEntry.queries("d04_minhash_lsh")(spark, dir).count()),
-        "d08_dedup_clusters" -> (() => SparkEntry.queries("d08_dedup_clusters")(spark, dir).count()))
+        "d08_dedup_clusters" -> (() => SparkEntry.queries("d08_dedup_clusters")(spark, dir).count()),
+        // d13's candidate join is prefix(small) × FULL other side: the
+        // hot shingle IS present on the full side, so the probe checks
+        // that near-zero prefix occurrences keep the join product flat
+        "d13_containment_dedup" -> (() => SparkEntry.queries("d13_containment_dedup")(spark, dir).count()))
     runs.foreach { case (q, run) =>
       listener.stages.clear()
       val t0 = System.nanoTime()

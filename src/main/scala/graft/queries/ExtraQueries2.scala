@@ -993,7 +993,51 @@ object ExtraQueries2 {
       |FROM per_src p JOIN ent e ON p.source = e.source
       |ORDER BY p.source""".stripMargin
 
+  /** u13: robust volume-anomaly report — the ingest-monitoring pass that
+    * flags days whose event volume deviates from the corpus median by
+    * more than 3 robust standard deviations (MAD · 1.4826, the
+    * estimator that one crazy day cannot poison the way a mean/stddev
+    * z-score can). Shapes: one keyed daily rollup, then two TINY
+    * aggregations (median, then MAD over broadcast-joined deviations)
+    * broadcast back over the per-day relation — the p14 cutoff idiom
+    * twice; nothing corpus-sized moves twice. Parity: counts are exact
+    * ints; median/MAD use the same interpolated-percentile formula both
+    * engines (p14 precedent); the flag compares |x−med| against
+    * 4.4478·MAD with one double multiply on each side. */
+  private val u13: Fn = (s, d) => volumeAnomaliesOf(Tables.events(s, d))
+
+  /** u13 body over any relation with a `ts` column — factored so the
+    * spec can plant a 10× flood day and a near-zero outage day and
+    * assert they (and only they) trip the flag, which stays all-false
+    * on the uniform fixture. */
+  private[queries] def volumeAnomaliesOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.agg(percentile(col("n_events"), lit(0.5)).as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(percentile(abs(col("n_events").cast(DoubleType) - col("med")), lit(0.5)).as("mad"))
+    daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        (abs(col("n_events").cast(DoubleType) - col("med")) >
+          col("mad") * lit(4.4478)).as("is_anomaly"))
+      .orderBy("day")
+  }
+  private val u13Sql =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+      |mad AS (SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - med), 0.5) AS mad
+      |        FROM daily CROSS JOIN med)
+      |SELECT day, n_events, round(med, 4) AS med, round(mad, 4) AS mad,
+      |       abs(CAST(n_events AS DOUBLE) - med) > mad * 4.4478 AS is_anomaly
+      |FROM daily CROSS JOIN med CROSS JOIN mad
+      |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("u13_volume_anomalies", u13, Some(u13Sql)),
     Q("u11_dataset_card", u11, Some(u11Sql)),
     Q("r59_retention_cohorts", r59, Some(r59Sql)),
     Q("u10_drift_psi", u10, Some(u10Sql)),

@@ -326,6 +326,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3) && rows.exists(!_._3), "no saturation — spec is vacuous")
   }
 
+  test("u13: planted flood and outage days trip the robust flag; normal days do not") {
+    import spark.implicits._
+    // 9 normal days (100±2 events), one 10x flood, one near-outage.
+    // median ~100, MAD ~1 -> threshold ~4.45; flood and outage deviate
+    // by ~900 and ~97.
+    def day(d: Int, n: Int) = (1 to n).map(i =>
+      java.sql.Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00"))
+    val ts = (1 to 9).flatMap(d => day(d, 98 + (d % 5))) ++ day(10, 1000) ++ day(11, 3)
+    val got = ExtraQueries2.volumeAnomaliesOf(ts.toDF("ts"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getBoolean(4))).toList
+    assert(got.count(_._3) == 2, got.toString)
+    assert(got.find(_._1 == "2024-03-10").exists(x => x._2 == 1000L && x._3))
+    assert(got.find(_._1 == "2024-03-11").exists(x => x._2 == 3L && x._3))
+    assert(got.filter(x => x._1 < "2024-03-10").forall(!_._3))
+  }
+
   test("u12: planted zero/NaN/Inf/empty vectors are counted, norms exact") {
     import spark.implicits._
     // label 0: two unit vectors + an EMPTY array (zero vector by
