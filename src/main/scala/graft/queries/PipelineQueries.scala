@@ -1096,7 +1096,75 @@ object PipelineQueries {
        |FROM state GROUP BY bucket, batch_no
        |ORDER BY bucket, batch_no""".stripMargin
 
+  /** p19: temperature-scaled source mixture — the sampling-temperature
+    * recipe multilingual/multi-source LLM corpora use to keep big
+    * sources from drowning small ones: sample source i with
+    * probability ∝ n_i^α, α < 1 (GPT-3/XLM-R style; α = 0.5 here so
+    * the weight is an IEEE-exact `sqrt` on BOTH engines — the same
+    * closed form generalizes to any α via pow at a 1-ulp parity risk
+    * this query deliberately avoids). Quotas are floor(B·p_i) capped
+    * at n_i; the row-level keep is the deterministic per-source
+    * md5-rank ≤ quota (one keyed window per source — the p12 cap
+    * shape), witnessed by an exact doc_id checksum. Shapes: one tiny
+    * per-source aggregation broadcast back over the corpus, one keyed
+    * window, one keyed rollup. Weight parity: sqrt(n)·1e6 floored to
+    * exact ints, summed exactly; p_i and quotas derive from those ints
+    * with identical double steps. */
+  private val p19: Fn = (s, d) => temperatureMixtureOf(docs(s, d))
+
+  /** p19 body over any `(doc_id, source)` relation — factored so the
+    * spec can feed a skewed source distribution and assert the α = 0.5
+    * boost: small sources' sampling share must exceed their raw share,
+    * which the uniform fixture cannot show. */
+  private[queries] def temperatureMixtureOf(docsDf: DataFrame): DataFrame = {
+    val budget = 1000L
+    val sizes = docsDf.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp", floor(sqrt(col("n_docs").cast(DoubleType)) * 1e6).cast(LongType))
+    val tot = sizes.agg(sum(col("w_fp")).as("w_tot"))
+    val quotas = sizes.crossJoin(broadcast(tot))
+      .withColumn("p", col("w_fp").cast(DoubleType) / col("w_tot").cast(DoubleType))
+      .withColumn("quota",
+        least(floor(lit(budget.toDouble) * col("p")).cast(LongType), col("n_docs")))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("temp:"), col("doc_id").cast(StringType))), col("doc_id"))
+    val kept = docsDf
+      .withColumn("rk", row_number().over(rk).cast(LongType))
+      .join(broadcast(quotas.select(col("source"), col("quota"))), "source")
+      .filter(col("rk") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("kept_id_sum"))
+    quotas.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("w_fp"),
+        round(col("p"), 6).as("p"), col("quota"), col("kept"), col("kept_id_sum"))
+      .orderBy("source")
+  }
+  private val p19Sql =
+    """WITH sizes AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot FROM sizes),
+      |quotas AS (
+      |  SELECT source, n_docs, w_fp,
+      |         CAST(w_fp AS DOUBLE) / CAST(w_tot AS DOUBLE) AS p,
+      |         least(CAST(floor(1000.0 * (CAST(w_fp AS DOUBLE) / CAST(w_tot AS DOUBLE))) AS BIGINT),
+      |               n_docs) AS quota
+      |  FROM sizes CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(concat('temp:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+      |  FROM documents),
+      |kept AS (
+      |  SELECT r.source, count(*) AS kept, CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+      |  FROM ranked r JOIN quotas q ON r.source = q.source
+      |  WHERE r.rk <= q.quota GROUP BY r.source)
+      |SELECT q.source, q.n_docs, q.w_fp, round(q.p, 6) AS p, q.quota, k.kept, k.kept_id_sum
+      |FROM quotas q JOIN kept k ON q.source = k.source
+      |ORDER BY q.source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p19_temperature_mixture", p19, Some(p19Sql)),
     Q("p18_inference_batches", p18, Some(p18Sql)),
     Q("p17_compaction_plan", p17, Some(p17Sql)),
     Q("p16_mixture_waterfill", p16, Some(p16Sql)),

@@ -326,6 +326,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3) && rows.exists(!_._3), "no saturation — spec is vacuous")
   }
 
+  test("p19: temperature mixture boosts small sources above their raw share") {
+    import spark.implicits._
+    // 3 sources sized 6400/400/100: raw shares .928/.058/.014; sqrt
+    // weights 80/20/10 -> sampling shares .727/.182/.091. Every small
+    // source's p must exceed its raw share, the big one's must shrink,
+    // quotas must respect floor(B*p) capped at n, and kept == quota.
+    val docsDf = (
+      (1 to 6400).map(i => (i.toLong, "big")) ++
+      (1 to 400).map(i => (10000L + i, "mid")) ++
+      (1 to 100).map(i => (20000L + i, "tiny"))).toDF("doc_id", "source")
+    val rows = PipelineQueries.temperatureMixtureOf(docsDf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val n = 6900.0
+    val (nb, pb, qb, kb) = rows("big")
+    val (nm, pm, qm, km) = rows("mid")
+    val (nt, pt, qt, kt) = rows("tiny")
+    assert(pb < nb / n && pm > nm / n && pt > nt / n)
+    assert(math.abs(pb - 80.0 / 110) < 1e-4 && math.abs(pt - 10.0 / 110) < 1e-4)
+    assert(qb == 727L && qm == 181L && qt == 90L) // floor(1000*p), all below n
+    assert(kb == qb && km == qm && kt == qt)
+  }
+
   test("u13: planted flood and outage days trip the robust flag; normal days do not") {
     import spark.implicits._
     // 9 normal days (100±2 events), one 10x flood, one near-outage.
