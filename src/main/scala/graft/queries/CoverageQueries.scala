@@ -813,7 +813,91 @@ object CoverageQueries {
       |SELECT w_start, rk, event_type, n FROM ranked
       |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin
 
+  /** m09: perceptual-hash (aHash) signatures + signature-level dedup —
+    * the image-dedup pass of a multimodal curation pipeline: a 64-cell
+    * thumbnail per payload (the m05 batched-decode path at 64 buckets),
+    * one bit per cell (above/below the thumbnail mean), the 64-bit
+    * signature carried as 4 exact 16-bit chunk ints (the d05 pigeonhole
+    * layout, so a Hamming-radius candidate join at a real image corpus
+    * is the same one-line chunk equi-join d05 ships), and d01's keeper
+    * semantics at signature level: per signature group, keep_id = min
+    * doc_id and the copy count. On THIS fixture byte-identical payloads
+    * exist only at sf0.1 (the regenerated corpus has no exact dups
+    * below it) and near-dups are word-reorderings that positional
+    * hashes must NOT conflate — so below sf0.1 every group is a
+    * correct singleton and at sf0.1 the dup groups collapse; a
+    * Hamming-threshold PAIR output would be vacuous below sf0.1, which
+    * the registry's non-empty gate forbids. Portability: thumbnail
+    * cells are exact integer-ratio doubles (m05's oracle), the mean is
+    * a sequential fold in cell order, each chunk an exact ≤2¹⁶ int
+    * from pow(2, j ≤ 15) doubles. Shapes: batched mapPartitions
+    * decode, one keyed window on the 4 chunk ints — the signature IS
+    * the shuffle/bucketing key at 100 TB. */
+  private val m09: Fn = (s, d) => {
+    val thumbs = graft.multimodal.Multimodal.resizeThumb(
+      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)), buckets = 64)
+    val mean = aggregate(col("thumb"), lit(0.0), (a, x) => a + x) / lit(64.0)
+    def chunk(c: Int): org.apache.spark.sql.Column = aggregate(
+      zip_with(slice(col("thumb"), c * 16 + 1, 16), sequence(lit(0), lit(15)),
+        (v, j) => when(v > col("mean"), pow(lit(2.0), j)).otherwise(lit(0.0))),
+      lit(0.0), (a, x) => a + x).cast(LongType)
+    val sigs = thumbs.withColumn("mean", mean)
+      .select(col("doc_id") +: (0 until 4).map(c => chunk(c).as(s"c$c")): _*)
+    val w = Window.partitionBy(col("c0"), col("c1"), col("c2"), col("c3"))
+    sigs
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("keep_id"), col("n_copies"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+  private val m09Sql =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS len,
+      |         unnest(list_transform(split(text, ''), c -> ascii(c))) AS v,
+      |         unnest(range(1, length(text) + 1)) AS i
+      |  FROM documents),
+      |agg AS (
+      |  SELECT doc_id, CAST(((i - 1) * 64) // len AS INTEGER) AS bucket,
+      |         CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+      |  FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.doc_id, g.bucket
+      |  FROM documents d CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS bucket) g),
+      |thumb AS (
+      |  SELECT g.doc_id,
+      |         list(CASE WHEN a.c IS NULL THEN 0.0
+      |                   ELSE CAST(a.s AS DOUBLE) / a.c END ORDER BY g.bucket) AS arr
+      |  FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.bucket = a.bucket
+      |  GROUP BY g.doc_id),
+      |sigs AS (
+      |  SELECT doc_id, arr,
+      |         list_reduce(arr, (a, b) -> a + b) / 64.0 AS mean
+      |  FROM thumb),
+      |cs AS (
+      |  SELECT doc_id,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c0,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[16 + j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c1,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[32 + j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c2,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[48 + j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c3
+      |  FROM sigs)
+      |SELECT doc_id, c0, c1, c2, c3,
+      |       min(doc_id) OVER (PARTITION BY c0, c1, c2, c3) AS keep_id,
+      |       count(*) OVER (PARTITION BY c0, c1, c2, c3) AS n_copies,
+      |       doc_id <> min(doc_id) OVER (PARTITION BY c0, c1, c2, c3) AS is_dup
+      |FROM cs ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("m09_phash_signatures", m09, Some(m09Sql)),
     Q("st5_stream_topk", st5, Some(st5Sql)),
     Q("st4_ingest_front", st4, Some(st4Sql)),
     Q("r51_asof_native", r51, Some(r51Sql)),

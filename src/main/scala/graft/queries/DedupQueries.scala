@@ -210,7 +210,7 @@ object DedupQueries {
   /** Keep at most [[MaxBucket]] deterministic (lowest-doc_id) members per
     * bucket before pair generation — bounds candidates per bucket at
     * MaxBucket²/2 regardless of corpus skew. */
-  private def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame =
+  private[queries] def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame =
     df.withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))))
