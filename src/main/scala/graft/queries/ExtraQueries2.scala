@@ -1010,7 +1010,7 @@ object ExtraQueries2 {
     * spec can plant a 10× flood day and a near-zero outage day and
     * assert they (and only they) trip the flag, which stays all-false
     * on the uniform fixture. */
-  private[queries] def volumeAnomaliesOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def volumeAnomaliesOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val daily = events
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))

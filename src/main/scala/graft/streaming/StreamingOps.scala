@@ -219,6 +219,22 @@ object StreamingOps {
           .coalesce(1).write.mode("append").parquet(outDir)
     }
 
+  /** Streaming volume-anomaly monitor — u13's always-on twin in the
+    * [[driftMonitor]] mold: each micro-batch (an arrival wave of
+    * events) gets the batch-stamped median/MAD robust-outlier report
+    * appended to the output table, through EXACTLY the oracled batch
+    * code path (`ExtraQueries2.volumeAnomaliesOf`), so the alert a
+    * dashboard reads is the same number the batch audit would print.
+    * The batch is the comparison window: a flood or outage day inside
+    * one wave trips against that wave's own baseline. */
+  def anomalyMonitor(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.queries.ExtraQueries2.volumeAnomaliesOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(outDir)
+    }
+
   /** Streaming MERGE (upsert) sink via `foreachBatch` — the production
     * idiom for maintaining a standing keyed table from a stream when
     * the sink format has no native MERGE: each micro-batch full-outer

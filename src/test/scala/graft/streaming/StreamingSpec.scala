@@ -284,6 +284,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream/batch diverged: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("streaming anomaly monitor: per-batch reports equal u13's batch form; planted flood trips") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val E2 = graft.queries.ExtraQueries2
+    def wave(day: Int, n: Int): Seq[java.sql.Timestamp] =
+      (1 to n).map(_ => java.sql.Timestamp.valueOf(f"2024-04-$day%02d 09:00:00"))
+    // batch 0: five uniform days; batch 1: four uniform days + a 10x flood
+    val b1 = (1 to 5).flatMap(d => wave(d, 50 + d % 3))
+    val b2 = (11 to 14).flatMap(d => wave(d, 50 + d % 3)) ++ wave(15, 500)
+    val dir = java.nio.file.Files.createTempDirectory("anomalymon").toString
+    val stream = MemoryStream[java.sql.Timestamp]
+    val q = StreamingOps.anomalyMonitor(stream.toDF().toDF("ts"), s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.select("batch_id").distinct().count() == 2, "one report per micro-batch")
+    for ((slice, id) <- Seq((b1, 0L), (b2, 1L))) {
+      val want = E2.volumeAnomaliesOf(slice.toDF("ts")).collect().map(_.toSeq).toSet
+      val gotB = got.filter(col("batch_id") === id).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(gotB == want, s"batch $id report diverged from the batch twin")
+    }
+    // the flood day trips in its own wave; the uniform wave stays quiet
+    assert(got.filter(col("batch_id") === 1L && col("is_anomaly")).count() == 1)
+    assert(got.filter(col("batch_id") === 0L && col("is_anomaly")).count() == 0)
+  }
+
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
