@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with `[info] ` — that broke the driver's parse of Bench's
+// stdout JSON contract line two rounds running (BENCH parsed:null).
+// StdoutOutput makes the forked JVM inherit this process's stdout/stderr,
+// so the summary line lands bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
