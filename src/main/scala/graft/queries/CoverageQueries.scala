@@ -832,17 +832,29 @@ object CoverageQueries {
     * a sequential fold in cell order, each chunk an exact ≤2¹⁶ int
     * from pow(2, j ≤ 15) doubles. Shapes: batched mapPartitions
     * decode, one keyed window on the 4 chunk ints — the signature IS
-    * the shuffle/bucketing key at 100 TB. */
-  private val m09: Fn = (s, d) => {
+    * the shuffle/bucketing key at 100 TB.
+    *
+    * ASCII-only parity assumption (shared with m05/m06): the Spark side
+    * hashes payload BYTES (`text.cast(BinaryType)`) while the oracle
+    * hashes per-CHARACTER codepoints (`split(text,'') + ascii`,
+    * char-count length) — identical iff every char is single-byte,
+    * i.e. pure ASCII. MultimodalSpec pins the fixture guard (byte
+    * length == char length at every SF), so a non-ASCII regeneration
+    * fails loudly there instead of silently diverging here. */
+  private[queries] def aHashSigs(docsDf: DataFrame): DataFrame = {
     val thumbs = graft.multimodal.Multimodal.resizeThumb(
-      graft.multimodal.Multimodal.attachPayload(Tables.documents(s, d)), buckets = 64)
+      graft.multimodal.Multimodal.attachPayload(docsDf), buckets = 64)
     val mean = aggregate(col("thumb"), lit(0.0), (a, x) => a + x) / lit(64.0)
     def chunk(c: Int): org.apache.spark.sql.Column = aggregate(
       zip_with(slice(col("thumb"), c * 16 + 1, 16), sequence(lit(0), lit(15)),
         (v, j) => when(v > col("mean"), pow(lit(2.0), j)).otherwise(lit(0.0))),
       lit(0.0), (a, x) => a + x).cast(LongType)
-    val sigs = thumbs.withColumn("mean", mean)
+    thumbs.withColumn("mean", mean)
       .select(col("doc_id") +: (0 until 4).map(c => chunk(c).as(s"c$c")): _*)
+  }
+
+  private val m09: Fn = (s, d) => {
+    val sigs = aHashSigs(Tables.documents(s, d))
     val w = Window.partitionBy(col("c0"), col("c1"), col("c2"), col("c3"))
     sigs
       .withColumn("keep_id", min(col("doc_id")).over(w))
@@ -896,8 +908,102 @@ object CoverageQueries {
       |       doc_id <> min(doc_id) OVER (PARTITION BY c0, c1, c2, c3) AS is_dup
       |FROM cs ORDER BY doc_id""".stripMargin
 
+  /** m10: Hamming-radius (≤3) PAIR join over the m09 aHash signatures —
+    * the image near-dup pair query the m09 group form deliberately does
+    * not run bare (no fixture pair within radius below sf0.1: measured
+    * min Hamming 9–10 at sf0.001/0.01, so a bare pair output would be
+    * vacuous there). Shipped in the s11-style HARNESS form instead: the
+    * corpus is augmented with PLANTED probes — an exact copy (Hamming 0
+    * by construction) and a first-char perturbation ('X' over char 1,
+    * measured 0–1 flipped sig bits) of the four lowest doc_ids — so the
+    * radius join must surface exactly the planted triangles plus the
+    * fixture's genuine pairs (8 byte-identical pairs at sf0.1) while
+    * conflating none of the word-reordering near-dups. Shapes: d05's
+    * pigeonhole discipline verbatim — candidates share ≥1 of the 4
+    * 16-bit chunks (lossless for radius ≤ 3: ≤3 flipped bits cannot
+    * touch all 4 chunks) under [[DedupQueries.MaxBucket]]'s bucket cap
+    * (a no-op here, max bucket 19; bounded-reducer guarantee at scale),
+    * then popcount(xor) exact verification. The oracle is the NAIVE
+    * all-pairs join, so hash parity also proves the pigeonhole
+    * candidate set loses no pair. ASCII-only parity as m09. */
+  private val m10: Fn = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id", "text", "source")
+    val probes = base.filter(col("doc_id") <= 3)
+    val corpus = base
+      .unionByName(probes.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"), col("source")))
+      .unionByName(probes.select(
+        (col("doc_id") + lit(2000000000L)).as("doc_id"),
+        concat(lit("X"), expr("substring(text, 2)")).as("text"), col("source")))
+    val chunks = DedupQueries.capBuckets(
+      aHashSigs(corpus).select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ci", "cv"))),
+      Seq("ci", "cv"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (bit_count(col("a.c0").bitwiseXOR(col("b.c0"))) +
+          bit_count(col("a.c1").bitwiseXOR(col("b.c1"))) +
+          bit_count(col("a.c2").bitwiseXOR(col("b.c2"))) +
+          bit_count(col("a.c3").bitwiseXOR(col("b.c3")))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+  private val m10Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000000, text FROM documents WHERE doc_id <= 3
+      |  UNION ALL SELECT doc_id + 2000000000, 'X' || substr(text, 2) FROM documents WHERE doc_id <= 3),
+      |b AS (
+      |  SELECT doc_id, length(text) AS len,
+      |         unnest(list_transform(split(text, ''), c -> ascii(c))) AS v,
+      |         unnest(range(1, length(text) + 1)) AS i
+      |  FROM corpus),
+      |agg AS (
+      |  SELECT doc_id, CAST(((i - 1) * 64) // len AS INTEGER) AS bucket,
+      |         CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+      |  FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.doc_id, g.bucket
+      |  FROM corpus d CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS bucket) g),
+      |thumb AS (
+      |  SELECT g.doc_id,
+      |         list(CASE WHEN a.c IS NULL THEN 0.0
+      |                   ELSE CAST(a.s AS DOUBLE) / a.c END ORDER BY g.bucket) AS arr
+      |  FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.bucket = a.bucket
+      |  GROUP BY g.doc_id),
+      |sigs AS (
+      |  SELECT doc_id, arr,
+      |         list_reduce(arr, (a, b) -> a + b) / 64.0 AS mean
+      |  FROM thumb),
+      |cs AS (
+      |  SELECT doc_id,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c0,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[16 + j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c1,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[32 + j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c2,
+      |         CAST(list_reduce(list_transform(range(1, 17), j ->
+      |           CASE WHEN arr[48 + j] > mean THEN pow(2.0, j - 1) ELSE 0.0 END),
+      |           (a, b) -> a + b) AS BIGINT) AS c3
+      |  FROM sigs)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+      |          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+      |FROM cs a JOIN cs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+      |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m09_phash_signatures", m09, Some(m09Sql)),
+    Q("m10_phash_pairs", m10, Some(m10Sql)),
     Q("st5_stream_topk", st5, Some(st5Sql)),
     Q("st4_ingest_front", st4, Some(st4Sql)),
     Q("r51_asof_native", r51, Some(r51Sql)),

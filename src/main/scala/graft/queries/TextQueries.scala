@@ -76,12 +76,15 @@ object TextQueries {
     * corpus size read from the table itself (sf-dependent). */
   private val t04: Fn = (s, d) => {
     val dd = docs(s, d)
-    val n = dd.count() // one scalar action for idf; oracle uses a subquery
+    // corpus size for idf as a 1-row broadcast (not a driver-side count():
+    // that would be a separate eager job and break composability over
+    // frames); the oracle uses the matching scalar subquery
+    val tot = dd.agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
     val tf = dd.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val scored = tf.join(df, "term").crossJoin(broadcast(tot))
+      .withColumn("tfidf", round(col("tf") * log(col("corpus_n") / col("df")), 4))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
     scored.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3 && col("doc_id") < 20)
@@ -402,9 +405,13 @@ object TextQueries {
     * hash. */
   private val t14: Fn = (s, d) => {
     val tok = docs(s, d).select(col("doc_id"), explode(toks).as("token"))
-    val total = tok.count()
+    // corpus token total as a 1-row broadcast into the vocabulary-sized
+    // freq relation (the p14/u13 cutoff idiom) — a driver-side count()
+    // here would run a second corpus-sized job before the query starts
+    val tot = tok.agg(count(lit(1)).cast(DoubleType).as("total"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val lpFp = (log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e9).cast(LongType)
+      .crossJoin(broadcast(tot))
+    val lpFp = (log(col("cnt").cast(DoubleType) / col("total")) * 1e9).cast(LongType)
     tok.join(freq, "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(lpFp).as("lp_fp"))
@@ -634,12 +641,15 @@ object TextQueries {
       .withColumn("prev", lag(col("token"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("doc_id"), col("prev"), col("token").as("cur"))
-    val total = tokPos.count()
+    // corpus token total as a 1-row broadcast into the vocabulary-sized
+    // unigram relation (t14's idiom) rather than an eager driver count()
+    val tot = tokPos.agg(count(lit(1)).cast(DoubleType).as("total"))
     val uni = tokPos.groupBy(col("token").as("cur")).agg(count(lit(1)).as("cu"))
+      .crossJoin(broadcast(tot))
     val big = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
     val ctx = bg.groupBy("prev").agg(count(lit(1)).as("cp"))
     val pb = col("cb").cast(DoubleType) / col("cp").cast(DoubleType)
-    val pu = col("cu").cast(DoubleType) / lit(total.toDouble)
+    val pu = col("cu").cast(DoubleType) / col("total")
     val lpFp = (log(lit(0.7) * pb + lit(0.3) * pu) * 1e9).cast(LongType)
     bg.join(big, Seq("prev", "cur")).join(ctx, Seq("prev")).join(uni, Seq("cur"))
       .groupBy("doc_id")
@@ -847,9 +857,13 @@ object TextQueries {
     * tier min/max are order-free. */
   private val t20: Fn = (s, d) => {
     val tok = docs(s, d).select(col("doc_id"), col("lang"), explode(toks).as("token"))
-    val total = tok.count()
+    // corpus token total as a 1-row broadcast (t14's idiom) — the former
+    // driver-side count() ran a second corpus-sized job at construction
+    // time and made the Fn non-composable over streaming frames
+    val tot = tok.agg(count(lit(1)).cast(DoubleType).as("total"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val lpFp = (log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e9).cast(LongType)
+      .crossJoin(broadcast(tot))
+    val lpFp = (log(col("cnt").cast(DoubleType) / col("total")) * 1e9).cast(LongType)
     val scored = tok.join(freq, "token")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(lpFp).as("lp_fp"))

@@ -226,11 +226,29 @@ object StreamingOps {
     * code path (`ExtraQueries2.volumeAnomaliesOf`), so the alert a
     * dashboard reads is the same number the batch audit would print.
     * The batch is the comparison window: a flood or outage day inside
-    * one wave trips against that wave's own baseline. */
+    * one wave trips against that wave's own baseline.
+    *
+    * Small-batch degeneracy: a wave spanning only 1–2 distinct days has
+    * no usable baseline — the median IS (or nearly is) the lone point
+    * and the MAD collapses to 0 or undefined, so any deviation (or
+    * none) would flag. Below [[AnomalyMinDays]] distinct days the
+    * report still ships (day/n_events/med/mad intact, so the dashboard
+    * sees the volumes) but `is_anomaly` is null: "baseline too thin to
+    * judge", not a verdict. At or above the floor the rows are
+    * bit-identical to the batch twin's. */
+  val AnomalyMinDays = 5
   def anomalyMonitor(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.queries.ExtraQueries2.volumeAnomaliesOf(batch)
+        val rep = graft.queries.ExtraQueries2.volumeAnomaliesOf(batch)
+        // the report is one row per distinct day, so its own count is the
+        // baseline width; 1-row broadcast, the p14/u13 cutoff idiom
+        val nDays = rep.agg(count(lit(1)).as("__n_days"))
+        rep.crossJoin(broadcast(nDays))
+          .withColumn("is_anomaly",
+            when(col("__n_days") >= AnomalyMinDays, col("is_anomaly"))
+              .otherwise(lit(null).cast("boolean")))
+          .drop("__n_days")
           .withColumn("batch_id", lit(batchId))
           .coalesce(1).write.mode("append").parquet(outDir)
     }

@@ -11,6 +11,19 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def payloads = Multimodal.attachPayload(graft.Tables.documents(spark, sf))
 
+  test("fixture guard: documents.text is pure ASCII at every SF (m05/m09/m10 parity assumption)") {
+    // The multimodal oracles hash per-CHARACTER codepoints while the
+    // Spark side hashes payload BYTES; they agree iff every char is one
+    // byte. UTF-8 byte length == char length exactly when pure ASCII, so
+    // a non-ASCII fixture regeneration must fail HERE, not surface as a
+    // silent m05/m09/m10 hash divergence.
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val nonAscii = graft.Tables.documents(spark, sfDir)
+        .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count()
+      assert(nonAscii == 0, s"$sfDir holds $nonAscii non-ASCII documents")
+    }
+  }
+
   test("payload bytes round-trip the text and metadata is typed") {
     val r = payloads.filter(col("doc_id") === 0).collect().head
     val text = graft.Tables.documents(spark, sf).filter(col("doc_id") === 0)

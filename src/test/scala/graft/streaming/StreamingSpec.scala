@@ -290,9 +290,11 @@ class StreamingSpec extends AnyFunSuite {
     val E2 = graft.queries.ExtraQueries2
     def wave(day: Int, n: Int): Seq[java.sql.Timestamp] =
       (1 to n).map(_ => java.sql.Timestamp.valueOf(f"2024-04-$day%02d 09:00:00"))
-    // batch 0: five uniform days; batch 1: four uniform days + a 10x flood
+    // batch 0: five uniform days; batch 1: four uniform days + a 10x flood;
+    // batch 2: TWO days with a wild imbalance — a baseline too thin to judge
     val b1 = (1 to 5).flatMap(d => wave(d, 50 + d % 3))
     val b2 = (11 to 14).flatMap(d => wave(d, 50 + d % 3)) ++ wave(15, 500)
+    val b3 = wave(21, 50) ++ wave(22, 500)
     val dir = java.nio.file.Files.createTempDirectory("anomalymon").toString
     val stream = MemoryStream[java.sql.Timestamp]
     val q = StreamingOps.anomalyMonitor(stream.toDF().toDF("ts"), s"$dir/out")
@@ -300,9 +302,10 @@ class StreamingSpec extends AnyFunSuite {
     try {
       stream.addData(b1); q.processAllAvailable()
       stream.addData(b2); q.processAllAvailable()
+      stream.addData(b3); q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(s"$dir/out")
-    assert(got.select("batch_id").distinct().count() == 2, "one report per micro-batch")
+    assert(got.select("batch_id").distinct().count() == 3, "one report per micro-batch")
     for ((slice, id) <- Seq((b1, 0L), (b2, 1L))) {
       val want = E2.volumeAnomaliesOf(slice.toDF("ts")).collect().map(_.toSeq).toSet
       val gotB = got.filter(col("batch_id") === id).drop("batch_id")
@@ -312,6 +315,16 @@ class StreamingSpec extends AnyFunSuite {
     // the flood day trips in its own wave; the uniform wave stays quiet
     assert(got.filter(col("batch_id") === 1L && col("is_anomaly")).count() == 1)
     assert(got.filter(col("batch_id") === 0L && col("is_anomaly")).count() == 0)
+    // the thin wave ships volumes but withholds the verdict: is_anomaly is
+    // null on every row (a 2-day median/MAD would flag anything or nothing),
+    // and the non-flag columns still match the batch twin
+    val thin = got.filter(col("batch_id") === 2L)
+    assert(thin.count() == 2 && thin.filter(col("is_anomaly").isNotNull).count() == 0,
+      "sub-AnomalyMinDays batch must null the verdict")
+    val thinWant = E2.volumeAnomaliesOf(b3.toDF("ts")).drop("is_anomaly")
+      .collect().map(_.toSeq).toSet
+    assert(thin.drop("batch_id", "is_anomaly").collect().map(_.toSeq).toSet == thinWant,
+      "thin batch must still report day volumes and baseline columns")
   }
 
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
