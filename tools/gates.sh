@@ -57,5 +57,9 @@ if [ "${1:-full}" != "quick" ]; then
   echo "== bench (sf0.001 line)"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
     java -Xmx8g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | grep '"metric"'
+  echo "== per-query bench regression gate (vs bench_history.jsonl minima)"
+  # --selftest also plants a 3x-slowed query and requires the gate to
+  # trip on it, so a vacuous gate (bad sf match, empty history) fails loud
+  python3 tools/bench_gate.py bench_queries.json --selftest | tail -3
 fi
 echo "== ALL GATES GREEN"
