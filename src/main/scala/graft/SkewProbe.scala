@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * skew share are printed for the scale-design notes.
   *
   * Usage: graft.SkewProbe [nDocs] (default 50000)
+  *        graft.SkewProbe pipeline [nDocs] — the p06 capstone (dedup →
+  *        quality → decontaminate → split → mixture → shard as ONE
+  *        plan) on a 10× multi-source corpus where the hot boilerplate
+  *        sits on BOTH sides of the contamination join; prints every
+  *        stage's shuffle records/bytes for the scale notes and applies
+  *        the same single-reducer failure rule.
   *        graft.SkewProbe naive [nDocs] — negative control: run the
   *        NAIVE shared-shingle join on the same skewed corpus and
   *        require the listener to DETECT the hot-key stage (proves the
@@ -38,7 +44,10 @@ object SkewProbe {
     *    pair (Jaccard ≈ 0.8 after the mutation token) every 50 docs;
     *  - ids ≡ 0,1,2 (mod 10): a shared 12-token boilerplate sentence →
     *    8 shingles with document frequency 0.3·N (the hot keys). */
-  def corpus(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+  def corpus(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    corpus(spark, n, multiSource = false)
+
+  def corpus(spark: SparkSession, n: Long, multiSource: Boolean): org.apache.spark.sql.DataFrame = {
     // exactly 5 tokens -> exactly ONE hot 5-gram shingle, so the whole
     // Σc² blowup lands on a single join key (the worst case for a
     // shuffle join; 8+ hot shingles would spread it over 8 reducers and
@@ -55,7 +64,13 @@ object SkewProbe {
         lit(" m"), col("doc_id").cast("string"),
         when(pmod(col("doc_id"), lit(10)) < 3, lit(" " + boiler)).otherwise(lit(""))))
       .withColumn("lang", lit("en"))
-      .withColumn("source", lit("probe"))
+      // pipeline (p06 capstone) mode needs the fixture's src0..src4
+      // source mix — src0 is the benchmark slice d07/p06 decontaminate
+      // against, so 20% of the hot-boilerplate docs land on EACH side
+      // of the contamination join (the harshest shape for it)
+      .withColumn("source",
+        if (multiSource) concat(lit("src"), pmod(col("doc_id"), lit(5)).cast("string"))
+        else lit("probe"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -85,19 +100,21 @@ object SkewProbe {
       .select("vec_id", "embedding", "label")
   }
 
-  /** stageId -> per-task (shuffleRead + shuffleWrite records, runtime).
-    * Both directions matter: a hot-key JOIN stage reads few records per
-    * key but EMITS the quadratic pair blowup — it shows up in shuffle
-    * WRITE records (and task time), not reads. */
+  /** stageId -> per-task (shuffleRead + shuffleWrite records, bytes,
+    * runtime). Both directions matter: a hot-key JOIN stage reads few
+    * records per key but EMITS the quadratic pair blowup — it shows up
+    * in shuffle WRITE records (and task time), not reads. Bytes feed
+    * the capstone's per-stage shuffle-volume report. */
   private final class SkewListener extends SparkListener {
     val stages =
-      new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[(Long, Long)]]()
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[(Long, Long, Long)]]()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         val recs = m.shuffleReadMetrics.recordsRead + m.shuffleWriteMetrics.recordsWritten
-        stages.computeIfAbsent(te.stageId, _ => new java.util.Vector[(Long, Long)]())
-          .add((recs, m.executorRunTime))
+        val bytes = m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten
+        stages.computeIfAbsent(te.stageId, _ => new java.util.Vector[(Long, Long, Long)]())
+          .add((recs, bytes, m.executorRunTime))
       }
     }
   }
@@ -129,9 +146,14 @@ object SkewProbe {
     val naiveControl = args.headOption.contains("naive")
     val annMode = args.headOption.exists(_.startsWith("ann"))
     val annControl = args.headOption.contains("ann_naive")
-    val rest = if (naiveControl || annMode) args.drop(1) else args
+    val pipelineMode = args.headOption.contains("pipeline")
+    val rest = if (naiveControl || annMode || pipelineMode) args.drop(1) else args
     val n = rest.headOption.map(_.toLong).getOrElse(
-      if (naiveControl) 5000L else if (annControl) 8000L else if (annMode) 20000L else 50000L)
+      if (naiveControl) 5000L
+      else if (annControl) 8000L
+      else if (annMode) 20000L
+      else if (pipelineMode) 20000L
+      else 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
@@ -158,6 +180,10 @@ object SkewProbe {
     if (annMode) {
       annCorpus(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       println(s"[probe] embeddings: $n vectors at $dir (hot-cell size ≈ ${(0.3 * n).toLong})")
+    } else if (pipelineMode) {
+      corpus(spark, n, multiSource = true).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"[probe] corpus: $n docs / 5 sources at $dir (hot-shingle df ≈ ${(0.3 * n).toLong}, " +
+        s"src0 benchmark slice ≈ ${(0.2 * n).toLong})")
     } else {
       corpus(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       println(s"[probe] corpus: $n docs at $dir (hot-shingle df ≈ ${(0.3 * n).toLong})")
@@ -175,6 +201,10 @@ object SkewProbe {
         "s10_knn_graph" -> (() => SparkEntry.queries("s10_knn_graph")(spark, dir).count()),
         "d09_embedding_ivf_neardup" -> (() => SparkEntry.queries("d09_embedding_ivf_neardup")(spark, dir).count()),
         "s12_pagerank" -> (() => SparkEntry.queries("s12_pagerank")(spark, dir).count()))
+      else if (pipelineMode) Seq(
+        // the ONE composed plan a 100 TB user actually ships: dedup →
+        // quality → decontaminate → split → mixture → shard, end to end
+        "p06_assemble_training_set" -> (() => SparkEntry.queries("p06_assemble_training_set")(spark, dir).count()))
       else Seq(
         "d03_ngram_jaccard" -> (() => SparkEntry.queries("d03_ngram_jaccard")(spark, dir).count()),
         "d04_minhash_lsh" -> (() => SparkEntry.queries("d04_minhash_lsh")(spark, dir).count()),
@@ -192,13 +222,29 @@ object SkewProbe {
       // skew audit: share of the stage's shuffle records (read+write)
       // in its single heaviest task — a hot-key stage shows up as ~1.0
       import scala.jdk.CollectionConverters._
+      if (pipelineMode) {
+        // capstone shuffle-volume report: every stage that shuffled at
+        // all, ordered by volume — the per-stage evidence for the scale
+        // notes (which stage dominates, and that none is one-reducer)
+        listener.stages.asScala.toSeq
+          .map { case (sid, v) =>
+            val xs = v.asScala.toSeq
+            (sid, xs.size, xs.map(_._1).sum, xs.map(_._2).sum,
+              if (xs.map(_._1).sum == 0) 0.0 else xs.map(_._1).max.toDouble / xs.map(_._1).sum)
+          }
+          .filter(_._3 > 0).sortBy(-_._3)
+          .foreach { case (sid, k, recs, bytes, share) =>
+            println(f"[probe] $q stage $sid: $recs%d shuffle recs, ${bytes / 1048576.0}%.1f MiB, " +
+              f"$k%d tasks, worst-task share ${share * 100}%.1f%%")
+          }
+      }
       val audits = listener.stages.asScala.toSeq.flatMap { case (sid, v) =>
         val xs = v.asScala.toSeq
         val total = xs.map(_._1).sum
-        val time = xs.map(_._2).sum
+        val time = xs.map(_._3).sum
         if (xs.size >= 8 && total >= 100000L)
           Some((sid, xs.size, total, xs.map(_._1).max.toDouble / total,
-            if (time == 0) 0.0 else xs.map(_._2).max.toDouble / time))
+            if (time == 0) 0.0 else xs.map(_._3).max.toDouble / time))
         else None
       }
       val worst = audits.sortBy(-_._4).headOption

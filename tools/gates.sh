@@ -62,4 +62,13 @@ if [ "${1:-full}" != "quick" ]; then
   # trip on it, so a vacuous gate (bad sf match, empty history) fails loud
   python3 tools/bench_gate.py bench_queries.json --selftest | tail -3
 fi
+# Round-close snapshot (r4 verdict item 7): GRAFT_ROUND=5 tools/gates.sh
+# freezes the current per-query bench file as BENCH_QUERIES_r{N}.json so
+# later rounds diff against a committed artifact instead of mining
+# bench_history.jsonl timestamps.
+if [ -n "${GRAFT_ROUND:-}" ] && [ -f bench_queries.json ]; then
+  cp bench_queries.json "BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json"
+  echo "== snapshotted BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json"
+fi
+echo "== ALL GATES GREEN"
 echo "== ALL GATES GREEN"
