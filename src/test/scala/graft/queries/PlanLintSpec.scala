@@ -45,10 +45,13 @@ class PlanLintSpec extends AnyFunSuite {
   //    splits from, never the corpus.
   //  - t19: ranks the 1000 survivors of a TakeOrderedAndProject (u04
   //    class — bounded by the preceding limit, never the vocabulary).
+  //  - r62: running max over the DISTINCT-PRICE aggregate (input rows =
+  //    price domain, 1000 here, never the part table; the skyline
+  //    reduction happens in the preceding partial-agg'd groupBy).
   private val globalWindowAllowed = Set(
     "etl_enrich_gated", "p05_corpus_shuffle", "p06_assemble_training_set",
     "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill",
-    "p17_compaction_plan", "t19_zipf_fit")
+    "p17_compaction_plan", "t19_zipf_fit", "r62_skyline")
 
   private def hasGlobalWindow(name: String): Boolean =
     executions(name).optimizedPlan.collect {

@@ -55,7 +55,19 @@ def main():
         if diffs:
             print(f"FAIL {name}: nondeterministic: " + "; ".join(diffs[:4]))
             n_fail += 1
-    print(f"determinism: {len(names) - n_fail}/{len(names)} queries identical across runs")
+    # The no-oracle sketch rows are the reason this gate exists — name
+    # them in the output so the round artifact proves they were covered
+    # (not just implied by subdir enumeration).
+    sketch = [n for n in names
+              if n in ("r28_approx_distinct", "r47_approx_percentiles",
+                       "r52_hll_sketch_columns")]
+    missing_sketch = {"r28_approx_distinct", "r47_approx_percentiles",
+                      "r52_hll_sketch_columns"} - set(sketch)
+    if missing_sketch:
+        print(f"FAIL sketch queries absent from dump: {sorted(missing_sketch)}")
+        n_fail += 1
+    print(f"determinism: {len(names) - n_fail}/{len(names)} queries identical "
+          f"across runs (incl. no-oracle sketch queries: {', '.join(sketch)})")
     sys.exit(1 if n_fail else 0)
 
 

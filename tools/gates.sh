@@ -61,14 +61,17 @@ if [ "${1:-full}" != "quick" ]; then
   # --selftest also plants a 3x-slowed query and requires the gate to
   # trip on it, so a vacuous gate (bad sf match, empty history) fails loud
   python3 tools/bench_gate.py bench_queries.json --selftest | tail -3
+  # Round-close snapshot (r4 verdict item 7): GRAFT_ROUND=5 tools/gates.sh
+  # freezes the current per-query bench file as BENCH_QUERIES_r{N}.json so
+  # later rounds diff against a committed artifact instead of mining
+  # bench_history.jsonl timestamps. Inside the full-mode block (r5 advice:
+  # quick mode must not freeze a stale file), and gated: the regression
+  # gate must be green ON THE EXACT FILE being frozen (r5 verdict item 2 —
+  # round 5 shipped a red closing snapshot).
+  if [ -n "${GRAFT_ROUND:-}" ] && [ -f bench_queries.json ]; then
+    python3 tools/bench_gate.py bench_queries.json | tail -1
+    cp bench_queries.json "BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json"
+    echo "== snapshotted BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json (gate green)"
+  fi
 fi
-# Round-close snapshot (r4 verdict item 7): GRAFT_ROUND=5 tools/gates.sh
-# freezes the current per-query bench file as BENCH_QUERIES_r{N}.json so
-# later rounds diff against a committed artifact instead of mining
-# bench_history.jsonl timestamps.
-if [ -n "${GRAFT_ROUND:-}" ] && [ -f bench_queries.json ]; then
-  cp bench_queries.json "BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json"
-  echo "== snapshotted BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json"
-fi
-echo "== ALL GATES GREEN"
 echo "== ALL GATES GREEN"
