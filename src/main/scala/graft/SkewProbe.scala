@@ -115,6 +115,18 @@ object SkewProbe {
   private final class SkewListener extends SparkListener {
     val stages =
       new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[(Long, Long, Long)]]()
+    /** stageId -> (wall seconds, first line of stage name) for the
+      * capstone report: a wall/task-time gap exposes stages that are
+      * blocked (broadcast waits, driver planning), which per-task
+      * executorRunTime cannot see. */
+    val walls = new java.util.concurrent.ConcurrentHashMap[Int, (Double, String)]()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val wall = (for {t0 <- si.submissionTime; t1 <- si.completionTime}
+        yield (t1 - t0) / 1000.0).getOrElse(0.0)
+      walls.put(si.stageId, (wall, si.name.takeWhile(_ != '\n').take(60)))
+    }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -237,12 +249,15 @@ object SkewProbe {
           .map { case (sid, v) =>
             val xs = v.asScala.toSeq
             (sid, xs.size, xs.map(_._1).sum, xs.map(_._2).sum,
-              if (xs.map(_._1).sum == 0) 0.0 else xs.map(_._1).max.toDouble / xs.map(_._1).sum)
+              if (xs.map(_._1).sum == 0) 0.0 else xs.map(_._1).max.toDouble / xs.map(_._1).sum,
+              xs.map(_._3).sum / 1000.0)
           }
-          .filter(_._3 > 0).sortBy(-_._3)
-          .foreach { case (sid, k, recs, bytes, share) =>
+          .filter(t => t._3 > 0 || t._6 > 1.0).sortBy(-_._6)
+          .foreach { case (sid, k, recs, bytes, share, cpuS) =>
+            val (wall, sname) = Option(listener.walls.get(sid)).getOrElse((0.0, "?"))
             println(f"[probe] $q stage $sid: $recs%d shuffle recs, ${bytes / 1048576.0}%.1f MiB, " +
-              f"$k%d tasks, worst-task share ${share * 100}%.1f%%")
+              f"$k%d tasks, worst-task share ${share * 100}%.1f%%, $cpuS%.1f task-s, " +
+              f"$wall%.1f s wall [$sname]")
           }
       }
       val audits = listener.stages.asScala.toSeq.flatMap { case (sid, v) =>

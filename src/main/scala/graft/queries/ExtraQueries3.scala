@@ -321,6 +321,114 @@ object ExtraQueries3 {
       |    AS abs_dev
       |FROM o CROSS JOIN n GROUP BY digit, n.n_total ORDER BY digit""".stripMargin
 
+  /** r64: recency-decayed aggregates — exponentially decayed event count
+    * and value sum per event_type with a 1-day half-life anchored at the
+    * fixture horizon (2024-01-31). The weight 2^(−age_days) is carried
+    * EXACTLY: each row contributes value_cents·2^(30−age) as an integer
+    * (age ∈ [1,30] ⇒ the factor is a representable power of two,
+    * 2^(30−age) ≤ 2^29), the sums are exact decimals, and the single
+    * division by 100·2^30 happens on the 5-row result — so the decayed
+    * aggregate is order-independent, unlike a naive Σ v·pow(2,−age)
+    * double fold. One partial-agg'd shuffle on the 5-key group. */
+  /** Exact fixed-point decayed partials of an event frame: one row per
+    * event_type with (n, Σ2^(30−age), Σcents·2^(30−age)) as exact
+    * decimals. Because every weight is absolute against the SAME fixed
+    * anchor, two partial frames merge by plain integer addition — the
+    * property `StreamingOps.decayedAggStream` exploits to maintain the
+    * aggregate incrementally with batch-count-independent exactness. */
+  private[graft] def decayedPartials(events: DataFrame): DataFrame = {
+    val anchor = lit("2024-01-31").cast("date")
+    events
+      .withColumn("age", datediff(anchor, col("ts").cast("date")))
+      .withColumn("w_fp", pow(lit(2.0), lit(30) - col("age")).cast(LongType))
+      .withColumn("cents", round(col("value") * 100, 0).cast(LongType))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("w_fp").cast(DecimalType(38, 0))).as("wsum_fp"),
+        sum((col("cents") * col("w_fp")).cast(DecimalType(38, 0))).as("vsum_fp"))
+  }
+
+  /** Final projection from partials to the published decayed report. */
+  private[graft] def decayedFinal(partials: DataFrame): DataFrame =
+    partials.select(
+      col("event_type"), col("n"),
+      round(col("wsum_fp").cast(DoubleType) / lit(1073741824.0), 6).as("decayed_count"),
+      round(col("vsum_fp").cast(DoubleType) / lit(1073741824.0) / lit(100.0), 4).as("decayed_value"))
+      .orderBy("event_type")
+
+  private val r64: Fn = (s, d) => decayedFinal(decayedPartials(Tables.events(s, d)))
+  private val r64Sql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(pow(2.0, 30 - datediff('day', CAST(ts AS DATE), DATE '2024-01-31'))
+      |              AS HUGEINT) AS w_fp,
+      |         CAST(round(value * 100, 0) AS HUGEINT) AS cents
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  round(CAST(sum(w_fp) AS DOUBLE) / 1073741824.0, 6) AS decayed_count,
+      |  round(CAST(sum(cents * w_fp) AS DOUBLE) / 1073741824.0 / 100.0, 4) AS decayed_value
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** r65: period-over-period growth — weekly event volume and exact
+    * decimal value sum per event_type with lag-1 deltas and percent
+    * change. One keyed aggregation shuffle plus a window over
+    * (#types × #weeks) aggregate rows — the window input is the
+    * aggregate, never the event log. */
+  private val r65: Fn = (s, d) => {
+    val weekly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("value_sum"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .select(
+        col("event_type"), col("week").cast("date").as("week"),
+        col("n_events"), col("value_sum"),
+        round((col("n_events") - col("prev_n")).cast(DoubleType)
+          / col("prev_n").cast(DoubleType), 6).as("wow_change"))
+      .orderBy("event_type", "week")
+  }
+  private val r65Sql =
+    """WITH weekly AS (
+      |  SELECT event_type, date_trunc('week', ts) AS week,
+      |         count(*) AS n_events,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(week AS DATE) AS week, n_events,
+      |       CAST(value_sum AS DECIMAL(28,2)) AS value_sum,
+      |       round(CAST(n_events - lag(n_events) OVER w AS DOUBLE)
+      |             / CAST(lag(n_events) OVER w AS DOUBLE), 6) AS wow_change
+      |FROM weekly WINDOW w AS (PARTITION BY event_type ORDER BY week)
+      |ORDER BY event_type, week""".stripMargin
+
+  /** r66: equi-depth histogram of order totals — 10 buckets with exact
+    * boundaries, counts, and per-bucket exact decimal sums; the
+    * optimizer-statistics primitive (and the data-engineer's skew
+    * X-ray). ntile runs over a single ordered partition — bounded here,
+    * and at scale the same histogram comes from r47's mergeable
+    * quantile sketch; this exact form doubles as that sketch's ground
+    * truth. Ties across bucket borders are broken by the unique order
+    * key so both engines assign identical membership. */
+  private val r66: Fn = (s, d) => {
+    val w = Window.orderBy(col("p"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("p")).as("lo"), max(col("p")).as("hi"),
+        sum(col("p")).as("bucket_sum"))
+      .orderBy("bucket")
+  }
+  private val r66Sql =
+    """WITH b AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |         ntile(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS bucket
+      |  FROM orders)
+      |SELECT bucket, count(*) AS n, min(p) AS lo, max(p) AS hi,
+      |       CAST(sum(p) AS DECIMAL(28,2)) AS bucket_sum
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r60_groupwise_regression", r60, Some(r60Sql)),
     Q("r61_market_basket", r61, Some(r61Sql)),
@@ -328,5 +436,8 @@ object ExtraQueries3 {
     Q("r63_markov_transitions", r63, Some(r63Sql)),
     Q("d14_fuzzy_join", d14, Some(d14Sql)),
     Q("t21_token_entropy", t21, Some(t21Sql)),
-    Q("u14_benford_audit", u14, Some(u14Sql)))
+    Q("u14_benford_audit", u14, Some(u14Sql)),
+    Q("r64_decayed_agg", r64, Some(r64Sql)),
+    Q("r65_week_over_week", r65, Some(r65Sql)),
+    Q("r66_equidepth_hist", r66, Some(r66Sql)))
 }

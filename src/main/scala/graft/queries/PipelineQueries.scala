@@ -345,11 +345,23 @@ object PipelineQueries {
         size(split(col("text"), " ")).cast(LongType).as("n_tok"))
     val passing = qualityVerdicts(s, d).filter(col("passes")).select("doc_id")
     val contaminated = contaminationPairs(s, d).select("train_id").distinct()
+    // The eligible pool feeds BOTH the mixture-rate aggregate and the
+    // final sampling pass. Without pinning it, everything upstream
+    // (fingerprint window, quality verdicts, the contamination pair
+    // join) executes twice — Catalyst's ReuseExchange dedups the two
+    // subtrees only when AQE happens to produce canonically identical
+    // exchanges, which is data-dependent (measured on the skew-probe
+    // corpus: reuse held on one source layout and silently broke on
+    // another, doubling the dominant pair-join stages). Persisting the
+    // slim 3-column pool makes the single-execution guarantee explicit;
+    // at scale this is the standard materialization point between
+    // assembly and sampling (MEMORY_AND_DISK spills, never OOMs).
     val eligible = deduped
       .join(passing, "doc_id")
       .filter(col("source") =!= "src0")
       .join(contaminated, col("doc_id") === col("train_id"), "left_anti")
       .filter(mdBucket(col("doc_id"), "split:", 100) < 80)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rates = mixtureCuts(eligible)
     val sampled = eligible
       .join(broadcast(rates.select("source", "cut")), "source")

@@ -1010,7 +1010,30 @@ object SimilarityQueries {
     * a data-selection centrality needs. Kept-node contract: nodes =
     * endpoints of the edge list; in the mirrored kNN graph every node
     * has an out-edge, so nothing dangles by construction. */
-  private[queries] def pageRank(edgesIn: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def pageRank(edgesIn: DataFrame, rounds: Int): DataFrame =
+    pageRank(edgesIn, rounds, disableAqeInLoop = true)
+
+  /** `disableAqeInLoop = false` exists ONLY for graft.tools.PrProbe's
+    * reference curve — production always pins AQE off in the loop for
+    * the measured reasons below.
+    *
+    * Reference curve for regression triage (PrProbe, sf0.1, local[32],
+    * interleaved 3 reps, 2026-08; the s12 bench band is 8.2–13.1 s):
+    *   rounds=8 aqeLoop=off: 16.0 / 8.7 / 7.7 s   (median 8.7 — the
+    *     shipped configuration; rep1 carries plan/codegen cold cost)
+    *   rounds=8 aqeLoop=on : 35.7 / 50.6 / 30.5 s (median 35.7 — ~4×:
+    *     AQE flips loop joins to broadcast and re-executes the
+    *     uncached upstream chain, the trap the pin exists to close)
+    *   rounds=4 aqeLoop=off: 13.4 / 5.5 / 36.9 s  (min 5.5 — loop cost
+    *     scales ~linearly in rounds; the 36.9 outlier is machine
+    *     drift, not plan shape — its stage profile matches the 5.5 run)
+    *   rounds=4 aqeLoop=on : 9.9 / 7.4 / 31.9 s   (fewer rounds give
+    *     AQE fewer flip opportunities; still dominated by variance)
+    * A future s12 bench reading outside ~1.5× of the 8.7 s median with
+    * THIS curve unchanged is machine noise; a reading that moves the
+    * whole curve is a real plan regression. */
+  private[graft] def pageRank(edgesIn: DataFrame, rounds: Int,
+      disableAqeInLoop: Boolean): DataFrame = {
     val s = edgesIn.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges0 = edgesIn.select(col("a_id"), col("b_id")).persist(lvl)
@@ -1037,7 +1060,7 @@ object SimilarityQueries {
     val zeroRows = nodes.select(col("id").as("b_id"), lit(0L).as("c"))
     val mids = Seq.newBuilder[DataFrame]
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
+    if (disableAqeInLoop) s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (_ <- 1 to rounds) {
         val next = edges.join(ranks, col("a_id") === col("id"))
@@ -1077,7 +1100,12 @@ object SimilarityQueries {
     * the centrality graded is the graph that ships. Fully oracled: the
     * integer fixed-point iteration unrolls into one generated CTE pair
     * per round on top of s10's oracle SQL as the edge relation. */
-  private val s12: Fn = (s, d) => pageRank(s10(s, d).select("a_id", "b_id"), PrRounds)
+  /** The registered s10 kNN edge list — exposed for graft.tools.PrProbe
+    * so the reference curve runs on exactly the graph s12 ships. */
+  private[graft] def s10Edges(s: SparkSession, d: String): DataFrame =
+    s10(s, d).select("a_id", "b_id")
+
+  private val s12: Fn = (s, d) => pageRank(s10Edges(s, d), PrRounds)
   private def s12Sql: String = {
     val rounds = (1 to PrRounds).map { k =>
       s"""c$k AS (

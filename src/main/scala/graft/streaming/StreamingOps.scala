@@ -309,6 +309,73 @@ object StreamingOps {
     spark.read.parquet(
       s"$tableDir/${java.nio.file.Files.readString(new java.io.File(s"$tableDir/_current").toPath).trim}")
 
+  // ---- incremental decayed aggregate (r64 twin) ----
+
+  /** Always-on twin of r64's recency-decayed aggregates: each micro-batch
+    * folds its events into a standing per-event_type state table of EXACT
+    * fixed-point partials (n, Σ2^(30−age), Σcents·2^(30−age)). Because
+    * every weight is absolute against r64's fixed anchor, the merge is
+    * plain integer addition — the standing state after any number of
+    * batches equals the batch r64 partials over the union of all events,
+    * exactly, independent of batch boundaries or arrival order (the
+    * mergeable-summaries property, here with zero approximation).
+    *
+    * Replay idempotency differs from [[mergeSink]]'s keyed overwrite:
+    * additive state double-counts a re-delivered batch unless the step
+    * rebuilds from the state BEFORE that batch, so versions are named by
+    * batch id and each step reads the newest version with id < its own —
+    * a re-delivered batch id recomputes the same output version from the
+    * same base. Readers follow max-version, so a replayed rewrite is
+    * invisible (same content, same name). */
+  def decayedAggStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => decayedAggStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental fold (exposed for specs + replay proof). */
+  def decayedAggStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val basePartials = decayedState(spark, tableDir, beforeBatch = Some(batchId))
+    val batchPartials = graft.queries.ExtraQueries3.decayedPartials(batch)
+    val merged = basePartials match {
+      case None => batchPartials
+      case Some(b) => b.unionByName(batchPartials)
+        .groupBy("event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("wsum_fp")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("wsum_fp"),
+          sum(col("vsum_fp")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("vsum_fp"))
+    }
+    val tmpDir = s"$tableDir/_tmp_v$batchId"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val dest = java.nio.file.Paths.get(f"$tableDir/v$batchId%012d")
+    if (java.nio.file.Files.exists(dest)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
+  }
+
+  /** Standing decayed partials: newest version, or newest strictly
+    * before `beforeBatch` (the replay-safe base for that batch's step). */
+  def decayedState(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    val dir = new java.io.File(tableDir)
+    val versions = Option(dir.list()).getOrElse(Array.empty[String])
+      .filter(_.matches("v\\d{12}")).map(v => v.drop(1).toLong)
+      .filter(v => beforeBatch.forall(v < _))
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(f"$tableDir/v${versions.max}%012d"))
+  }
+
+  /** Published report from the standing state — r64's exact shape. */
+  def decayedReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries3.decayedFinal(
+      decayedState(spark, tableDir).getOrElse(
+        spark.emptyDataFrame.select(lit("").as("event_type"), lit(0L).as("n"),
+          lit(java.math.BigDecimal.ZERO).as("wsum_fp"), lit(java.math.BigDecimal.ZERO).as("vsum_fp"))
+          .limit(0)))
+
   // ---- custom state: cross-batch inference batch packer (p18 twin) ----
 
   case class PackIn(bucket: Long, doc_id: Long, n_tok: Long)

@@ -76,6 +76,34 @@ class ExtraQueries3Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9))
   }
 
+  test("r64 decay weights are exact powers of two and decayed_count <= n") {
+    graft.SparkEntry.queries("r64_decayed_agg")(spark, sf).collect().foreach { r =>
+      val (n, dc) = (r.getLong(1), r.getDouble(2))
+      assert(dc > 0.0 && dc <= n.toDouble, s"${r.getString(0)}: decayed=$dc n=$n")
+    }
+    // the weight construction must be exact: pow(2.0, k) for k in [0,29]
+    // cast to long must round-trip bit-exactly on this JVM
+    (0 to 29).foreach(k => assert(math.pow(2.0, k).toLong == (1L << k)))
+  }
+
+  test("r65 wow_change is null on each type's first week and finite after") {
+    val rows = graft.SparkEntry.queries("r65_week_over_week")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.head.isNullAt(4), "first week must have null wow_change")
+      rs.tail.foreach(r => assert(!r.isNullAt(4)))
+    }
+  }
+
+  test("r66 equi-depth buckets partition the table with contiguous boundaries") {
+    val rows = graft.SparkEntry.queries("r66_equidepth_hist")(spark, sf).collect()
+    val total = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min <= 1, "depths differ by more than 1")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDecimal(3).compareTo(b.getDecimal(2)) <= 0, "bucket boundaries out of order")
+    case _ => }
+  }
+
   test("r61 lift is consistent with independent recomputation on one pair") {
     val rows = graft.SparkEntry.queries("r61_market_basket")(spark, sf).collect()
     assert(rows.nonEmpty, "no brand pair cleared the support floor — vacuous")

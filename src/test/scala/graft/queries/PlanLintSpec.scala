@@ -48,10 +48,14 @@ class PlanLintSpec extends AnyFunSuite {
   //  - r62: running max over the DISTINCT-PRICE aggregate (input rows =
   //    price domain, 1000 here, never the part table; the skyline
   //    reduction happens in the preceding partial-agg'd groupBy).
+  //  - r66: exact equi-depth histogram — the global ntile IS the
+  //    operator's definition; it exists as the exact ground truth for
+  //    r47's mergeable quantile sketch, which is the scale path
+  //    (scaladoc records the pairing).
   private val globalWindowAllowed = Set(
     "etl_enrich_gated", "p05_corpus_shuffle", "p06_assemble_training_set",
     "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill",
-    "p17_compaction_plan", "t19_zipf_fit", "r62_skyline")
+    "p17_compaction_plan", "t19_zipf_fit", "r62_skyline", "r66_equidepth_hist")
 
   private def hasGlobalWindow(name: String): Boolean =
     executions(name).optimizedPlan.collect {

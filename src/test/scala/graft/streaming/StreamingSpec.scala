@@ -327,6 +327,36 @@ class StreamingSpec extends AnyFunSuite {
       "thin batch must still report day volumes and baseline columns")
   }
 
+  test("incremental decayed aggregate: state after N batches equals batch r64 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("decayed").toString
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[E].collect()
+    // three uneven waves: the fixed-anchor weights make the standing
+    // state additive, so batch boundaries must not perturb the result
+    val (b1, rest) = rows.splitAt(rows.length / 5)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[E]
+    val q = StreamingOps.decayedAggStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r64_decayed_agg")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.decayedReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental state diverged from the oracled batch r64")
+    // replay idempotency: re-running the LAST step (same batch id, same
+    // rows) must rebuild from the pre-batch base and leave state unchanged
+    StreamingOps.decayedAggStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.decayedReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch double-counted into additive state")
+  }
+
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
