@@ -429,6 +429,110 @@ object ExtraQueries3 {
       |       CAST(sum(p) AS DECIMAL(28,2)) AS bucket_sum
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** r67: Pearson correlation matrix over the four numeric lineitem
+    * measures, as (col_a, col_b, corr) long-form rows. All sufficient
+    * statistics ride in ONE aggregation pass (4 sums + 4 squares + 6
+    * cross-products, partial-agg'd map-side — one shuffle of 14 values
+    * per map task regardless of table size); every sum is over exact
+    * integer CENTS (identical arithmetic to the oracle — unit-scaled
+    * decimals would cast >2^53 sums to double differently per scale),
+    * and the 6 output rows do their double math on the exact results.
+    * sqrt is IEEE-correctly-rounded, so cross-engine bitwise equality
+    * holds after round(…, 6). */
+  private val r67: Fn = (s, d) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li0 = Tables.lineitem(s, d)
+    val li = cols.foldLeft(li0.select(cols.map(col): _*)) { (df, c) =>
+      df.withColumn(c + "_c", round(col(c) * 100, 0).cast(LongType))
+    }
+    val aggs = cols.map(c => sum(col(c + "_c").cast(DecimalType(38, 0))).as(s"s_$c")) ++
+      cols.map(c => sum((col(c + "_c") * col(c + "_c")).cast(DecimalType(38, 0))).as(s"q_$c")) ++
+      (for {i <- cols.indices; j <- cols.indices if i < j} yield
+        sum((col(cols(i) + "_c") * col(cols(j) + "_c")).cast(DecimalType(38, 0)))
+          .as(s"x_${cols(i)}_${cols(j)}")) ++
+      Seq(count(lit(1)).cast(DecimalType(38, 0)).as("n"))
+    val g = li.agg(aggs.head, aggs.tail: _*)
+    // ONE row of sufficient statistics fans out to the 6 pair rows via
+    // explode-of-structs — not a 6-way union, which would re-execute
+    // the whole aggregation pass per pair
+    val pairStructs = for {i <- cols.indices; j <- cols.indices if i < j} yield {
+      val (a, b) = (cols(i), cols(j))
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        round((col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast(DoubleType)
+          / sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")).cast(DoubleType)
+            * (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")).cast(DoubleType)), 6)
+          .as("corr"))
+    }
+    g.select(explode(array(pairStructs: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"), col("r.corr").as("corr"))
+      .orderBy("col_a", "col_b")
+  }
+  private val r67Sql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val cents = cols.map(c => s"CAST(round($c * 100, 0) AS HUGEINT) AS $c").mkString(", ")
+    val sums = cols.map(c => s"sum($c) AS s_$c").mkString(", ")
+    val sqs = cols.map(c => s"sum($c * $c) AS q_$c").mkString(", ")
+    val xs = (for {i <- cols.indices; j <- cols.indices if i < j}
+      yield s"sum(${cols(i)} * ${cols(j)}) AS x_${cols(i)}_${cols(j)}").mkString(", ")
+    val rows = (for {i <- cols.indices; j <- cols.indices if i < j} yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |        / sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)
+         |               * CAST(n * q_$b - s_$b * s_$b AS DOUBLE)), 6) AS corr
+         |FROM g""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT $cents FROM lineitem),
+       |g AS (SELECT $sums, $sqs, $xs, CAST(count(*) AS HUGEINT) AS n FROM c)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** r68: chi-square independence audit of event_type × ISO weekday —
+    * the "is traffic mix stable across the week" check. Observed and
+    * marginal counts are exact integers; each cell's statistic
+    * (O−E)²/E = (n·O − rt·ct)² / (n·rt·ct) divides one exact decimal
+    * by another, cast to double IDENTICALLY on both engines, so the
+    * per-cell report is bitwise-deterministic with no cross-cell
+    * floating aggregation at all. One 35-key aggregate + two broadcast
+    * marginal joins. */
+  private val r68: Fn = (s, d) => {
+    val e = Tables.events(s, d)
+      .withColumn("dow", (weekday(col("ts")) + lit(1)).cast(IntegerType))
+    val cells = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
+    val n = cells.select(sum(col("o")).as("n"))
+    cells.join(broadcast(rowTot), "event_type").join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(n))
+      .select(
+        col("event_type"), col("dow"), col("o"),
+        round((col("rt") * col("ct")).cast(DecimalType(38, 0)).cast(DoubleType)
+          / col("n").cast(DoubleType), 4).as("expected"),
+        round(((col("n") * col("o") - col("rt") * col("ct")).cast(DecimalType(38, 0))
+          * (col("n") * col("o") - col("rt") * col("ct")).cast(DecimalType(38, 0)))
+          .cast(DoubleType)
+          / (col("n") * col("rt") * col("ct")).cast(DecimalType(38, 0)).cast(DoubleType), 6)
+          .as("contrib"))
+      .orderBy("event_type", "dow")
+  }
+  private val r68Sql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM cells)
+      |SELECT c.event_type, c.dow, c.o,
+      |  round(CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE), 4) AS expected,
+      |  round(CAST(CAST(n.n * c.o - rt.rt * ct.ct AS HUGEINT)
+      |             * CAST(n.n * c.o - rt.rt * ct.ct AS HUGEINT) AS DOUBLE)
+      |        / CAST(CAST(n.n AS HUGEINT) * rt.rt * ct.ct AS DOUBLE), 6) AS contrib
+      |FROM cells c JOIN rt ON c.event_type = rt.event_type
+      |JOIN ct ON c.dow = ct.dow CROSS JOIN n
+      |ORDER BY c.event_type, c.dow""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r60_groupwise_regression", r60, Some(r60Sql)),
     Q("r61_market_basket", r61, Some(r61Sql)),
@@ -439,5 +543,7 @@ object ExtraQueries3 {
     Q("u14_benford_audit", u14, Some(u14Sql)),
     Q("r64_decayed_agg", r64, Some(r64Sql)),
     Q("r65_week_over_week", r65, Some(r65Sql)),
-    Q("r66_equidepth_hist", r66, Some(r66Sql)))
+    Q("r66_equidepth_hist", r66, Some(r66Sql)),
+    Q("r67_correlation_matrix", r67, Some(r67Sql)),
+    Q("r68_chi2_independence", r68, Some(r68Sql)))
 }

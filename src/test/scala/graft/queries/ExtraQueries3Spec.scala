@@ -104,6 +104,25 @@ class ExtraQueries3Spec extends AnyFunSuite {
     case _ => }
   }
 
+  test("r67 correlations are in [-1,1] for all 6 unordered column pairs") {
+    val rows = graft.SparkEntry.queries("r67_correlation_matrix")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, r.toString))
+    // pairs are index-ordered over (quantity, extendedprice, discount,
+    // tax) — 6 distinct unordered combinations, no self-pairs
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == 6 && pairs.forall { case (a, b) => a != b })
+  }
+
+  test("r68 chi2 cells: contrib >= 0 and expected sums to n per event_type") {
+    val rows = graft.SparkEntry.queries("r68_chi2_independence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+    val n = graft.Tables.events(spark, sf).count().toDouble
+    assert(math.abs(rows.map(_.getDouble(3)).sum - n) < 1.0,
+      "cell expectations must sum to the grand total")
+  }
+
   test("r61 lift is consistent with independent recomputation on one pair") {
     val rows = graft.SparkEntry.queries("r61_market_basket")(spark, sf).collect()
     assert(rows.nonEmpty, "no brand pair cleared the support floor — vacuous")
