@@ -95,9 +95,13 @@ object ExtraQueries3 {
   private val r61: Fn = (s, d) => {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
-    // distinct brands per order (a brand twice in one order counts once)
+    // distinct brands per order (a brand twice in one order counts once).
+    // Persisted: FOUR consumers (order count, brand marginals, both pair
+    // sides) would otherwise each re-scan lineitem and re-run the
+    // broadcast join + distinct — the p06 eligible-pool precedent.
     val ob = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrders = ob.select(countDistinct(col("okey")).as("n_orders"))
     val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("c"))
     val a = ob.select(col("okey"), col("brand").as("brand_a"))
