@@ -412,12 +412,13 @@ object DedupQueries {
       |WHERE round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
-  /** d05 oracle: SQL replay of the SimHash pipeline — per-token 60-bit
-    * md5-prefix bit sources, exact integer bit-vote sums, chunk buckets,
-    * cap, and the popcount(xor) ≤ 8 verification. */
-  private val d05Sql = {
+  /** Shared SQL replay of the SimHash signature stage (per-token 60-bit
+    * md5-prefix bit sources, exact integer bit-vote sums) — the `sig`
+    * CTE both d05's band-bucket oracle and d15's sorted-neighborhood
+    * oracle build on. */
+  private val simhashSigSql = {
     val PH = graft.functions.PortableHash
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT doc_id, t, count(*) AS w
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |  GROUP BY doc_id, t),
@@ -429,7 +430,13 @@ object DedupQueries {
       |sig AS (
       |  SELECT doc_id,
       |         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id),
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+  }
+
+  /** d05 oracle: SQL replay of the SimHash pipeline — signature CTEs,
+    * chunk buckets, cap, and the popcount(xor) ≤ 8 verification. */
+  private val d05Sql = {
+    s"""WITH $simhashSigSql,
       |chunks AS (
       |  SELECT doc_id, simhash, CAST(c AS INTEGER) AS c,
       |         (simhash >> CAST(c * $SimhashChunkBits AS INTEGER)) & ${(1L << SimhashChunkBits) - 1} AS v
@@ -825,6 +832,51 @@ object DedupQueries {
     * (⌈4n/5⌉ = (4n+4) div 5), and candidates are verified against the
     * full string arrays, so hash collisions only add candidates that
     * verification rejects. Oracle: the definitional all-pairs form. */
+  /** d15: sorted-neighborhood near-dup (Hernández & Stolfo's SNM, with
+    * the SimHash signature as the sort key): bucket by the signature's
+    * top 16 bits, sort each bucket by (signature, doc_id), and compare
+    * every doc only to its K=3 successors — candidates come from a SORT
+    * plus a rank-offset equi-join instead of d05's band-bucket join.
+    * Scale story: range-blocking + within-block sort is one shuffle with
+    * NO quadratic bucket product at all (candidate count is exactly
+    * K·n), the method of choice when signature buckets are degenerate;
+    * the trade is windowing recall — near-dups whose signatures sort
+    * >K apart (or straddle a bucket edge) are missed, which is why d05
+    * remains the primary pass and d15 the bounded-cost complement.
+    * Verification is the same popcount(xor) ≤ 8. */
+  private val d15: Fn = (s, d) => {
+    val K = 3
+    val ranked = simhashSignatures(s, d)
+      .withColumn("bucket", shiftright(col("simhash"), SimhashBits - 16))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bucket").orderBy("simhash", "doc_id")))
+    val a = ranked.select(col("bucket"), col("rk"), col("doc_id").as("da"), col("simhash").as("sa"))
+      .withColumn("off", explode(array((1 to K).map(lit): _*)))
+      .withColumn("rk2", col("rk") + col("off"))
+    val b = ranked.select(col("bucket"), col("rk").as("rk2"),
+      col("doc_id").as("db"), col("simhash").as("sb"))
+    a.join(b, Seq("bucket", "rk2"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+      .filter(col("hamming") <= 8)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+  private val d15Sql =
+    s"""WITH $simhashSigSql,
+      |r AS (
+      |  SELECT doc_id, simhash, simhash >> ${SimhashBits - 16} AS bucket,
+      |         row_number() OVER (PARTITION BY simhash >> ${SimhashBits - 16}
+      |                            ORDER BY simhash, doc_id) AS rk
+      |  FROM sig)
+      |SELECT least(a.doc_id, b.doc_id) AS d1,
+      |       greatest(a.doc_id, b.doc_id) AS d2,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM r a JOIN r b
+      |  ON a.bucket = b.bucket AND b.rk BETWEEN a.rk + 1 AND a.rk + 3
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |ORDER BY d1, d2""".stripMargin
+
   private val d13: Fn = (s, d) => containmentPairsOf(docs(s, d))
 
   /** d13 body over any `(doc_id, text)` relation — factored so specs can
@@ -887,6 +939,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     Q("d13_containment_dedup", d13, Some(d13Sql)),
+    Q("d15_sorted_neighbors", d15, Some(d15Sql)),
     Q("d10_duplicate_spans", d10, Some(d10Sql)),
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_bow_dedup", d02, Some(d02Sql)),

@@ -537,6 +537,37 @@ object ExtraQueries3 {
       |JOIN ct ON c.dow = ct.dow CROSS JOIN n
       |ORDER BY c.event_type, c.dow""".stripMargin
 
+  /** r69: FORWARD as-of — for every error event, the user's next
+    * purchase at-or-after it and the seconds until it (time-to-recovery
+    * attribution; the mirror of r24's backward as-of). One user-keyed
+    * window shuffle; the frame runs current-row → unbounded FOLLOWING
+    * with first_value(… ignore nulls), ties broken by event_id
+    * identically on both engines. The gap is computed in exact integer
+    * microseconds. */
+  private val r69: Fn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("next_purchase",
+        first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_purchase"),
+        ((unix_micros(col("next_purchase")) - unix_micros(col("ts"))) / lit(1000000L))
+          .cast(LongType).as("secs_to_purchase"))
+      .orderBy("event_id")
+  }
+  private val r69Sql =
+    """SELECT event_id, user_id, ts, next_purchase,
+      |  CAST((epoch_us(next_purchase) - epoch_us(ts)) // 1000000 AS BIGINT) AS secs_to_purchase
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+      |  FROM events) t
+      |WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r60_groupwise_regression", r60, Some(r60Sql)),
     Q("r61_market_basket", r61, Some(r61Sql)),
@@ -549,5 +580,6 @@ object ExtraQueries3 {
     Q("r65_week_over_week", r65, Some(r65Sql)),
     Q("r66_equidepth_hist", r66, Some(r66Sql)),
     Q("r67_correlation_matrix", r67, Some(r67Sql)),
-    Q("r68_chi2_independence", r68, Some(r68Sql)))
+    Q("r68_chi2_independence", r68, Some(r68Sql)),
+    Q("r69_forward_asof", r69, Some(r69Sql)))
 }

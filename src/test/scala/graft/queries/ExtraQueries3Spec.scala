@@ -123,6 +123,31 @@ class ExtraQueries3Spec extends AnyFunSuite {
       "cell expectations must sum to the grand total")
   }
 
+  test("d15 sorted-neighborhood pairs are a sound subset of exact all-pairs hamming<=8") {
+    val sigs = DedupQueries.simhashSignatures(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield (ida, idb)).toSet
+    val got = graft.SparkEntry.queries("d15_sorted_neighbors")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture produced no sorted-neighbor pairs — vacuous")
+    assert(got.subsetOf(exact), s"unsound pairs: ${(got -- exact).take(5)}")
+    // the SNM trade is bounded recall, not unsoundness; record it stays sane
+    assert(got.size * 100 >= exact.size, // >= 1% — adjacency must find SOMETHING real
+      s"recall collapsed: ${got.size} of ${exact.size}")
+  }
+
+  test("r69 forward as-of: next purchase is at-or-after the error, gaps non-negative") {
+    val rows = graft.SparkEntry.queries("r69_forward_asof")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(!r.getTimestamp(3).before(r.getTimestamp(2)), r.toString)
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("r61 lift is consistent with independent recomputation on one pair") {
     val rows = graft.SparkEntry.queries("r61_market_basket")(spark, sf).collect()
     assert(rows.nonEmpty, "no brand pair cleared the support floor — vacuous")
