@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{CosineSimilarity, MinHashSignature, SimHashSignature}
+import graft.expressions.{CosineSimilarity, JaroWinkler, MinHashSignature, SimHashSignature}
 import graft.plans.{BandJoinRewriteRule, GraftStrategy, TopKRewriteRule}
 
 /** Session extensions: registers the engine's native functions for SQL
@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         val a = arity("cosine_similarity", 2)(exprs); CosineSimilarity(a(0), a(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = arity("jaro_winkler", 2)(exprs); JaroWinkler(a(0), a(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("minhash_signature"),

@@ -568,6 +568,51 @@ object ExtraQueries3 {
       |WHERE event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  /** d16: fuzzy entity-resolution lookup through the native codegen'd
+    * [[graft.expressions.JaroWinkler]] Expression — for each of the 20
+    * lowest-key probe names, the top-3 most-similar OTHER supplier names
+    * by Jaro-Winkler (prefix-rewarding, transposition-tolerant — the
+    * name-matching metric d14's edit-distance join can't express).
+    * Scale shape is s01's: the probe set is tiny and broadcast, so the
+    * scan is one pass over the table with the fused kernel inside
+    * whole-stage codegen — never an n² self-join; ranking is a
+    * probe-partitioned window on rounded scores with key tiebreaks.
+    * Oracle: DuckDB's `jaro_winkler_similarity`, whose textbook
+    * semantics the kernel pins (boost iff jaro > 0.7, prefix ≤ 4). */
+  private val d16: Fn = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    def jw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftSqlBridge.column(graft.expressions.JaroWinkler(
+        GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val probes = sup.orderBy("s_suppkey").limit(20)
+      .select(col("s_suppkey").as("probe_key"), col("s_name").as("probe_name"))
+    val scored = sup.crossJoin(broadcast(probes))
+      .filter(col("s_suppkey") =!= col("probe_key"))
+      .withColumn("jw", round(jw(col("probe_name"), col("s_name")), 6))
+    val w = Window.partitionBy("probe_key").orderBy(desc("jw"), col("s_suppkey"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("probe_key"), col("rk"), col("s_suppkey").as("match_key"),
+        col("s_name").as("match_name"), col("jw"))
+      .orderBy("probe_key", "rk")
+  }
+  private val d16Sql =
+    """WITH probes AS (
+      |  SELECT s_suppkey AS probe_key, s_name AS probe_name
+      |  FROM supplier ORDER BY s_suppkey LIMIT 20),
+      |scored AS (
+      |  SELECT p.probe_key, s.s_suppkey, s.s_name,
+      |         round(jaro_winkler_similarity(p.probe_name, s.s_name), 6) AS jw
+      |  FROM supplier s CROSS JOIN probes p
+      |  WHERE s.s_suppkey <> p.probe_key)
+      |SELECT probe_key, rk, s_suppkey AS match_key, s_name AS match_name, jw
+      |FROM (SELECT probe_key, s_suppkey, s_name, jw,
+      |             row_number() OVER (PARTITION BY probe_key
+      |                                ORDER BY jw DESC, s_suppkey) AS rk
+      |      FROM scored) t
+      |WHERE rk <= 3
+      |ORDER BY probe_key, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r60_groupwise_regression", r60, Some(r60Sql)),
     Q("r61_market_basket", r61, Some(r61Sql)),
@@ -581,5 +626,6 @@ object ExtraQueries3 {
     Q("r66_equidepth_hist", r66, Some(r66Sql)),
     Q("r67_correlation_matrix", r67, Some(r67Sql)),
     Q("r68_chi2_independence", r68, Some(r68Sql)),
-    Q("r69_forward_asof", r69, Some(r69Sql)))
+    Q("r69_forward_asof", r69, Some(r69Sql)),
+    Q("d16_jaro_lookup", d16, Some(d16Sql)))
 }
