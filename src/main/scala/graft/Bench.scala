@@ -11,8 +11,25 @@ import org.apache.spark.sql.SparkSession
   * mirrors the scale posture: AQE on (runtime re-planning, skew-join
   * handling, partition coalescing), shuffle partitions = cores for local
   * mode.
+  *
+  * Protocol (r6 verdict items 1b/4):
+  *  - reps >= 3 always; the FIRST rep of each query is excluded from the
+  *    recorded minimum (cold-JVM p06 triage measured 10.1 s cold vs
+  *    4.6 s warm — cold readings must not seed bench_history minima).
+  *  - a rep whose query throws can never become the reported minimum
+  *    (its time is recorded as failed; only successful reps count).
+  *  - after the adaptive retries, the run is checked against the SAME
+  *    gate rule tools/bench_gate.py applies (1.5x AND +1.0 s vs the
+  *    per-query historical minimum at this sf, allowlist honored). A
+  *    red run is written to bench_queries_rejected.json and appended to
+  *    history, but it does NOT overwrite a green bench_queries.json —
+  *    the committed snapshot can only ever be a gate-green run, and the
+  *    rejection is loud (stdout summary carries gate:"red" + names).
   */
 object Bench {
+  private val GateFactor = 1.5
+  private val GateSlack = 1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,29 +64,32 @@ object Bench {
     // Dev loop: SPARK_GRAFT_ONLY=q01_x,q02_y times just those queries
     // (repeated REPS times each). Unset = the full driver contract.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // REPS defaults to 2 full passes: single-run flap on one query has
-    // measured >5× on this machine (d07: 25.7 s once, 3 s steady), so a
-    // one-rep number cannot distinguish a regression from scheduler
-    // noise. Reported per-query time = MIN across reps (the steady
-    // state; pass 1 carries plan/codegen cold costs), total = Σ mins.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // reps floor is 3 (closing-run contract): rep 1 carries plan/codegen
+    // cold costs and is dropped from the minimum, so >=2 warm readings
+    // always remain. SPARK_GRAFT_REPS can only raise it.
+    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
-    val samples = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
+
+    def timeOne(name: String, tag: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name $tag failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside queries (d03/d07/d08/r46) so later
       // queries are measured cold and memory doesn't accumulate
       spark.catalog.clearCache()
-      name -> dt
+      (dt, ok)
     }
-    val byQuery0: Seq[(String, Seq[Double])] = samples.groupBy(_._1).toSeq.sortBy(_._1)
+
+    val samples: Seq[(String, (Double, Boolean))] =
+      (1 to reps).flatMap(r => selected.map { case (name, _) => name -> timeOne(name, s"rep$r") })
+    val byQuery0: Seq[(String, Seq[(Double, Boolean)])] = samples.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2) }
     // Adaptive de-noise (r5 verdict item 3): round 5's closing run shipped
-    // with q22 at 6.9× its historical best purely from driver load — the
-    // gate (1.5× AND +1.0 s vs the per-query historical minimum at this
+    // with q22 at 6.9x its historical best purely from driver load — the
+    // gate (1.5x AND +1.0 s vs the per-query historical minimum at this
     // sf) then flagged a non-regression. A real plan regression is slow on
     // EVERY rep, so up to 2 extra reps for the still-over-band queries
     // de-noise scheduler flap without ever masking a true regression.
@@ -90,40 +110,82 @@ object Bench {
         }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
       }
     }
-    val byQuery: Seq[(String, Seq[Double])] = byQuery0.map { case (name, vs) =>
+    // Recorded minimum = min over WARM successful reps (rep 1 dropped;
+    // failed reps never counted — ADVICE r6: a fast failure time could
+    // otherwise clear the over-band condition). If every warm rep
+    // failed, fall back to the slowest reading so the failure is visible
+    // in history rather than flattering it.
+    def recordedMin(vs: Seq[(Double, Boolean)]): Double = {
+      val warm = if (vs.size > 1) vs.tail else vs
+      val ok = warm.collect { case (t, true) => t }
+      if (ok.nonEmpty) ok.min
+      else { System.err.println("[bench] WARNING: all warm reps failed; recording max"); vs.map(_._1).max }
+    }
+    val byQuery: Seq[(String, Seq[(Double, Boolean)])] = byQuery0.map { case (name, vs) =>
       var times = vs
       var extra = 0
-      while (extra < 2 && histBest.get(name).exists(b => times.min > 1.5 * b && times.min - b > 1.0)) {
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name retry failed: ${e.getMessage}") }
-        times = times :+ (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+      while (extra < 2 && histBest.get(name).exists(b =>
+        recordedMin(times) > GateFactor * b && recordedMin(times) - b > GateSlack)) {
+        times = times :+ timeOne(name, s"retry${extra + 1}")
         extra += 1
-        System.err.println(f"[bench] retry $extra for $name: min now ${times.min}%.2f s " +
+        System.err.println(f"[bench] retry $extra for $name: min now ${recordedMin(times)}%.2f s " +
           f"(historical best ${histBest(name)}%.2f s)")
       }
       name -> times
     }
-    val results = byQuery.map { case (k, vs) => k -> vs.min }
+    val results = byQuery.map { case (k, vs) => k -> recordedMin(vs) }
+
+    // ---- gate check (mirror of tools/bench_gate.py, allowlist honored)
+    val allow: Map[String, String] = {
+      val p = java.nio.file.Paths.get("tools/bench_allowlist.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        val node = om.readTree(java.nio.file.Files.readString(p))
+        node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+    }
+    val gateFailures = results.collect {
+      case (q, t) if histBest.get(q).exists(b => t > GateFactor * b && t - b > GateSlack)
+        && !allow.contains(q) => (q, t, histBest(q))
+    }
+    gateFailures.foreach { case (q, t, b) =>
+      System.err.println(f"[bench] GATE RED $q: $t%.2f s vs historical best $b%.2f s — " +
+        "add a tools/bench_allowlist.json entry with the plan-change rationale, or fix the plan")
+    }
+    val gate = if (gateFailures.isEmpty) "green" else "red"
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val repsJson = byQuery
-      .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
+      .map { case (k, vs) => "\"" + k + "\":[" + vs.map(_._1).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The 65-entry per-query map once tail-truncated the driver's stdout
     // parse; it goes to a file, and the stdout contract line stays short.
     // `queries` stays the driver's shape (name -> seconds, now the min);
     // `samples` holds every rep for variance attribution.
-    val body = s""""sf":"$sfDir","reps":$reps,"queries":$qs,"samples":$repsJson"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), s"{$body}")
+    val body = s""""sf":"$sfDir","reps":$reps,"gate":"$gate","queries":$qs,"samples":$repsJson"""
+    val snapshotPath = java.nio.file.Paths.get("bench_queries.json")
+    if (gate == "green" || !java.nio.file.Files.exists(snapshotPath)) {
+      java.nio.file.Files.writeString(snapshotPath, s"{$body}")
+    } else {
+      // Never silently commit a red snapshot over a green one (r6 verdict
+      // item 1b): the red run is preserved for triage, the prior green
+      // file stays the committed artifact, and the stdout summary says so.
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries_rejected.json"), s"{$body}")
+      System.err.println("[bench] red run written to bench_queries_rejected.json; " +
+        "bench_queries.json left at the prior green run")
+    }
     // Per-round history is lost when bench_queries.json is overwritten —
     // also APPEND to the git-tracked bench_history.jsonl so any later
-    // round can diff per-query times against this run.
+    // round can diff per-query times against this run. Red runs are
+    // appended too (their slower times cannot lower any minimum).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history.jsonl"),
       s"""{"ts":"${java.time.Instant.now()}",$body}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_queries.json"}"""
+    val gateNames = gateFailures.map { case (q, _, _) => "\"" + q + "\"" }.mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"gate":"$gate","gate_failures":$gateNames,"queries_file":"bench_queries.json"}"""
     // The driver scrapes stdout but sbt appends `[success] Total time...`
     // after the JSON line, which broke its parse two rounds running
     // (BENCH parsed:null) — the summary also lands in a file it can read.

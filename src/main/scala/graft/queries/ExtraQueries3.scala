@@ -409,16 +409,39 @@ object ExtraQueries3 {
   /** r66: equi-depth histogram of order totals — 10 buckets with exact
     * boundaries, counts, and per-bucket exact decimal sums; the
     * optimizer-statistics primitive (and the data-engineer's skew
-    * X-ray). ntile runs over a single ordered partition — bounded here,
-    * and at scale the same histogram comes from r47's mergeable
-    * quantile sketch; this exact form doubles as that sketch's ground
-    * truth. Ties across bucket borders are broken by the unique order
-    * key so both engines assign identical membership. */
+    * X-ray). Ties across bucket borders are broken by the unique order
+    * key so both engines assign identical membership.
+    *
+    * Scale design (r6 verdict item 2): NO global window. The global
+    * rank is the zipWithIndex idiom — `orderBy` range-partitions the
+    * sort across all cores, then zipWithIndex assigns contiguous global
+    * indexes from per-partition counts + offsets (one lightweight count
+    * job, no single-reducer funnel). Bucket membership is then pure
+    * map-side arithmetic on (rank, N) replicating SQL ntile semantics
+    * exactly (first N%k buckets get one extra row), with N riding along
+    * as a broadcast 1-row aggregate. At 100 TB every stage is
+    * distributed: range-partitioned sort, map-side bucket assignment,
+    * keyed 10-group aggregate. The mergeable-sketch approximation of
+    * the same histogram is r47; this exact form is its ground truth. */
   private val r66: Fn = (s, d) => {
-    val w = Window.orderBy(col("p"), col("o_orderkey"))
-    Tables.orders(s, d)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
+    val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
-      .withColumn("bucket", ntile(10).over(w))
+    val sorted = base.orderBy(col("p"), col("o_orderkey"))
+    val schema = StructType(sorted.schema.fields :+ StructField("rn", LT, nullable = false))
+    val indexed = s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+    val nDf = base.agg(count(lit(1)).as("n_total"))
+    indexed.crossJoin(broadcast(nDf))
+      // ntile(10) over N rows: base=N div 10, rem=N%10; buckets 1..rem
+      // hold base+1 rows. CASE keeps the div lazy so base=0 (N<10)
+      // never divides by zero under ANSI.
+      .withColumn("bucket", expr(
+        """CAST(CASE WHEN rn < (n_total % 10) * (n_total DIV 10 + 1)
+          |     THEN rn DIV (n_total DIV 10 + 1) + 1
+          |     ELSE (n_total % 10) + (rn - (n_total % 10) * (n_total DIV 10 + 1)) DIV (n_total DIV 10) + 1
+          |END AS INT)""".stripMargin))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(col("p")).as("lo"), max(col("p")).as("hi"),
         sum(col("p")).as("bucket_sum"))

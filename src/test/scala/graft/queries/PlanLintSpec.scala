@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LeafNode, LocalLimit, LogicalPlan, Window => LWindow}
 import graft.SparkTestSession
 
 /** Registry-WIDE plan lint: every registered query's plan is checked
@@ -29,12 +29,21 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   // Global (unpartitioned) windows move every row to one reducer. The
-  // allowlist is the operators where that is either the point or the
-  // window input is bounded-tiny by construction:
-  //  - etl_enrich_gated: the reference's head-N-in-global-order gate
-  //    (etl.py:355-364); the module documents enrichAll as the scale path.
-  //  - p05/p06: the final global shuffle-rank that materializes ONE
-  //    training-set order; sharding immediately re-partitions it.
+  // allowlist names the operators where that is acceptable, and — r6
+  // verdict item 3 — each entry also declares WHY via a bound class
+  // that is re-checked against the actual plan, so an entry earned by
+  // a tiny aggregate can never excuse a later corpus-sized window:
+  //  - AggBounded: every path from the window down to a corpus
+  //    (parquet) leaf passes through an Aggregate or a Limit — the
+  //    window input is a bounded reduction (per-source rates, skyline
+  //    price domain, limit survivors), never the corpus itself.
+  //  - FixtureBounded: the window reads only the 14-row etl JSON
+  //    fixture, no corpus leaf at all (etl_enrich_gated — the
+  //    reference's head-N-in-global-order gate, etl.py:355-364; the
+  //    module documents enrichAll as the scale path).
+  // Entries (re-grounded against the r7 plans via graft.tools.WinProbe;
+  // p05's rank window is PARTITIONED by shard and r66 is window-free
+  // since the zipWithIndex rewrite — both dropped):
   //  - p04/p06 (mixtureCuts): grand-total window over the per-SOURCE
   //    aggregate — input rows = number of sources, never the corpus.
   //  - u04: ranks the 20 survivors of a TakeOrderedAndProject.
@@ -43,33 +52,84 @@ class PlanLintSpec extends AnyFunSuite {
   //  - p17: bin-packing cumsum over file METADATA (#sources × #shards
   //    rows) — the driver-side listing class Spark itself packs scan
   //    splits from, never the corpus.
-  //  - t19: ranks the 1000 survivors of a TakeOrderedAndProject (u04
-  //    class — bounded by the preceding limit, never the vocabulary).
+  //  - t19: ranks the 1000 survivors of a TakeOrderedAndProject.
   //  - r62: running max over the DISTINCT-PRICE aggregate (input rows =
   //    price domain, 1000 here, never the part table; the skyline
   //    reduction happens in the preceding partial-agg'd groupBy).
-  //  - r66: exact equi-depth histogram — the global ntile IS the
-  //    operator's definition; it exists as the exact ground truth for
-  //    r47's mergeable quantile sketch, which is the scale path
-  //    (scaladoc records the pairing).
-  private val globalWindowAllowed = Set(
-    "etl_enrich_gated", "p05_corpus_shuffle", "p06_assemble_training_set",
-    "p04_mixture_sample", "u04_skew_report", "p16_mixture_waterfill",
-    "p17_compaction_plan", "t19_zipf_fit", "r62_skyline", "r66_equidepth_hist")
+  private sealed trait WindowBound
+  private case object AggBounded extends WindowBound
+  private case object FixtureBounded extends WindowBound
+  private val globalWindowAllowed: Map[String, WindowBound] = Map(
+    "etl_enrich_gated" -> FixtureBounded,
+    "p06_assemble_training_set" -> AggBounded,
+    "p04_mixture_sample" -> AggBounded,
+    "u04_skew_report" -> AggBounded,
+    "p16_mixture_waterfill" -> AggBounded,
+    "p17_compaction_plan" -> AggBounded,
+    "t19_zipf_fit" -> AggBounded,
+    "r62_skyline" -> AggBounded)
 
-  private def hasGlobalWindow(name: String): Boolean =
+  private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
-    }.nonEmpty
+    }
+
+  /** True iff every path from `node` down to a corpus-sized (parquet)
+    * leaf passes through an Aggregate or a Limit. A non-parquet leaf
+    * (the 14-row etl JSON fixture, a LocalRelation) is bounded by
+    * construction. */
+  private def aggOrLimitGuarded(node: LogicalPlan): Boolean = node match {
+    case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+    case l: LeafNode => !l.toString.toLowerCase.contains("parquet")
+    case other => other.children.forall(aggOrLimitGuarded)
+  }
+
+  private def touchesParquet(node: LogicalPlan): Boolean =
+    node.collect { case l: LeafNode if l.toString.toLowerCase.contains("parquet") => l }.nonEmpty
+
+  private def boundHolds(w: LWindow, bound: WindowBound): Boolean = bound match {
+    case AggBounded => aggOrLimitGuarded(w.child)
+    case FixtureBounded => !touchesParquet(w.child)
+  }
 
   test("no query plans an unpartitioned Window outside the allowlist") {
-    val offenders = executions.keys.filter(n => !globalWindowAllowed(n) && hasGlobalWindow(n))
+    val offenders = executions.keys.filter(n => !globalWindowAllowed.contains(n) && globalWindows(n).nonEmpty)
     assert(offenders.isEmpty, s"global windows in: ${offenders.toSeq.sorted}")
     // detector self-test: the allowlisted plans DO contain the global
     // window this lint exists to catch — an always-false detector (e.g.
     // after a plan-format change) fails here instead of passing silently
-    assert(globalWindowAllowed.exists(hasGlobalWindow),
+    assert(globalWindowAllowed.keys.exists(n => globalWindows(n).nonEmpty),
       "detector found no global window even in the allowlisted queries")
+  }
+
+  test("every allowlisted global window matches its declared bound class") {
+    // An allowlist entry is not a blank cheque: each query's actual
+    // unpartitioned windows must still be bounded the way the entry
+    // claims. A corpus-sized global window sneaking into an allowlisted
+    // query fails HERE even though the query name is allowlisted.
+    val violations = globalWindowAllowed.toSeq.flatMap { case (name, bound) =>
+      globalWindows(name).filterNot(boundHolds(_, bound)).map(w => s"$name: ${w.simpleString(3)}")
+    }
+    assert(violations.isEmpty, s"allowlisted windows violating their bound class: $violations")
+    // stale-entry guard: an entry whose query no longer has ANY global
+    // window is dead weight that will rot (the r6 p05/r66 finding)
+    val stale = globalWindowAllowed.keys.filter(n => globalWindows(n).isEmpty)
+    assert(stale.isEmpty, s"stale allowlist entries (no global window in plan): ${stale.toSeq.sorted}")
+  }
+
+  test("planted corpus-sized global window is rejected by the bound check") {
+    // Proves the classifier is not vacuous: a raw unpartitioned
+    // row_number over the full orders table must classify as unguarded.
+    import org.apache.spark.sql.functions.{col, row_number}
+    val planted = graft.Tables.orders(spark, sf)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))))
+    val wins = planted.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty, "planted plan lost its global window")
+    assert(wins.forall(w => !boundHolds(w, AggBounded) && !boundHolds(w, FixtureBounded)),
+      "planted corpus-sized global window classified as bounded")
   }
 
   test("no dumped result schema contains a nested type") {
