@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0.84, and the boost-threshold probe): match window
   * ⌊max(|a|,|b|)/2⌋−1, transpositions counted over match order, prefix
   * boost l·0.1·(1−jaro) applied ONLY when jaro > 0.7, prefix capped at
-  * 4. Byte-level comparison equals codepoint-level on ASCII data — the
-  * same parity assumption the SimHash kernels pin (MultimodalSpec's
-  * fixture guard); non-ASCII multi-byte text would diverge from
-  * engines that compare codepoints.
+  * 4. Byte-level is not a shortcut here — it is DuckDB's OWN semantics:
+  * its kernel walks raw string bytes, so on non-ASCII input the byte
+  * reading (müller/muller = 0.86428…, ü being two bytes) is what DuckDB
+  * 1.0 returns, NOT the codepoint reading (0.9). JaroWinklerSpec pins
+  * six non-ASCII cases to captured DuckDB outputs, so oracle parity
+  * holds on any corpus, not just ASCII fixtures.
   */
 object JaroWinklerKernel {
   def similarity(a: UTF8String, b: UTF8String): Double = {

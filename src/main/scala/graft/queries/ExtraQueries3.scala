@@ -35,25 +35,32 @@ object ExtraQueries3 {
     */
   private val r60: Fn = (s, d) => {
     val base = lit("2024-01-01 00:00:00").cast("timestamp")
+    // Fixed-point discipline (ADVICE r6): BOTH engines carry every
+    // sufficient statistic as an exact scaled integer (y·100, so
+    // sxy·100 and syy·10000), form each variance/covariance term as ONE
+    // exact integer difference, cast to double ONCE, then apply the
+    // identical scale-divide. Any difference-of-separately-rounded-
+    // doubles form (the old oracle's n·syy/1e4 − (sy/100)²) can diverge
+    // past the round(…,6) boundary under cancellation (near-constant y).
     val e = Tables.events(s, d)
       .withColumn("x", (unix_micros(col("ts")) - unix_micros(base)).cast(DecimalType(38, 0)))
-      .withColumn("y", col("value").cast(DecimalType(18, 2)).cast(DecimalType(38, 2)))
+      .withColumn("y100", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast(DecimalType(38, 0)))
     val g = e.groupBy("event_type").agg(
       count(lit(1)).cast(DecimalType(38, 0)).as("n"),
       sum(col("x")).as("sx"),
-      sum(col("y")).as("sy"),
-      sum((col("x") * col("y")).cast(DecimalType(38, 2))).as("sxy"),
-      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
-      sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+      sum(col("y100")).as("sy100"),
+      sum(col("x") * col("y100")).as("sxy100"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y100") * col("y100")).as("syy10000"))
     // all products/sums above are exact decimals; from here on 5 rows
-    val numer = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val numer = (col("n") * col("sxy100") - col("sx") * col("sy100")).cast(DoubleType) / lit(100.0)
     val denom = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-    val denomY = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val denomY = (col("n") * col("syy10000") - col("sy100") * col("sy100")).cast(DoubleType) / lit(10000.0)
     g.select(
       col("event_type"),
       col("n").cast(LongType).as("n"),
       round(numer / denom * lit(8.64e10), 6).as("slope_per_day"),
-      round((col("sy").cast(DoubleType) - numer / denom * col("sx").cast(DoubleType))
+      round((col("sy100").cast(DoubleType) / lit(100.0) - numer / denom * col("sx").cast(DoubleType))
         / col("n").cast(DoubleType), 4).as("intercept"),
       round(numer * numer / (denom * denomY), 6).as("r2"))
       .orderBy("event_type")
@@ -72,17 +79,16 @@ object ExtraQueries3 {
       |  FROM e GROUP BY event_type)
       |SELECT event_type, CAST(n AS BIGINT) AS n,
       |  round(CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0
-      |        / (CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 8.64e10, 6)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE) * 8.64e10, 6)
       |    AS slope_per_day,
       |  round((CAST(sy100 AS DOUBLE) / 100.0
       |         - CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0
-      |           / (CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           / CAST(n * sxx - sx * sx AS DOUBLE)
       |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
       |  round(CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0
       |        * (CAST(n * sxy100 - sx * sy100 AS DOUBLE) / 100.0)
-      |        / ((CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |           * (CAST(n * syy10000 AS DOUBLE) / 10000.0
-      |              - CAST(sy100 AS DOUBLE) / 100.0 * (CAST(sy100 AS DOUBLE) / 100.0))), 6) AS r2
+      |        / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * (CAST(n * syy10000 - sy100 * sy100 AS DOUBLE) / 10000.0)), 6) AS r2
       |FROM g ORDER BY event_type""".stripMargin
 
   /** r61: market-basket association — brand pairs co-ordered in the
@@ -344,7 +350,19 @@ object ExtraQueries3 {
     val anchor = lit("2024-01-31").cast("date")
     events
       .withColumn("age", datediff(anchor, col("ts").cast("date")))
-      .withColumn("w_fp", pow(lit(2.0), lit(30) - col("age")).cast(LongType))
+      // Weight contract (ADVICE r6, stated instead of cast-implied):
+      //  - age in [0,30]: exact power of two 2^(30-age), ≤ 2^30.
+      //  - age  > 30   : weight 0 — the event still counts in n but no
+      //    longer moves the decayed sums (below the 2^-0 … 2^-30
+      //    resolution this fixed-point carries). The old bare
+      //    pow(..).cast(Long) produced the same 0 silently.
+      //  - age  < 0    : out of scope — decay is "as of the anchor";
+      //    post-anchor events are excluded in BOTH engines (a bare
+      //    pow would overflow Long past age ≤ −34 and flip signs).
+      .filter(col("age") >= 0)
+      .withColumn("w_fp",
+        when(col("age") > 30, lit(0L))
+          .otherwise(pow(lit(2.0), lit(30) - col("age")).cast(LongType)))
       .withColumn("cents", round(col("value") * 100, 0).cast(LongType))
       .groupBy("event_type").agg(
         count(lit(1)).as("n"),
@@ -364,10 +382,12 @@ object ExtraQueries3 {
   private val r64Sql =
     """WITH e AS (
       |  SELECT event_type,
-      |         CAST(pow(2.0, 30 - datediff('day', CAST(ts AS DATE), DATE '2024-01-31'))
-      |              AS HUGEINT) AS w_fp,
+      |         CASE WHEN datediff('day', CAST(ts AS DATE), DATE '2024-01-31') > 30 THEN 0
+      |              ELSE CAST(pow(2.0, 30 - datediff('day', CAST(ts AS DATE), DATE '2024-01-31'))
+      |                        AS HUGEINT) END AS w_fp,
       |         CAST(round(value * 100, 0) AS HUGEINT) AS cents
-      |  FROM events)
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) <= DATE '2024-01-31')
       |SELECT event_type, count(*) AS n,
       |  round(CAST(sum(w_fp) AS DOUBLE) / 1073741824.0, 6) AS decayed_count,
       |  round(CAST(sum(cents * w_fp) AS DOUBLE) / 1073741824.0 / 100.0, 4) AS decayed_value

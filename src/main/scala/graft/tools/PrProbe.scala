@@ -10,7 +10,7 @@ import graft.GraftExtensions
   * count — with everything else identical (same session, same s10
   * edge list, interleaved order, medians the caller reads off stdout).
   *
-  * Usage: graft.PrProbe [sfDir] (default /root/testdata/sf0.1)
+  * Usage: graft.tools.PrProbe [sfDir] (default /root/testdata/sf0.1)
   * Output: one line per (variant, rep) wall time; see the measured
   * table in the pageRank scaladoc / ARCHITECTURE.md.
   */

@@ -28,6 +28,31 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(jw("martha", "MARTHA") < 1.0) // byte-exact, not case-folded
   }
 
+  test("non-ASCII inputs: byte-level semantics are DuckDB's semantics") {
+    // r6 verdict item 5. The kernel compares UTF-8 BYTES; so does DuckDB
+    // 1.0's jaro_winkler_similarity (its kernel walks the raw string_t
+    // bytes, not codepoints). Proof by disagreement with the codepoint
+    // reading: for müller/muller the codepoint-level value is 0.9
+    // (6-vs-6 chars, 5 matches, prefix 1) while the byte-level value is
+    // 0.8642857142857143 (7-vs-6 bytes: ü is C3 BC) — DuckDB 1.0 returns
+    // the BYTE value (verified on this machine, duckdb.connect():
+    //   select jaro_winkler_similarity('müller','muller')
+    //   = 0.8642857142857143). Every expectation below is a DuckDB
+    // 1.0 output captured the same way, so d16-style oracled queries
+    // stay hash-green on non-ASCII corpora too.
+    val pinned = Seq(
+      ("müller", "muller", 0.8642857142857143),   // 2-byte cp vs ASCII
+      ("müller", "mūller", 0.8285714285714287),   // two different 2-byte cps
+      ("café", "cafe", 0.8483333333333334),
+      ("日本語", "日本誤", 0.9555555555555556),     // 3-byte cps, shared prefix bytes
+      ("straße", "strasse", 0.8857142857142858),
+      ("αβγδ", "αβγε", 0.95))
+    for ((a, b, expected) <- pinned) {
+      assert(jw(a, b) == expected, s"jw($a, $b)")
+      assert(jw(b, a) == expected, s"jw($b, $a) symmetry")
+    }
+  }
+
   test("symmetry and range on fixture names") {
     val names = graft.Tables.supplier(spark, "/root/testdata/sf0.001")
       .select("s_name").collect().map(_.getString(0)).take(20)

@@ -33,6 +33,9 @@ run_verify /root/testdata/sf0.01 /tmp/gates_sf001
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_sf001 | tail -1
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_sf001 --ordered | tail -1
 
+echo "== COVERAGE.md counts (generated from the live registry, r6 item 6)"
+python3 tools/sync_coverage.py /tmp/gates_sf001
+
 echo "== sbt test"
 sbt -batch test 2>&1 | grep -E 'Tests:|\*\*\* FAILED'
 
