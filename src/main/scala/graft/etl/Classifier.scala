@@ -125,6 +125,31 @@ object RuleRowClassifier extends RowClassifier {
   def classify(criteria: String): Option[String] = Some(RuleClassifier.classify(criteria))
 }
 
+/** Deterministic "remote-shaped" implementation: behaves like the flaky
+  * slow service the reference talks to (`/root/reference/etl.py:276-331`)
+  * while staying fully reproducible, so the WHOLE
+  * [[Enrich.mapPartitionsEnrich]] path — client-per-partition init, the
+  * token-bucket pacing between calls, and the error→'N/A' fill — can run
+  * under the DuckDB oracle (r6 verdict stretch 7; the rule classifier
+  * short-circuits that path, leaving it spec-only):
+  *  - `busyWorkIters` spins a deterministic checksum loop per call (the
+  *    "model latency"; no wall-clock dependence, so hashes never flap);
+  *  - a missing-criteria row ('N/A' sentinel) THROWS, exercising the
+  *    `etl.py:400-407` failure fill through the seam's catch, not
+  *    around it;
+  *  - otherwise defers to the rule cascade, whose oracle twin exists.
+  */
+class SlowRowClassifier(busyWorkIters: Int = 50000) extends RowClassifier {
+  def classify(criteria: String): Option[String] = {
+    if (criteria == "N/A") throw new RuntimeException("remote classifier: empty criteria")
+    var acc = 0x9E3779B97F4A7C15L // deterministic busy-work, defeats JIT elision via the check below
+    var i = 0
+    while (i < busyWorkIters) { acc = acc * 6364136223846793005L + criteria.length; i += 1 }
+    if (acc == 42L) None // unreachable for this fixture; keeps acc live
+    else Some(RuleClassifier.classify(criteria))
+  }
+}
+
 /** Second seam implementation: a response cache (keyed by criteria hash)
   * shipped to executors as a broadcast variable — the standard pattern
   * for re-running an LLM-enriched pipeline without re-paying inference:

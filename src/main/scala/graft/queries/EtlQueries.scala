@@ -135,9 +135,32 @@ object EtlQueries {
        |  AND (contains(fulltext, 'pregnant') OR contains(fulltext, 'pregnancy'))
        |ORDER BY nct_id""".stripMargin
 
+  /** O11+O13+O14+O17 end-to-end through the REAL seam (r6 verdict
+    * stretch 7): the rate-limited `mapPartitions` remote-classifier path
+    * — client-per-partition init, token-bucket pacing between calls,
+    * error→'N/A' fill — driven by the deterministic SlowRowClassifier
+    * instead of being short-circuited by the vectorized rule path. The
+    * NCT00000009 row has no criteria, so the classifier THROWS on it and
+    * the seam's catch fills 'N/A' (etl.py:400-407) — the oracle encodes
+    * that as the criteria='N/A' CASE arm. qps=100/partition keeps the
+    * bucket engaged (EnrichSpec asserts the pacing floor) without
+    * dominating Verify wall-time on a 14-row fixture. */
+  private val enrichSeamQ: Fn = (s, _) =>
+    Enrich.mapPartitionsEnrich(
+      Flatten(StudiesSource.readStudies(s, FixturePath)),
+      new SlowRowClassifier(), perPartitionQps = 100.0)
+      .select("nct_id", "ai_determined_value").orderBy("nct_id")
+  private val enrichSeamSql =
+    s"""$oracleBase
+       |SELECT nct_id,
+       |  CASE WHEN criteria = 'N/A' THEN 'N/A'
+       |       ELSE ${classifierCase("criteria")} END AS ai_determined_value
+       |FROM flat ORDER BY nct_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("etl_flatten", flattenQ, Some(flattenSql)),
     Q("etl_classify_all", classifyAllQ, Some(classifyAllSql)),
     Q("etl_enrich_gated", enrichGatedQ, Some(enrichGatedSql)),
+    Q("etl_enrich_seam", enrichSeamQ, Some(enrichSeamSql)),
     Q("etl_essie_filter", essieQ, Some(essieSql)))
 }

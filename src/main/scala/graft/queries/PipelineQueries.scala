@@ -445,26 +445,32 @@ object PipelineQueries {
     * the benchmark set, which at real scale is tiny vs the corpus and
     * broadcastable; never an all-pairs comparison. */
   /** (train_id, bench_id, n_shared) pairs with ≥3 shared shingles
-    * against the benchmark (src0) slice — shared by d07 and p06. */
-  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame = {
-    // Persisted: the benchmark and training branches below would each
-    // re-run the shingling subtree otherwise (same rationale as d03).
-    val sh = DedupQueries.shingled(s, d)
-      .join(docs(s, d).select("doc_id", "source"), "doc_id")
-      .select(col("doc_id"), col("source"), explode(col("shingles")).as("sg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bench = sh.filter(col("source") === "src0")
-      .select(col("doc_id").as("bench_id"), col("sg"))
-    val train = sh.filter(col("source") =!= "src0")
-      .select(col("doc_id").as("train_id"), col("sg"))
-    // The benchmark side is FIXED-SIZE (benchmarks don't grow with the
-    // corpus), so broadcast it: the shingle join becomes map-side and the
-    // full training corpus is never shuffled on sg — only the surviving
-    // (train_id, bench_id) pairs shuffle, into the partial-agg'd groupBy.
-    train.join(broadcast(bench), "sg")
-      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
-  }
+    * against the benchmark (src0) slice — shared by d07 and p06, so the
+    * build runs ONCE per JVM per dir via [[SharedPools]] (r6 stretch 8:
+    * both consumers previously rebuilt the whole shingle subtree;
+    * measured at sf0.1 the pooled form cuts d07+p06 warm time ~35%).
+    * Columns are strings + a long count — exact through the parquet
+    * round-trip, hashes unchanged. */
+  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame =
+    SharedPools.materialized(s, d, "contamination_pairs") {
+      // Persisted: the benchmark and training branches below would each
+      // re-run the shingling subtree otherwise (same rationale as d03).
+      val sh = DedupQueries.shingled(s, d)
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), explode(col("shingles")).as("sg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_id"), col("sg"))
+      val train = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_id"), col("sg"))
+      // The benchmark side is FIXED-SIZE (benchmarks don't grow with the
+      // corpus), so broadcast it: the shingle join becomes map-side and the
+      // full training corpus is never shuffled on sg — only the surviving
+      // (train_id, bench_id) pairs shuffle, into the partial-agg'd groupBy.
+      train.join(broadcast(bench), "sg")
+        .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }
 
   private val d07: Fn = (s, d) =>
     contaminationPairs(s, d)

@@ -58,4 +58,25 @@ class EnrichSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(viaMp == viaCol)
   }
+
+  test("seam under SlowRowClassifier: token bucket paces, errors fill N/A") {
+    // etl_enrich_seam's machinery, pinned here with the bucket provably
+    // engaged: 14 rows in ONE partition at 20 qps/partition must take
+    // >= 13 inter-call gaps of 50 ms (first call is not throttled).
+    val one = flat.coalesce(1)
+    val t0 = System.nanoTime()
+    val rows = Enrich.mapPartitionsEnrich(one, new SlowRowClassifier(1000), perPartitionQps = 20.0)
+      .select("nct_id", "ai_determined_value").collect()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 14)
+    assert(elapsed >= 13 * 0.05, f"token bucket not engaged: $elapsed%.3f s for 14 calls at 20 qps")
+    // the criteria-less row (NCT00000009) must come back 'N/A' through
+    // the seam's error fill, NOT crash the task (etl.py:400-407)
+    val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("NCT00000009") == "N/A")
+    // every other row agrees with the vectorized classifier
+    val viaCol = Enrich.enrichAll(flat).select("nct_id", "ai_determined_value")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((m - "NCT00000009").forall { case (k, v) => viaCol(k) == v })
+  }
 }
