@@ -25,10 +25,11 @@ object ExtraQueries4 {
 
   // ------------------------------------------------- r70 sessionization
 
-  /** Gap-based sessions of the event log (30-minute inactivity splits),
-    * the canonical behavioral-analytics primitive. Shared with the
-    * streaming twin's spec: one row per (user, session) with count and
-    * bounds.
+  /** Gap-based sessions of the event log (30-minute inactivity splits)
+    * at MICROSECOND resolution — q23's gaps-and-islands machinery, but
+    * on exact epoch-micros longs rather than q23's second-truncated
+    * timestamps (sub-second gaps count here), feeding r70's per-user
+    * rollup rather than q23's per-session listing.
     *
     * Scale design: every window is PARTITIONED BY user_id — the lag and
     * the running session counter both ride one user-keyed shuffle, and
@@ -48,10 +49,12 @@ object ExtraQueries4 {
       .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"), max(col("us")).as("end_us"))
   }
 
-  /** r70: per-user session summary over [[sessions]] — session count,
-    * total events, longest session, and total in-session dwell time.
-    * All statistics reduce from exact micros/longs; the only doubles
-    * are the two final per-user divisions. */
+  /** r70: per-user engagement rollup over [[sessions]] — session count,
+    * total events, longest session, dwell time, events/session: the
+    * user-grain table product analytics reads (q23 emits the
+    * session-grain listing; this is its second-order reduction, the
+    * DAU-engagement shape). All statistics reduce from exact
+    * micros/longs; the only doubles are the two final divisions. */
   private val r70: Fn = (s, d) =>
     sessions(events(s, d))
       .groupBy("user_id")
@@ -354,6 +357,177 @@ object ExtraQueries4 {
       |       max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS holes
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------- t22 language-ID confusion matrix
+
+  /** t22: confusion matrix of the t07 language-ID heuristic against the
+    * labeled `lang` column — the classifier-evaluation readout (t07
+    * emits per-doc guesses; this measures them). Per (lang, guess):
+    * count and within-lang share, plus the correctness flag.
+    *
+    * Scale design: one map-side guess expression + one keyed groupBy;
+    * the share window runs over the (#langs × #guesses ≤ 20-row)
+    * AGGREGATE, partitioned by lang — never the corpus. */
+  private val t22: Fn = (s, d) => {
+    val g = Tables.documents(s, d)
+      .select(col("lang"), TextQueries.langGuessCol.as("lang_guess"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang")
+    g.withColumn("lang_total", sum(col("n")).over(w))
+      .select(col("lang"), col("lang_guess"), col("n"),
+        (col("lang") === col("lang_guess")).as("correct"),
+        round(col("n").cast(DoubleType) / col("lang_total").cast(DoubleType), 6).as("share"))
+      .orderBy("lang", "lang_guess")
+  }
+  private val t22Sql =
+    s"""WITH g AS (
+       |  SELECT lang, ${TextQueries.langGuessSqlExpr} AS lang_guess, count(*) AS n
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang, lang_guess, n, lang = lang_guess AS correct,
+       |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+       |FROM g ORDER BY lang, lang_guess""".stripMargin
+
+  // ----------------------------------- d17 TF-IDF cosine near-dup pairs
+
+  /** d17: TF-IDF-weighted cosine near-duplicates over the BIGRAM term
+    * space, with rare-term blocking — the lexical-vector complement to
+    * d02 (binary bag Jaccard) and d06 (dense embeddings): weighting by
+    * idf makes shared RARE phrasing dominate the score, which is what
+    * separates true near-copies from same-template boilerplate. Bigrams,
+    * not unigrams, because the fixture's unigram vocabulary is 31 tokens
+    * with df≈0.8N — zero selectivity for either weighting or blocking.
+    *
+    * Scale design: candidates come ONLY from terms with df ∈ [2,20]
+    * (a term contributes ≤ C(20,2) pairs — the d03 prefix-filter
+    * discipline, never n²); the full cosine for the surviving pairs is
+    * two keyed joins on (doc, term). Parity: weights are exact longs
+    * (tf × trunc(ln(N/df)·1e6)), dots/norms are exact decimal sums;
+    * the single double division + sqrt happens per surviving pair. */
+  private val d17: Fn = (s, d) => {
+    val ws = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("bg").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("nd"))
+    val wt = tf.join(df, "bg").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("bg"),
+        (col("tf") * (log(col("nd") / col("df").cast(DoubleType)) * 1e6).cast(LongType)).as("wfp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = wt.groupBy("doc_id")
+      .agg(sum(col("wfp").cast(DecimalType(38, 0)) * col("wfp")).as("n2"))
+    val rare = tf.join(df.filter(col("df").between(2, 20)), "bg").select("doc_id", "bg")
+    val cand = rare.select(col("doc_id").as("da"), col("bg"))
+      .join(rare.select(col("doc_id").as("db"), col("bg")), "bg")
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val dots = cand
+      .join(wt.select(col("doc_id").as("da"), col("bg"), col("wfp").as("wa")), "da")
+      .join(wt.select(col("doc_id").as("db"), col("bg"), col("wfp").as("wb")), Seq("db", "bg"))
+      .groupBy("da", "db")
+      .agg(sum(col("wa").cast(DecimalType(38, 0)) * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("na2")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("nb2")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("dot").cast(DoubleType)
+          / sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)), 6).as("cosine"))
+      .filter(col("cosine") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+  private val d17Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tf AS (SELECT doc_id, bg, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |                                   i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w)
+      |       GROUP BY 1, 2),
+      |df AS (SELECT bg, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |wt AS (SELECT tf.doc_id, tf.bg,
+      |              CAST(tf.tf AS HUGEINT)
+      |              * CAST(trunc(ln(n.nd / CAST(df.df AS DOUBLE)) * 1e6) AS HUGEINT) AS wfp
+      |       FROM tf JOIN df USING (bg), n),
+      |norms AS (SELECT doc_id, sum(wfp * wfp) AS n2 FROM wt GROUP BY 1),
+      |rare AS (SELECT tf.doc_id, tf.bg FROM tf JOIN df USING (bg) WHERE df.df BETWEEN 2 AND 20),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM rare a JOIN rare b ON a.bg = b.bg AND a.doc_id < b.doc_id),
+      |dots AS (SELECT c.da, c.db, sum(wa.wfp * wb.wfp) AS dot
+      |         FROM cand c
+      |         JOIN wt wa ON wa.doc_id = c.da
+      |         JOIN wt wb ON wb.doc_id = c.db AND wb.bg = wa.bg
+      |         GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b, cs AS cosine
+      |FROM (SELECT dots.da, dots.db,
+      |             round(CAST(dot AS DOUBLE)
+      |                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cs
+      |      FROM dots
+      |      JOIN norms na ON na.doc_id = dots.da
+      |      JOIN norms nb ON nb.doc_id = dots.db) t
+      |WHERE cs >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------- s15 cluster exemplar selection
+
+  /** s15: exemplar selection — the 3 vectors nearest their label's
+    * centroid, per label; the "show me a prototype of each cluster"
+    * primitive data-curation UIs and active-learning loops run after
+    * any clustering (here the given labels; d11's kmeans at scale).
+    *
+    * Parity is the hard part: a naive double centroid (avg of floats)
+    * is partition-order-dependent. Instead every coordinate is
+    * fixed-pointed to 1e-7 (exact long), the centroid rides as
+    * (Σxfp, n) — never divided — and the squared distance is computed
+    * in the n-scaled integer lattice: Σ(xfp·n − Σxfp)², an exact
+    * decimal both engines reduce identically in any order. The single
+    * sqrt+divide happens on the 3·#labels winners.
+    *
+    * Scale design: explode to (vec, dim) rows → one keyed groupBy for
+    * centroids (#labels × dim rows, broadcastable) → map-side join +
+    * one keyed distance groupBy → per-label top-3 window (partitioned;
+    * #labels reducers, each ranking its own cluster's members). */
+  private val s15: Fn = (s, d) => {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
+        (col("col").cast(DoubleType) * lit(1e7)).cast(LongType).as("xfp"))
+    val cent = x.groupBy("label", "pos")
+      .agg(sum(col("xfp").cast(DecimalType(38, 0))).as("sfp"), count(lit(1)).as("n"))
+    val diff = col("xfp").cast(DecimalType(38, 0)) * col("n") - col("sfp")
+    val d2 = x.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(diff * diff).as("dist2"), max(col("n")).as("n"))
+    val w = Window.partitionBy("label").orderBy(col("dist2"), col("vec_id"))
+    d2.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("rk"), col("vec_id"),
+        round(sqrt(col("dist2").cast(DoubleType))
+          / (col("n").cast(DoubleType) * lit(1e7)), 6).as("rms_dist"))
+      .orderBy("label", "rk")
+  }
+  private val s15Sql =
+    """WITH x AS (
+      |  SELECT vec_id, label, (u).pos AS pos,
+      |         CAST(trunc((u).x * 1e7) AS HUGEINT) AS xfp
+      |  FROM (SELECT vec_id, label,
+      |               unnest(list_transform(range(1, len(embedding) + 1),
+      |                      i -> {'pos': i, 'x': embedding[i]::DOUBLE})) AS u
+      |        FROM embeddings)),
+      |cent AS (SELECT label, pos, sum(xfp) AS sfp, count(*) AS n FROM x GROUP BY 1, 2),
+      |d2 AS (SELECT x.vec_id, x.label,
+      |              sum((x.xfp * c.n - c.sfp) * (x.xfp * c.n - c.sfp)) AS dist2,
+      |              max(c.n) AS n
+      |       FROM x JOIN cent c ON c.label = x.label AND c.pos = x.pos
+      |       GROUP BY 1, 2)
+      |SELECT label, rk, vec_id,
+      |       round(sqrt(CAST(dist2 AS DOUBLE)) / (CAST(n AS DOUBLE) * 1e7), 6) AS rms_dist
+      |FROM (SELECT label, vec_id, dist2, n,
+      |             row_number() OVER (PARTITION BY label ORDER BY dist2, vec_id) AS rk
+      |      FROM d2) t
+      |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r70_sessionize", r70, Some(r70Sql)),
     Q("r71_ab_ztest", r71, Some(r71Sql)),
@@ -361,5 +535,8 @@ object ExtraQueries4 {
     Q("r73_rollup_report", r73, Some(r73Sql)),
     Q("r74_pivot_report", r74, Some(r74Sql)),
     Q("r75_moving_range_window", r75, Some(r75Sql)),
-    Q("u15_key_continuity", u15, Some(u15Sql)))
+    Q("u15_key_continuity", u15, Some(u15Sql)),
+    Q("t22_langid_confusion", t22, Some(t22Sql)),
+    Q("d17_tfidf_cosine_dedup", d17, Some(d17Sql)),
+    Q("s15_cluster_exemplars", s15, Some(s15Sql)))
 }

@@ -184,6 +184,33 @@ object TextQueries {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "des"))
 
+  /** t07's stopword-voting guess as a standalone expression over `text`
+    * (shared with t22's confusion matrix). Same precedence CASE as t07;
+    * the counts are inlined rather than materialized as columns. */
+  private[queries] def langGuessCol: Column = {
+    val m = langStops.toMap
+    def cnt(ws: Seq[String]) = size(filter(toks, t => t.isInCollection(ws)))
+    val (en, es, de, fr) = (cnt(m("en")), cnt(m("es")), cnt(m("de")), cnt(m("fr")))
+    when(es >= en && es >= de && es >= fr, "es")
+      .when(de >= en && de >= fr, "de")
+      .when(fr >= en, "fr")
+      .otherwise("en")
+  }
+
+  /** DuckDB twin of [[langGuessCol]]. */
+  private[queries] def langGuessSqlExpr: String = {
+    def cnt(ws: Seq[String]) = {
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+    }
+    val m = langStops.toMap
+    val (en, es, de, fr) = (cnt(m("en")), cnt(m("es")), cnt(m("de")), cnt(m("fr")))
+    s"""CASE WHEN $es >= $en AND $es >= $de AND $es >= $fr THEN 'es'
+       |     WHEN $de >= $en AND $de >= $fr THEN 'de'
+       |     WHEN $fr >= $en THEN 'fr'
+       |     ELSE 'en' END""".stripMargin
+  }
+
   /** Language-ID heuristic: stopword voting with a fixed precedence CASE.
     * (The fixture text is synthetic shared-vocab soup, so the interesting
     * property is determinism + operator shape, not linguistic accuracy.) */
