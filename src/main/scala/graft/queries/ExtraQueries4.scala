@@ -528,6 +528,282 @@ object ExtraQueries4 {
       |      FROM d2) t
       |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
+  // ------------------------------------------ r76 concurrency sweep-line
+
+  /** r76: peak concurrency per event type — the sweep-line (+1/−1)
+    * algorithm over event intervals ([ts, ts+5min)), the classic
+    * "how many X were active at once" capacity question that interval
+    * self-joins answer quadratically and the sweep answers in one sort.
+    *
+    * Scale design: the sweep doubles the rows map-side (start/end
+    * markers), then ONE window per event_type computes the running
+    * occupancy — partitioned, never global. Tie discipline pinned in
+    * both engines: at equal instants ends (−1) sort before starts (+1),
+    * so back-to-back intervals do not double-count, and event_id breaks
+    * the remaining ties. */
+  private val r76: Fn = (s, d) => {
+    val e = events(s, d).select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val marks = e.select(col("event_type"), col("us").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(e.select(col("event_type"), (col("us") + 300L * 1000000L).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy("event_type").orderBy("t", "delta", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks
+      .withColumn("occ", sum(col("delta")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("occ")).as("peak_concurrency"),
+        (count(lit(1)) / 2).cast(LongType).as("n_events"))
+      .orderBy("event_type")
+  }
+  private val r76Sql =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |marks AS (
+      |  SELECT event_type, us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM e
+      |  UNION ALL
+      |  SELECT event_type, us + 300 * 1000000 AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM e),
+      |sweep AS (
+      |  SELECT event_type,
+      |         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS occ
+      |  FROM marks)
+      |SELECT event_type, CAST(max(occ) AS BIGINT) AS peak_concurrency,
+      |       CAST(count(*) // 2 AS BIGINT) AS n_events
+      |FROM sweep GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------- r77 robust outliers (MAD)
+
+  /** r77: median / MAD robust outlier report per event type — the
+    * monitoring statistic that survives the heavy tails that wreck
+    * mean/stddev z-scores. Median and MAD are exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the p14
+    * parity pairing); the outlier rule is the standard 3σ-equivalent
+    * |x − med| > 3 · 1.4826 · MAD.
+    *
+    * Scale design: two keyed aggregation passes over the 5-key group
+    * column (percentile needs the deviations of pass 1's median), and
+    * the medians ride back as a broadcast 5-row relation — no window,
+    * no global sort. At 100 TB the exact percentile is the cost center;
+    * r47's mergeable sketch is the declared approximate path. */
+  private val r77: Fn = (s, d) => {
+    val e = events(s, d).select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type").agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val stats = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med0"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+    val outl = dev
+      .join(broadcast(stats.select(col("event_type"), col("mad").as("mad1"))), "event_type")
+      .filter(col("adev") > lit(3.0 * 1.4826) * col("mad1"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    stats.join(outl, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), round(col("med0"), 6).as("median"),
+        round(col("mad"), 6).as("mad"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+  private val r77Sql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, med.med,
+      |         abs(e.value - med.med) AS adev
+      |  FROM events e JOIN med USING (event_type)),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n, max(med) AS med0,
+      |         quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type),
+      |outl AS (
+      |  SELECT d.event_type, count(*) AS n_outliers
+      |  FROM dev d JOIN stats s USING (event_type)
+      |  WHERE d.adev > 3.0 * 1.4826 * s.mad
+      |  GROUP BY d.event_type)
+      |SELECT s.event_type, s.n, round(s.med0, 6) AS median, round(s.mad, 6) AS mad,
+      |       coalesce(o.n_outliers, 0) AS n_outliers
+      |FROM stats s LEFT JOIN outl o USING (event_type)
+      |ORDER BY s.event_type""".stripMargin
+
+  // ------------------------------------------- t23 n-gram novelty curve
+
+  /** t23: per-document n-gram novelty — the fraction of a document's
+    * distinct bigrams that FIRST appear in it (by doc_id order): the
+    * corpus-freshness curve dataset curators watch to decide when more
+    * of a source stops adding information (novelty → 0 = the source is
+    * exhausted). Dedup-adjacent but measures the complement: how much
+    * of each doc is new, not whether the whole doc is a copy.
+    *
+    * Scale design: one bigram-keyed aggregation for first-owners
+    * (min doc_id — partial-agg'd), one doc-keyed reduction for the
+    * fraction; no windows, no n² anything. */
+  private val t23: Fn = (s, d) => {
+    val ws = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val db = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .distinct()
+    val firstOwner = db.groupBy("bg").agg(min(col("doc_id")).as("first_doc"))
+    db.join(firstOwner, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6)
+          .as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+  private val t23Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |db AS (SELECT DISTINCT doc_id, bg
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |                                   i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w)),
+      |fo AS (SELECT bg, min(doc_id) AS first_doc FROM db GROUP BY bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) AS novelty_frac
+      |FROM db JOIN fo USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- s16 centroid-margin (silhouette-lite)
+
+  /** s16: per-vector centroid margin — own-cluster RMS distance vs the
+    * nearest OTHER label's centroid, the silhouette-style separation
+    * diagnostic run after any clustering. Emitted per vector (no
+    * cross-row double sums — the summary is the reader's groupBy away),
+    * flagging vectors that sit closer to a foreign centroid.
+    *
+    * Parity: distances use s15's n-scaled integer lattice per label,
+    * then ONE double division by (n·1e7)² makes them comparable across
+    * labels of different sizes; the argmin window is partitioned by
+    * vec_id with the label as tiebreak.
+    *
+    * Scale design: centroids are #labels × dim rows — broadcast; the
+    * per-(vec,label) distance is a map-side join + one keyed aggregate
+    * (vec,label); the argmin window partitions by vec_id. Nothing
+    * global, nothing n². */
+  private val s16: Fn = (s, d) => {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").as("own"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("own"), (col("pos") + 1).as("pos"),
+        (col("col").cast(DoubleType) * lit(1e7)).cast(LongType).as("xfp"))
+    val cent = x.groupBy(col("own").as("label"), col("pos"))
+      .agg(sum(col("xfp").cast(DecimalType(38, 0))).as("sfp"), count(lit(1)).as("n"))
+    val diff = col("xfp").cast(DecimalType(38, 0)) * col("n") - col("sfp")
+    val d2 = x.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "own", "label")
+      .agg(sum(diff * diff).as("dist2"), max(col("n")).as("n"))
+      .withColumn("rms", sqrt(col("dist2").cast(DoubleType))
+        / (col("n").cast(DoubleType) * lit(1e7)))
+    val w = Window.partitionBy("vec_id").orderBy(col("rms"), col("label"))
+    d2.filter(col("label") =!= col("own"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("own"), col("label").as("nearest_other"), col("rms").as("other_rms"))
+      .join(d2.filter(col("label") === col("own"))
+        .select(col("vec_id"), col("rms").as("own_rms")), "vec_id")
+      .select(col("vec_id"), col("own").as("label"), col("nearest_other"),
+        round(col("own_rms"), 6).as("own_rms"),
+        round(col("other_rms"), 6).as("other_rms"),
+        round(col("other_rms") - col("own_rms"), 6).as("margin"),
+        (col("other_rms") < col("own_rms")).as("misfit"))
+      .orderBy("vec_id")
+  }
+  private val s16Sql =
+    """WITH x AS (
+      |  SELECT vec_id, label AS own, (u).pos AS pos,
+      |         CAST(trunc((u).x * 1e7) AS HUGEINT) AS xfp
+      |  FROM (SELECT vec_id, label,
+      |               unnest(list_transform(range(1, len(embedding) + 1),
+      |                      i -> {'pos': i, 'x': embedding[i]::DOUBLE})) AS u
+      |        FROM embeddings)),
+      |cent AS (SELECT own AS label, pos, sum(xfp) AS sfp, count(*) AS n FROM x GROUP BY 1, 2),
+      |d2 AS (SELECT x.vec_id, x.own, c.label,
+      |              sqrt(CAST(sum((x.xfp * c.n - c.sfp) * (x.xfp * c.n - c.sfp)) AS DOUBLE))
+      |                / (CAST(max(c.n) AS DOUBLE) * 1e7) AS rms
+      |       FROM x JOIN cent c ON c.pos = x.pos
+      |       GROUP BY 1, 2, 3),
+      |other AS (
+      |  SELECT vec_id, own, label AS nearest_other, rms AS other_rms
+      |  FROM (SELECT vec_id, own, label, rms,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY rms, label) AS rk
+      |        FROM d2 WHERE label <> own) t
+      |  WHERE rk = 1),
+      |ownd AS (SELECT vec_id, rms AS own_rms FROM d2 WHERE label = own)
+      |SELECT o.vec_id, o.own AS label, o.nearest_other,
+      |       round(w.own_rms, 6) AS own_rms,
+      |       round(o.other_rms, 6) AS other_rms,
+      |       round(o.other_rms - w.own_rms, 6) AS margin,
+      |       o.other_rms < w.own_rms AS misfit
+      |FROM other o JOIN ownd w USING (vec_id)
+      |ORDER BY o.vec_id""".stripMargin
+
+  // ---------------------------------- p20 epoch-shuffle decorrelation
+
+  /** p20: multi-epoch shuffle decorrelation audit — proves the
+    * deterministic per-epoch training orders (md5 with an epoch salt,
+    * the p05 shuffle-key discipline) are pairwise uncorrelated: the
+    * Pearson correlation of the 48-bit key values across epochs must
+    * sit at ~0. This is the auditable replacement for "trust the RNG":
+    * each epoch's order is reproducible in isolation AND provably
+    * independent of the others.
+    *
+    * Scale design: keys are map-side md5 arithmetic; all five Pearson
+    * sufficient statistics per epoch pair reduce in ONE partial-agg'd
+    * pass (the r67 correlation-matrix shape — a fixed number of exact
+    * decimal sums per mapper, regardless of corpus size). The r60
+    * discipline applies: each variance/covariance term is one exact
+    * integer difference, cast to double once. */
+  private val p20: Fn = (s, d) => {
+    def key(e: Int) =
+      conv(substring(md5(concat(lit(s"epoch$e:"), col("doc_id").cast(StringType))), 1, 12), 16, 10)
+        .cast(LongType).cast(DecimalType(38, 0))
+    val keys = Tables.documents(s, d).select(
+      key(1).as("k1"), key(2).as("k2"), key(3).as("k3"))
+    val pairs = Seq((1, 2), (1, 3), (2, 3))
+    val agg = keys.agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("k1")).as("s1"), sum(col("k2")).as("s2"), sum(col("k3")).as("s3"),
+      sum(col("k1") * col("k1")).as("s11"), sum(col("k2") * col("k2")).as("s22"),
+      sum(col("k3") * col("k3")).as("s33"),
+      sum(col("k1") * col("k2")).as("s12"), sum(col("k1") * col("k3")).as("s13"),
+      sum(col("k2") * col("k3")).as("s23"))
+    val rows = pairs.map { case (a, b) =>
+      val (sa, sb, sab, saa, sbb) =
+        (col(s"s$a"), col(s"s$b"), col(s"s$a$b"), col(s"s$a$a"), col(s"s$b$b"))
+      val num = (col("n") * sab - sa * sb).cast(DoubleType)
+      val da = (col("n") * saa - sa * sa).cast(DoubleType)
+      val db = (col("n") * sbb - sb * sb).cast(DoubleType)
+      agg.select(lit(s"epoch$a~epoch$b").as("pair"),
+        col("n").cast(LongType).as("n"),
+        round(num / (sqrt(da) * sqrt(db)), 6).as("pearson_r"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("pair")
+  }
+  private val p20Sql = {
+    def key(e: Int) =
+      s"CAST(CAST(concat('0x', substring(md5(concat('epoch$e:', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) AS HUGEINT)"
+    val sel = (1 to 3).map(e => s"${key(e)} AS k$e").mkString(", ")
+    val pairs = Seq((1, 2), (1, 3), (2, 3)).map { case (a, b) =>
+      s"""SELECT 'epoch$a~epoch$b' AS pair, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n * s$a$b - s$a * s$b AS DOUBLE)
+         |        / (sqrt(CAST(n * s$a$a - s$a * s$a AS DOUBLE))
+         |           * sqrt(CAST(n * s$b$b - s$b * s$b AS DOUBLE))), 6) AS pearson_r
+         |FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH k AS (SELECT $sel FROM documents),
+       |g AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |         sum(k1) AS s1, sum(k2) AS s2, sum(k3) AS s3,
+       |         sum(k1 * k1) AS s11, sum(k2 * k2) AS s22, sum(k3 * k3) AS s33,
+       |         sum(k1 * k2) AS s12, sum(k1 * k3) AS s13, sum(k2 * k3) AS s23
+       |  FROM k)
+       |SELECT * FROM ($pairs) ORDER BY pair""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("r70_sessionize", r70, Some(r70Sql)),
     Q("r71_ab_ztest", r71, Some(r71Sql)),
@@ -538,5 +814,10 @@ object ExtraQueries4 {
     Q("u15_key_continuity", u15, Some(u15Sql)),
     Q("t22_langid_confusion", t22, Some(t22Sql)),
     Q("d17_tfidf_cosine_dedup", d17, Some(d17Sql)),
-    Q("s15_cluster_exemplars", s15, Some(s15Sql)))
+    Q("s15_cluster_exemplars", s15, Some(s15Sql)),
+    Q("r76_peak_concurrency", r76, Some(r76Sql)),
+    Q("r77_mad_outliers", r77, Some(r77Sql)),
+    Q("t23_ngram_novelty", t23, Some(t23Sql)),
+    Q("s16_centroid_margin", s16, Some(s16Sql)),
+    Q("p20_epoch_decorrelation", p20, Some(p20Sql)))
 }
