@@ -804,6 +804,222 @@ object ExtraQueries4 {
        |SELECT * FROM ($pairs) ORDER BY pair""".stripMargin
   }
 
+  // ---------------------------------- r78 cumulative-distinct user curve
+
+  /** r78: cumulative distinct users per event type by day — the
+    * "unique users ever" adoption curve. The naive form (COUNT(DISTINCT)
+    * over an expanding window) re-scans the prefix per day; the
+    * scale-safe identity used here: a user joins the curve exactly once,
+    * on their FIRST day — so one user-keyed min-reduction, one tiny
+    * daily rollup, and a running sum over (#types × #days) aggregate
+    * rows (window partitioned by type) reproduce the exact curve. */
+  private val r78: Fn = (s, d) => {
+    val first = events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))).as("first_day"))
+    val daily = first.groupBy("event_type", "first_day")
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy("event_type").orderBy("first_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("event_type"), col("first_day").cast(IntegerType).as("day_idx"),
+        col("new_users"), col("cum_users"))
+      .orderBy("event_type", "day_idx")
+  }
+  private val r78Sql =
+    """WITH first AS (
+      |  SELECT event_type, user_id,
+      |         min(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS first_day
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT event_type, first_day, count(*) AS new_users
+      |  FROM first GROUP BY 1, 2)
+      |SELECT event_type, CAST(first_day AS INTEGER) AS day_idx, new_users,
+      |       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY first_day
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY event_type, day_idx""".stripMargin
+
+  // ------------------------------------------ r79 order-2 Markov contexts
+
+  /** r79: second-order sequential patterns — for every (prev2, prev1)
+    * event context, the top-3 next events with context-conditional
+    * probabilities (r63 is the order-1 transition matrix; real
+    * clickstream prediction needs at least the order-2 context).
+    *
+    * Scale design: the two lags ride ONE user-partitioned window (one
+    * user-keyed shuffle); contexts aggregate partial-agg'd; both the
+    * top-3 rank and the probability share run over the ≤|types|³
+    * context AGGREGATE, partitioned by context. */
+  private val r79: Fn = (s, d) => {
+    val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val seq = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .select(
+        lag(col("event_type"), 2).over(wu).as("prev2"),
+        lag(col("event_type"), 1).over(wu).as("prev1"),
+        col("event_type").as("next"))
+      .filter(col("prev2").isNotNull)
+    val counts = seq.groupBy("prev2", "prev1", "next").agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy("prev2", "prev1")
+    val wr = Window.partitionBy("prev2", "prev1").orderBy(desc("n"), col("next"))
+    counts
+      .withColumn("ctx_total", sum(col("n")).over(wc))
+      .withColumn("rk", row_number().over(wr).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("prev2"), col("prev1"), col("rk"), col("next"), col("n"),
+        round(col("n").cast(DoubleType) / col("ctx_total").cast(DoubleType), 6).as("p_next"))
+      .orderBy("prev2", "prev1", "rk")
+  }
+  private val r79Sql =
+    """WITH seq AS (
+      |  SELECT lag(event_type, 2) OVER w AS prev2,
+      |         lag(event_type, 1) OVER w AS prev1,
+      |         event_type AS next
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |counts AS (
+      |  SELECT prev2, prev1, next, count(*) AS n
+      |  FROM seq WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT prev2, prev1, rk, next, n,
+      |       round(CAST(n AS DOUBLE) / CAST(ctx_total AS DOUBLE), 6) AS p_next
+      |FROM (SELECT prev2, prev1, next, n,
+      |             sum(n) OVER (PARTITION BY prev2, prev1) AS ctx_total,
+      |             row_number() OVER (PARTITION BY prev2, prev1
+      |                                ORDER BY n DESC, next) AS rk
+      |      FROM counts) t
+      |WHERE rk <= 3 ORDER BY prev2, prev1, rk""".stripMargin
+
+  // -------------------------------------- u16 cross-table reconciliation
+
+  /** u16: order-total reconciliation drift — recompute every order's
+    * total from its line items (Σ extended·(1−disc)·(1+tax), exact
+    * decimals) and report the relative-deviation distribution per
+    * priority class, plus orders with no line items at all. The classic
+    * cross-table financial-reconciliation audit; on THIS synthetic
+    * fixture the invariant deliberately does not hold (the generator
+    * draws o_totalprice independently), which is exactly what the
+    * report shows — the operator's value is the drift distribution, not
+    * a vacuous all-green.
+    *
+    * Parity: deviations are exact decimal differences; each order's
+    * relative deviation is fixed-pointed to 1e-9 (identical double
+    * division then trunc in both engines) so the per-class averages
+    * reduce exact longs. One orderkey-keyed shuffle + one broadcast-
+    * class rollup. */
+  private val u16: Fn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      (col("l_extendedprice").cast(DecimalType(18, 2))
+        * (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+        * (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))).as("net"))
+    val rec = li.groupBy("l_orderkey").agg(sum(col("net")).as("recomputed"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("total"))
+    o.join(rec, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("rel_fp",
+        when(col("recomputed").isNull, lit(null))
+          .otherwise((abs(col("total") - col("recomputed")).cast(DoubleType)
+            / col("total").cast(DoubleType) * 1e9).cast(LongType)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("recomputed").isNull, 1L).otherwise(0L)).as("n_no_lineitems"),
+        sum(col("rel_fp")).as("sum_fp"),
+        max(col("rel_fp")).as("max_fp"),
+        count(col("rel_fp")).as("n_rec"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_no_lineitems"),
+        round(col("sum_fp").cast(DoubleType) / 1e9 / col("n_rec").cast(DoubleType), 6)
+          .as("avg_rel_dev"),
+        round(col("max_fp").cast(DoubleType) / 1e9, 6).as("max_rel_dev"))
+      .orderBy("o_orderpriority")
+  }
+  private val u16Sql =
+    """WITH rec AS (
+      |  SELECT l_orderkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |             * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS recomputed
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderpriority,
+      |         CASE WHEN r.recomputed IS NULL THEN NULL
+      |              ELSE CAST(trunc(CAST(abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - r.recomputed) AS DOUBLE)
+      |                              / CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 1e9) AS BIGINT)
+      |         END AS rel_fp,
+      |         CASE WHEN r.recomputed IS NULL THEN 1 ELSE 0 END AS missing
+      |  FROM orders o LEFT JOIN rec r ON o.o_orderkey = r.l_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(missing) AS BIGINT) AS n_no_lineitems,
+      |       round(CAST(sum(rel_fp) AS DOUBLE) / 1e9 / count(rel_fp), 6) AS avg_rel_dev,
+      |       round(CAST(max(rel_fp) AS DOUBLE) / 1e9, 6) AS max_rel_dev
+      |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------ m11 payload byte entropy
+
+  /** m11: byte-entropy profile per modality — the content-vs-noise
+    * screen a media-ingest pipeline runs before any decode (truncated/
+    * corrupt/encrypted payloads sit at entropy extremes). Operates on
+    * the opaque payload BYTES of the multimodal table
+    * (Multimodal.attachPayload's mime mapping; payload bytes ≡ utf8
+    * text bytes by fixture construction, the module's pinned ASCII
+    * parity, so the DuckDB twin chars are the same bytes).
+    *
+    * Parity: per-document entropy H = ln(L) − (Σ c·ln c)/L with each
+    * c·ln c term fixed-pointed (t14 discipline) and H itself
+    * fixed-pointed before the per-mime average, so no double ever
+    * crosses a row boundary unrounded. Scale: two keyed aggregations
+    * (doc×byte histogram, per-doc reduce) + the tiny mime rollup. */
+  private val m11: Fn = (s, d) => {
+    val mime = when(col("source") === "src0", "image/png")
+      .when(col("source") === "src1", "audio/wav")
+      .otherwise("video/mp4")
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val per = c.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("len"),
+        sum(col("cnt") * (log(col("cnt").cast(DoubleType)) * 1e9).cast(LongType)).as("sfp"))
+      .select(col("doc_id"), col("len"),
+        ((log(col("len").cast(DoubleType))
+          - col("sfp").cast(DoubleType) / 1e9 / col("len").cast(DoubleType)) * 1e9)
+          .cast(LongType).as("hfp"))
+    Tables.documents(s, d).select(col("doc_id"), mime.as("mime"))
+      .join(per, "doc_id")
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_bytes"),
+        sum(col("hfp")).as("hsum"))
+      .select(col("mime"), col("n_docs"), col("total_bytes"),
+        round(col("hsum").cast(DoubleType) / 1e9 / col("n_docs").cast(DoubleType), 6)
+          .as("avg_entropy_nats"))
+      .orderBy("mime")
+  }
+  private val m11Sql =
+    """WITH c AS (
+      |  SELECT doc_id, ch, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+      |  GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, sum(cnt) AS len,
+      |         sum(cnt * CAST(trunc(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)) AS sfp
+      |  FROM c GROUP BY 1),
+      |h AS (
+      |  SELECT doc_id, len,
+      |         CAST(trunc((ln(CAST(len AS DOUBLE)) - CAST(sfp AS DOUBLE) / 1e9 / CAST(len AS DOUBLE)) * 1e9)
+      |              AS BIGINT) AS hfp
+      |  FROM per),
+      |m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN source = 'src0' THEN 'image/png'
+      |              WHEN source = 'src1' THEN 'audio/wav'
+      |              ELSE 'video/mp4' END AS mime
+      |  FROM documents)
+      |SELECT mime, count(*) AS n_docs,
+      |       CAST(sum(len) AS BIGINT) AS total_bytes,
+      |       round(CAST(sum(hfp) AS DOUBLE) / 1e9 / count(*), 6) AS avg_entropy_nats
+      |FROM h JOIN m USING (doc_id)
+      |GROUP BY 1 ORDER BY mime""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r70_sessionize", r70, Some(r70Sql)),
     Q("r71_ab_ztest", r71, Some(r71Sql)),
@@ -819,5 +1035,9 @@ object ExtraQueries4 {
     Q("r77_mad_outliers", r77, Some(r77Sql)),
     Q("t23_ngram_novelty", t23, Some(t23Sql)),
     Q("s16_centroid_margin", s16, Some(s16Sql)),
-    Q("p20_epoch_decorrelation", p20, Some(p20Sql)))
+    Q("p20_epoch_decorrelation", p20, Some(p20Sql)),
+    Q("r78_cumulative_users", r78, Some(r78Sql)),
+    Q("r79_markov2_contexts", r79, Some(r79Sql)),
+    Q("u16_reconciliation_drift", u16, Some(u16Sql)),
+    Q("m11_payload_entropy", m11, Some(m11Sql)))
 }
