@@ -213,46 +213,63 @@ object ExtraQueries4 {
       |       round(CAST(sum(lat_us) AS DOUBLE) / 1e6 / count(*), 3) AS avg_latency_sec
       |FROM conv GROUP BY 1 ORDER BY day_bucket""".stripMargin
 
-  // ------------------------------------------------- r73 ROLLUP subtotal
+  // ------------------------------------------- r73 Gini concentration
 
-  /** r73: ROLLUP subtotals — order counts and exact revenue by
-    * (year, priority), by year, and grand total, in one pass. The OLAP
-    * report shape (drill-down with subtotals) the registry lacked;
-    * Spark plans ROLLUP as a single Expand + one keyed aggregation, so
-    * the 3 grouping sets cost one shuffle, not three scans.
+  /** r73: revenue-concentration (Gini coefficient) per customer nation
+    * — the source-domination audit: a nation (or data source, at
+    * curation time) whose volume is one whale is a different risk than
+    * the same volume spread evenly. Customers with at least one order
+    * count; Gini from the sorted-rank identity
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
     *
-    * Level/labels are derived from the grouping NULLs identically on
-    * both engines (no reliance on grouping_id bit order, which is the
-    * one cross-engine hazard in rollup queries). */
+    * Scale design: one orderkey-keyed revenue reduction, a broadcast
+    * customer-dim join, then the rank window PARTITIONED BY nation (each
+    * reducer sorts one nation's customers — never a global sort), and a
+    * final nation-keyed aggregation of exact integer-cents sums; the
+    * Gini formula's doubles touch only the 25-row result. */
   private val r73: Fn = (s, d) => {
-    val base = orders(s, d).select(
-      year(col("o_orderdate")).as("y"),
-      col("o_orderpriority").as("p"),
-      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
-    base.rollup("y", "p")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("price")).cast(DecimalType(28, 2)).as("revenue"))
-      .select(
-        (when(col("y").isNull, 1).otherwise(0) * 2 + when(col("p").isNull, 1).otherwise(0))
-          .cast(IntegerType).as("lvl"),
-        coalesce(col("y").cast(StringType), lit("ALL")).as("year"),
-        coalesce(col("p"), lit("ALL")).as("priority"),
-        col("n_orders"), col("revenue"))
-      .orderBy("lvl", "year", "priority")
+    val rev = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(DecimalType(38, 0)))
+        .as("cents"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy("c_nationkey").orderBy(col("cents"), col("c_custkey"))
+    val ranked = rev.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+    val g = ranked.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("s"),
+        sum(col("rk") * col("cents")).as("t"))
+    g.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_customers"),
+        (col("s").cast(DecimalType(38, 0)) / 100).cast(DecimalType(28, 2)).as("revenue"),
+        round(lit(2.0) * col("t").cast(DoubleType)
+          / (col("n_customers").cast(DoubleType) * col("s").cast(DoubleType))
+          - (col("n_customers").cast(DoubleType) + lit(1.0)) / col("n_customers").cast(DoubleType), 6)
+          .as("gini"))
+      .orderBy("nation")
   }
   private val r73Sql =
-    """WITH base AS (
-      |  SELECT year(o_orderdate) AS y, o_orderpriority AS p,
-      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
-      |  FROM orders)
-      |SELECT CAST(CASE WHEN y IS NULL THEN 1 ELSE 0 END * 2
-      |            + CASE WHEN p IS NULL THEN 1 ELSE 0 END AS INTEGER) AS lvl,
-      |       coalesce(CAST(y AS VARCHAR), 'ALL') AS year,
-      |       coalesce(p, 'ALL') AS priority,
-      |       count(*) AS n_orders,
-      |       CAST(sum(price) AS DECIMAL(28,2)) AS revenue
-      |FROM base GROUP BY ROLLUP (y, p)
-      |ORDER BY lvl, year, priority""".stripMargin
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT c.c_nationkey, rev.cents,
+      |         CAST(row_number() OVER (PARTITION BY c.c_nationkey
+      |                                 ORDER BY rev.cents, c.c_custkey) AS BIGINT) AS rk
+      |  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey),
+      |g AS (
+      |  SELECT c_nationkey, count(*) AS n_customers,
+      |         sum(cents) AS s, sum(rk * cents) AS t
+      |  FROM ranked GROUP BY 1)
+      |SELECT n.n_name AS nation, g.n_customers,
+      |       CAST(CAST(g.s AS DECIMAL(38,0)) / 100 AS DECIMAL(28,2)) AS revenue,
+      |       round(2.0 * CAST(g.t AS DOUBLE)
+      |             / (CAST(g.n_customers AS DOUBLE) * CAST(g.s AS DOUBLE))
+      |             - (CAST(g.n_customers AS DOUBLE) + 1.0) / CAST(g.n_customers AS DOUBLE), 6) AS gini
+      |FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+      |ORDER BY nation""".stripMargin
 
   // ------------------------------------------------------- r74 PIVOT
 
@@ -813,10 +830,16 @@ object ExtraQueries4 {
     * on their FIRST day — so one user-keyed min-reduction, one tiny
     * daily rollup, and a running sum over (#types × #days) aggregate
     * rows (window partitioned by type) reproduce the exact curve. */
-  private val r78: Fn = (s, d) => {
-    val first = events(s, d)
-      .groupBy(col("event_type"), col("user_id"))
+  /** (event_type, user_id, first_day) — the mergeable kernel of the
+    * adoption curve: min is idempotent/commutative, so standing state
+    * and delta frames combine by union + re-min, which is what
+    * `StreamingOps.adoptionStream` maintains incrementally. */
+  private[graft] def firstDays(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("user_id"))
       .agg(min(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))).as("first_day"))
+
+  /** Daily new users + running cumulative curve from a firstDays frame. */
+  private[graft] def adoptionCurve(first: DataFrame): DataFrame = {
     val daily = first.groupBy("event_type", "first_day")
       .agg(count(lit(1)).as("new_users"))
     val w = Window.partitionBy("event_type").orderBy("first_day")
@@ -827,6 +850,8 @@ object ExtraQueries4 {
         col("new_users"), col("cum_users"))
       .orderBy("event_type", "day_idx")
   }
+
+  private val r78: Fn = (s, d) => adoptionCurve(firstDays(events(s, d)))
   private val r78Sql =
     """WITH first AS (
       |  SELECT event_type, user_id,
@@ -1024,7 +1049,7 @@ object ExtraQueries4 {
     Q("r70_sessionize", r70, Some(r70Sql)),
     Q("r71_ab_ztest", r71, Some(r71Sql)),
     Q("r72_conversion_latency", r72, Some(r72Sql)),
-    Q("r73_rollup_report", r73, Some(r73Sql)),
+    Q("r73_gini_concentration", r73, Some(r73Sql)),
     Q("r74_pivot_report", r74, Some(r74Sql)),
     Q("r75_moving_range_window", r75, Some(r75Sql)),
     Q("u15_key_continuity", u15, Some(u15Sql)),

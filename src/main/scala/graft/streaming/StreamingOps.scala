@@ -376,6 +376,59 @@ object StreamingOps {
           lit(java.math.BigDecimal.ZERO).as("wsum_fp"), lit(java.math.BigDecimal.ZERO).as("vsum_fp"))
           .limit(0)))
 
+  // ---- incremental adoption curve (r78 twin) ----
+
+  /** r78's always-on twin: the cumulative-distinct adoption curve
+    * maintained incrementally. The state is the (event_type, user_id,
+    * first_day) frame — r78's mergeable kernel: MIN is idempotent and
+    * commutative, so standing state and a micro-batch's firstDays
+    * combine by union + re-min regardless of batch boundaries or
+    * arrival order (a user seen in three waves keeps their earliest
+    * day). Versioned-state replay discipline identical to
+    * [[decayedAggStream]]: each step rebuilds from the newest version
+    * strictly before its batch id, so a re-delivered batch rewrites
+    * the same version with the same content. */
+  def adoptionStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => adoptionStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental min-merge (exposed for specs + replay proof). */
+  def adoptionStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = decayedState(spark, s"$tableDir/first_days", beforeBatch = Some(batchId))
+    val batchFirst = graft.queries.ExtraQueries4.firstDays(batch)
+    val merged = base match {
+      case None => batchFirst
+      case Some(b) => b.unionByName(batchFirst)
+        .groupBy("event_type", "user_id")
+        .agg(org.apache.spark.sql.functions.min(col("first_day")).as("first_day"))
+    }
+    writeVersion(merged, s"$tableDir/first_days", batchId)
+  }
+
+  /** Published curve from the standing state — r78's exact shape. */
+  def adoptionReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries4.adoptionCurve(
+      decayedState(spark, s"$tableDir/first_days").getOrElse(
+        spark.emptyDataFrame
+          .select(lit("").as("event_type"), lit(0L).as("user_id"), lit(0).as("first_day"))
+          .limit(0)))
+
+  /** Atomic versioned-state write shared by the additive/mergeable
+    * foreachBatch folds (decayed aggregate, adoption curve). */
+  private def writeVersion(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val tmpDir = s"$dir/_tmp_v$batchId"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val dest = java.nio.file.Paths.get(f"$dir/v$batchId%012d")
+    if (java.nio.file.Files.exists(dest)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
+  }
+
   // ---- custom state: cross-batch inference batch packer (p18 twin) ----
 
   case class PackIn(bucket: Long, doc_id: Long, n_tok: Long)

@@ -357,6 +357,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch double-counted into additive state")
   }
 
+  test("incremental adoption curve: state after N batches equals batch r78 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("adoption").toString
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[E].collect()
+    // waves deliberately NOT in time order: a user's earliest day can
+    // arrive in the LAST wave — min-merge must still converge to r78
+    val (b1, rest) = rows.reverse.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[E]
+    val q = StreamingOps.adoptionStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r78_cumulative_users")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.adoptionReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental adoption state diverged from the oracled batch r78")
+    // replay idempotency: re-running the LAST step must not perturb state
+    // (min is idempotent, but the versioned rebuild is what guarantees it
+    // even for a re-delivered batch id)
+    StreamingOps.adoptionStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.adoptionReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch perturbed the adoption state")
+  }
+
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
