@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Oracle-independent invariants for ExtraQueries5 (weighted median,
+  * CUSUM changepoint, RFM segmentation, last-touch attribution):
+  * brute-force equivalence on the tiny SF and the fixture-integrality
+  * assumptions the scaladocs cite.
+  */
+class ExtraQueries5Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fixture integrality: quantities are whole and event values sit on a 2-decimal grid") {
+    val li = graft.Tables.lineitem(spark, sf)
+    assert(li.filter(col("l_quantity") =!= floor(col("l_quantity"))).count() == 0,
+      "r80 casts l_quantity to LONG — requires integral quantities")
+    val ev = graft.Tables.events(spark, sf)
+    // DECIMAL(24,2) rounding of value is unambiguous iff the double is
+    // within half an ulp of a 2-decimal grid point (r84's revenue sums)
+    assert(ev.filter(abs(col("value") * 100 - round(col("value") * 100)) > lit(1e-6)).count() == 0,
+      "r84 sums value as DECIMAL(_,2) — requires 2-decimal grid values")
+  }
+
+  test("r80 weighted median matches a brute-force per-group recompute") {
+    val rows = graft.SparkEntry.queries("r80_weighted_median")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP), r.getDouble(2).toLong))
+    rows.foreach { r =>
+      val grp = li.filter(_._1 == r.getString(0)).sortBy(_._2)
+      val wtot = grp.map(_._3).sum
+      var cum = 0L
+      val med = grp.find { g => cum += g._3; cum * 2 >= wtot }.get._2
+      val got = r.getDecimal(1)
+      assert(BigDecimal(got) == med, s"${r.getString(0)}: engine $got vs brute $med")
+      assert(r.getLong(2) == wtot)
+    }
+  }
+
+  test("r81 CUSUM peak day and magnitude match a brute-force scan") {
+    val rows = graft.SparkEntry.queries("r81_cusum_changepoint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    rows.foreach { r =>
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2)
+      val dd = series.length.toLong
+      val tt = series.map(_._3).sum
+      var cum = 0L
+      val cusums = series.map { case (_, day, cnt) => cum += cnt * dd - tt; (day, math.abs(cum)) }
+      val maxAbs = cusums.map(_._2).max
+      val cpDay = cusums.filter(_._2 == maxAbs).map(_._1).min
+      assert(r.getDate(1).toString == cpDay, s"${r.getString(0)}: engine ${r.getDate(1)} vs brute $cpDay")
+      // peak_dev_events is published 4dp-rounded: tolerance half an ulp of that grid
+      assert(math.abs(r.getDouble(3) - maxAbs.toDouble / dd) <= 5.01e-5)
+    }
+  }
+
+  test("r82 segments partition the customer base with valid 1..5 scores") {
+    val rows = graft.SparkEntry.queries("r82_rfm_segments")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((1 to 5).contains(r.getInt(0)) && (1 to 5).contains(r.getInt(1)) &&
+        (1 to 5).contains(r.getInt(2)), s"scores out of range: $r")
+    }
+    val nBuyers = graft.Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nBuyers, "segment counts must partition the buyers")
+    // segment value conserves total order value (exact decimal algebra)
+    val total = graft.Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2))))
+      .collect().head.getDecimal(0)
+    val segSum = rows.map(r => BigDecimal(r.getDecimal(4))).sum
+    assert(segSum == BigDecimal(total), s"segment value $segSum vs corpus $total")
+  }
+
+  test("r84 attribution conserves purchase revenue and matches a brute-force timeline") {
+    val rows = graft.SparkEntry.queries("r84_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "direct")))
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val brute = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      var touch: String = null
+      ordered.flatMap { e =>
+        val out = if (e._4 == "purchase")
+          Some((if (touch == null) "direct" else touch,
+            BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP))) else None
+        if (e._4 == "click" || e._4 == "view") touch = e._4
+        out
+      }
+    }.groupBy(_._1).map { case (ch, vs) => ch -> (vs.size.toLong, vs.map(_._2).sum) }
+    rows.foreach { r =>
+      val (n, rev) = brute(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)}: engine ${r.getLong(1)} vs brute $n purchases")
+      assert(BigDecimal(r.getDecimal(2)) == rev, s"${r.getString(0)}: engine ${r.getDecimal(2)} vs brute $rev")
+    }
+    assert(rows.map(_.getLong(1)).sum == evs.count(_._4 == "purchase"),
+      "every purchase must be attributed exactly once")
+  }
+}
