@@ -283,9 +283,280 @@ object ExtraQueries5 {
       |FROM touched WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // ------------------------------------------------ t24 Heaps-law fit
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private val toks: Column = split(col("text"), " ")
+
+  /** t24: Heaps'-law vocabulary-growth fit — V(n) ≈ K·n^β, the
+    * corpus-health diagnostic (β far outside its natural band signals
+    * boilerplate flooding or synthetic text). The engine measures
+    * TRIGRAM-type vocabulary V and trigram count n at 10 FIXED
+    * checkpoints (doc-id deciles) and fits ln V = ln K + β·ln n by
+    * least squares. Trigram types, not unigrams: the fixture's unigram
+    * vocabulary (31 words) saturates inside the first decile, making
+    * the unigram curve degenerate (cyy = 0 → 0/0); n-gram type growth
+    * is the standard instrument for small-vocabulary corpora, and the
+    * operator is unchanged for natural text (set the n-gram order).
+    *
+    * Scale design: the corpus-sized work is one doc-partitioned window
+    * (trigram stream) + two keyed shuffles (type → first-occurrence
+    * doc; doc → trigram count); the checkpoint curve never materializes
+    * a per-doc running vocabulary (the unpartitioned-cumsum temptation,
+    * which funnels all docs through one reducer). Instead each type/doc
+    * row meets the broadcast 10-row checkpoint relation and contributes
+    * map-side to the 10 conditional counts — constant-size state at any
+    * corpus size.
+    *
+    * Determinism: counts are exact; each checkpoint's (ln n, ln V) is
+    * truncated to 1e-6 fixed point (1e-9 would overflow the Σxy BIGINT
+    * at ln-scale magnitudes), the regression's sufficient statistics
+    * are exact BIGINT algebra (r60's discipline), and each term is cast
+    * to double once for the final divisions. */
+  private val t24: Fn = (s, d) => {
+    val tokPos = docs(s, d).select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = tokPos
+      .withColumn("p1", lag(col("token"), 1).over(w))
+      .withColumn("p2", lag(col("token"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("p2"), col("p1"), col("token")).as("token"))
+    val fdoc = tok.groupBy("token").agg(min(col("doc_id")).as("fdoc"))
+    val perdoc = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val cps = docs(s, d).agg(max(col("doc_id")).as("maxid"))
+      .select(explode(sequence(lit(1), lit(10))).as("k"), col("maxid"))
+      .select(col("k"), (col("maxid") * col("k") / 10).cast(LongType).as("ck"))
+    val vk = fdoc.crossJoin(broadcast(cps))
+      .filter(col("fdoc") <= col("ck"))
+      .groupBy("k").agg(count(lit(1)).as("v"))
+    val nk = perdoc.crossJoin(broadcast(cps))
+      .filter(col("doc_id") <= col("ck"))
+      .groupBy("k").agg(sum(col("ntok")).as("n"))
+    val pts = vk.join(nk, "k").select(
+      (log(col("n").cast(DoubleType)) * 1e6).cast(LongType).as("x"),
+      (log(col("v").cast(DoubleType)) * 1e6).cast(LongType).as("y"))
+    val st = pts.agg(
+      count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val (np, sx, sy, sxx, sxy, syy) =
+      (col("np"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+    val cxy = (np * sxy - sx * sy).cast(DoubleType)
+    val cxx = (np * sxx - sx * sx).cast(DoubleType)
+    val cyy = (np * syy - sy * sy).cast(DoubleType)
+    st.select(
+      np.cast(LongType).as("n_points"),
+      round(cxy / cxx, 6).as("beta"),
+      round((sy.cast(DoubleType) - (cxy / cxx) * sx.cast(DoubleType)) / np.cast(DoubleType) / 1e6, 6)
+        .as("ln_k"),
+      round(cxy * cxy / (cxx * cyy), 6).as("r2"))
+  }
+  private val t24Sql =
+    """WITH tokpos AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+      |         CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INTEGER) AS pos
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, lag(token, 2) OVER w AS p2, lag(token, 1) OVER w AS p1, token
+      |  FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |tok AS (SELECT doc_id, concat(p2, ' ', p1, ' ', token) AS token FROM tri WHERE p2 IS NOT NULL),
+      |fdoc AS (SELECT token, min(doc_id) AS fdoc FROM tok GROUP BY 1),
+      |perdoc AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY 1),
+      |cps AS (SELECT k, CAST((SELECT max(doc_id) FROM documents) * k // 10 AS BIGINT) AS ck
+      |        FROM (SELECT unnest(range(1, 11)) AS k)),
+      |vk AS (SELECT k, count(*) AS v FROM fdoc CROSS JOIN cps WHERE fdoc <= ck GROUP BY 1),
+      |nk AS (SELECT k, CAST(sum(ntok) AS BIGINT) AS n FROM perdoc CROSS JOIN cps WHERE doc_id <= ck GROUP BY 1),
+      |pts AS (SELECT CAST(trunc(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |               CAST(trunc(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |        FROM vk JOIN nk USING (k)),
+      |st AS (SELECT count(*) AS np, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |              CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |              CAST(sum(y * y) AS BIGINT) AS syy
+      |       FROM pts)
+      |SELECT CAST(np AS BIGINT) AS n_points,
+      |       round(CAST(np * sxy - sx * sy AS DOUBLE) / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS beta,
+      |       round((CAST(sy AS DOUBLE) - (CAST(np * sxy - sx * sy AS DOUBLE) / CAST(np * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE) / 1e6, 6) AS ln_k,
+      |       round(CAST(np * sxy - sx * sy AS DOUBLE) * CAST(np * sxy - sx * sy AS DOUBLE) /
+      |             (CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM st""".stripMargin
+
+  // --------------------------------------------- t25 PMI collocations
+
+  /** t25: pointwise-mutual-information collocation mining — the top-20
+    * adjacent word pairs whose co-occurrence most exceeds chance
+    * (Church & Hanks 1990), with a min-count floor of 5 so rare-pair
+    * PMI noise can't dominate. PMI = ln(c_xy·N / (c_x·c_y)) over the
+    * bigram stream's own marginals.
+    *
+    * Scale shape: t16's bigram machinery — one doc-partitioned window
+    * builds adjacency, three keyed partial-agg shuffles count pairs and
+    * marginals, the marginal joins are vocabulary-sized, and the final
+    * top-20 plans as TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Parity: the PMI argument is formed from exact BIGINT
+    * products divided once (both well inside 2^63), its ln truncated to
+    * 1e-9 fixed point; rank ties break on the pair itself. */
+  private val t25: Fn = (s, d) => {
+    val tokPos = docs(s, d).select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = tokPos
+      .withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("x"), col("token").as("y"))
+    val tot = bg.agg(count(lit(1)).as("nn"))
+    val pair = bg.groupBy("x", "y").agg(count(lit(1)).as("cxy")).filter(col("cxy") >= 5)
+    val mx = bg.groupBy("x").agg(count(lit(1)).as("cx"))
+    val my = bg.groupBy("y").agg(count(lit(1)).as("cy"))
+    pair.join(mx, "x").join(my, "y").crossJoin(broadcast(tot))
+      .withColumn("pmi_fp",
+        (log((col("cxy") * col("nn")).cast(DoubleType) / (col("cx") * col("cy")).cast(DoubleType)) * 1e9)
+          .cast(LongType))
+      .orderBy(desc("pmi_fp"), col("x"), col("y"))
+      .limit(20)
+      .select(col("x"), col("y"), col("cxy").as("n_pair"),
+        round(col("pmi_fp").cast(DoubleType) / 1e9, 6).as("pmi"))
+  }
+  private val t25Sql =
+    """WITH tokpos AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+      |         CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INTEGER) AS pos
+      |  FROM documents),
+      |bg AS (
+      |  SELECT prev AS x, token AS y FROM (
+      |    SELECT token, lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM tokpos) t WHERE prev IS NOT NULL),
+      |tot AS (SELECT count(*) AS nn FROM bg),
+      |pair AS (SELECT x, y, count(*) AS cxy FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+      |mx AS (SELECT x, count(*) AS cx FROM bg GROUP BY 1),
+      |my AS (SELECT y, count(*) AS cy FROM bg GROUP BY 1)
+      |SELECT x, y, cxy AS n_pair,
+      |       round(CAST(CAST(trunc(ln(CAST(cxy * nn AS DOUBLE) / CAST(cx * cy AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9, 6) AS pmi
+      |FROM pair JOIN mx USING (x) JOIN my USING (y), tot
+      |ORDER BY CAST(trunc(ln(CAST(cxy * nn AS DOUBLE) / CAST(cx * cy AS DOUBLE)) * 1e9) AS BIGINT) DESC, x, y
+      |LIMIT 20""".stripMargin
+
+  // ----------------------------------------- t26 LLR keyword extraction
+
+  /** t26: per-source characteristic-term extraction by Dunning's
+    * log-likelihood ratio (Dunning 1993) — the statistically sound
+    * "what words make this source different" test that raw TF-IDF
+    * over-weights rare noise on. For each (source, token), G² = 2·Σ
+    * O·ln(O·N/(R·C)) over the 2×2 contingency cells; the top-3
+    * positively-associated tokens (min count 5) per source.
+    *
+    * Scale shape: two keyed count shuffles (source×token cells, token
+    * margins) + a broadcast source-margin/total relation (source count
+    * is a fixed catalog, not corpus-sized); the per-source top-3 is a
+    * window PARTITIONED by source. Parity: every cell term is exact
+    * BIGINT products (all ≤ N² < 2^63 at any fixture SF) divided once
+    * in double, ln truncated to 1e-9 fixed point per CELL before the
+    * 4-term sum, so association order can't move the hash. */
+  private val t26: Fn = (s, d) => {
+    val tok = docs(s, d).select(col("source"), explode(toks).as("token"))
+    val cell = tok.groupBy("source", "token").agg(count(lit(1)).as("a"))
+    val srcm = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tokm = tok.groupBy("token").agg(count(lit(1)).as("ct"))
+    val tot = tok.agg(count(lit(1)).as("nn"))
+    def term(o: Column, row: Column, colm: Column, nn: Column): Column =
+      when(o > 0,
+        o * (log((o * nn).cast(DoubleType) / (row * colm).cast(DoubleType)) * 1e9).cast(LongType))
+        .otherwise(0L)
+    val j = cell.join(tokm, "token").join(broadcast(srcm), "source").crossJoin(broadcast(tot))
+      .filter(col("a") >= 5 && col("a") * col("nn") > col("ns") * col("ct"))
+      .withColumn("b", col("ns") - col("a"))
+      .withColumn("c", col("ct") - col("a"))
+      .withColumn("dd", col("nn") - col("ns") - col("ct") + col("a"))
+      .withColumn("g2_fp",
+        lit(2L) * (term(col("a"), col("ns"), col("ct"), col("nn")) +
+          term(col("b"), col("ns"), col("nn") - col("ct"), col("nn")) +
+          term(col("c"), col("nn") - col("ns"), col("ct"), col("nn")) +
+          term(col("dd"), col("nn") - col("ns"), col("nn") - col("ct"), col("nn"))))
+    val wr = Window.partitionBy("source").orderBy(desc("g2_fp"), col("token"))
+    j.withColumn("rk", row_number().over(wr).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("token"), col("a").as("n_in_source"),
+        round(col("g2_fp").cast(DoubleType) / 1e9, 4).as("llr"))
+      .orderBy("source", "rk")
+  }
+  private val t26Sql =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cell AS (SELECT source, token, count(*) AS a FROM tok GROUP BY 1, 2),
+      |srcm AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+      |tokm AS (SELECT token, count(*) AS ct FROM tok GROUP BY 1),
+      |tot AS (SELECT count(*) AS nn FROM tok),
+      |j AS (
+      |  SELECT source, token, a, ns, ct, nn,
+      |         ns - a AS b, ct - a AS c, nn - ns - ct + a AS dd
+      |  FROM cell JOIN tokm USING (token) JOIN srcm USING (source), tot
+      |  WHERE a >= 5 AND a * nn > ns * ct),
+      |scored AS (
+      |  SELECT source, token, a,
+      |         2 * (CASE WHEN a > 0 THEN a * CAST(trunc(ln(CAST(a * nn AS DOUBLE) / CAST(ns * ct AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END
+      |            + CASE WHEN b > 0 THEN b * CAST(trunc(ln(CAST(b * nn AS DOUBLE) / CAST(ns * (nn - ct) AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END
+      |            + CASE WHEN c > 0 THEN c * CAST(trunc(ln(CAST(c * nn AS DOUBLE) / CAST((nn - ns) * ct AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END
+      |            + CASE WHEN dd > 0 THEN dd * CAST(trunc(ln(CAST(dd * nn AS DOUBLE) / CAST((nn - ns) * (nn - ct) AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END) AS g2_fp
+      |  FROM j),
+      |ranked AS (
+      |  SELECT source, token, a, g2_fp,
+      |         row_number() OVER (PARTITION BY source ORDER BY g2_fp DESC, token) AS rk
+      |  FROM scored)
+      |SELECT source, rk, token, a AS n_in_source,
+      |       round(CAST(g2_fp AS DOUBLE) / 1e9, 4) AS llr
+      |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
+  // ------------------------------------------------- s18 range search
+
+  /** s18: radius (range) similarity search — "everything within cosine
+    * τ of the probe", the retrieval mode top-k can't express (dedup
+    * sweeps and recall-oriented RAG want ALL sufficiently-close items,
+    * however many there are). τ = 0.2 against the shared 5-probe set;
+    * output is the per-probe result-set profile (count, mean/max sim)
+    * rather than an unbounded listing.
+    *
+    * Scale shape: probes broadcast, ONE scan of the corpus scores and
+    * filters map-side, then a probe-keyed partial aggregation — no
+    * window, no sort, no shuffle of the corpus itself. The mean rides
+    * as a 4dp-fixed-point integer sum (sim is already rounded to the
+    * 4dp grid, so the scaled values are exact integers and the sum is
+    * order-independent). */
+  private val s18: Fn = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    base.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(graft.functions.VectorOps.cosine(col("qv"), col("embedding")), 4))
+      .filter(col("sim") >= 0.2)
+      // round, not truncate: 0.2001*1e4 is 2000.999… in binary — trunc
+      // would drop a grid step where DuckDB's round() does not
+      .withColumn("sim_fp", round(col("sim") * 1e4, 0).cast(LongType))
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_in_range"),
+        round(sum(col("sim_fp")).cast(DoubleType) / 1e4 / count(lit(1)), 6).as("mean_sim"),
+        max(col("sim")).as("max_sim"))
+      .orderBy("q_id")
+  }
+  private val s18Sql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id,
+      |         round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+      |               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+      |                    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+      |inr AS (SELECT q_id, sim, CAST(round(sim * 1e4) AS BIGINT) AS sim_fp FROM scored WHERE sim >= 0.2)
+      |SELECT q_id, count(*) AS n_in_range,
+      |       round(CAST(sum(sim_fp) AS DOUBLE) / 1e4 / count(*), 6) AS mean_sim,
+      |       max(sim) AS max_sim
+      |FROM inr GROUP BY 1 ORDER BY q_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r80_weighted_median", r80, Some(r80Sql)),
     Q("r81_cusum_changepoint", r81, Some(r81Sql)),
     Q("r82_rfm_segments", r82, Some(r82Sql)),
-    Q("r84_attribution", r84, Some(r84Sql)))
+    Q("r84_attribution", r84, Some(r84Sql)),
+    Q("t24_heaps_fit", t24, Some(t24Sql)),
+    Q("t25_pmi_collocations", t25, Some(t25Sql)),
+    Q("t26_llr_keywords", t26, Some(t26Sql)),
+    Q("s18_range_search", s18, Some(s18Sql)))
 }

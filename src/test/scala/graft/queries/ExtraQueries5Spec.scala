@@ -105,4 +105,71 @@ class ExtraQueries5Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == evs.count(_._4 == "purchase"),
       "every purchase must be attributed exactly once")
   }
+
+  test("t24 Heaps fit is a plausible sublinear growth law with near-perfect r2") {
+    val r = graft.SparkEntry.queries("t24_heaps_fit")(spark, sf).collect().head
+    assert(r.getLong(0) == 10, "ten checkpoints")
+    val beta = r.getDouble(1)
+    // vocabulary grows, but strictly sublinearly, on any natural-ish corpus
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta outside (0,1)")
+    assert(r.getDouble(3) > 0.9, s"r2 ${r.getDouble(3)} — ln-ln fit should be near-linear")
+  }
+
+  test("t25 PMI values reproduce from corpus bigram counts") {
+    val rows = graft.SparkEntry.queries("t25_pmi_collocations")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // brute-force the bigram stream and its marginals
+    val docsTok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getSeq[String](1))
+    val bigrams = docsTok.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+    val nn = bigrams.length.toLong
+    val cxy = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cx = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cy = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val (x, y, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(cxy((x, y)) == n, s"pair ($x,$y): engine $n vs brute ${cxy((x, y))}")
+      val pmi = math.log(n.toDouble * nn / (cx(x).toDouble * cy(y)))
+      assert(math.abs(r.getDouble(3) - pmi) < 1e-6, s"($x,$y): pmi ${r.getDouble(3)} vs $pmi")
+      assert(n >= 5, "min-count floor")
+    }
+    // published list must be the global maxima: no unlisted pair may beat the last listed PMI
+    val floor = rows.map(_.getDouble(3)).min - 1e-9
+    val better = cxy.count { case ((x, y), n) =>
+      n >= 5 && math.log(n.toDouble * nn / (cx(x).toDouble * cy(y))) > floor + 1e-6 }
+    assert(better <= 20, s"$better pairs exceed the published floor — top-20 not maximal")
+  }
+
+  test("t26 keywords are positively associated and per-source ranks are dense") {
+    val rows = graft.SparkEntry.queries("t26_llr_keywords")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq, s"$src ranks not dense")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 5, "min-count floor")
+      assert(r.getDouble(4) > 0.0, s"${r.getString(0)}/${r.getString(2)}: LLR must be positive")
+    }
+  }
+
+  test("s18 range-search counts match a brute-force scan") {
+    val rows = graft.SparkEntry.queries("s18_range_search")(spark, sf).collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    rows.foreach { r =>
+      val q = vecs.find(_._1 == r.getLong(0)).get._2
+      val inRange = vecs.filter(v => v._1 != r.getLong(0))
+        .map(v => math.rint(cos(q, v._2) * 1e4) / 1e4).filter(_ >= 0.2)
+      assert(r.getLong(1) == inRange.length,
+        s"probe ${r.getLong(0)}: engine ${r.getLong(1)} vs brute ${inRange.length}")
+      assert(math.abs(r.getDouble(3) - inRange.max) < 1e-9, "max_sim")
+    }
+  }
 }
