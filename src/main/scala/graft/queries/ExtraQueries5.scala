@@ -100,10 +100,15 @@ object ExtraQueries5 {
     * shuffle; everything downstream operates on the tiny daily series
     * (types × days), where partitioned windows carry D, T, the running
     * sum and the peak without further shuffles of the raw events. */
-  private val r81: Fn = (s, d) => {
-    val daily = events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+  /** Daily-count kernel shared with the streaming CUSUM monitor — the
+    * mergeable state (counts are additive across arrival waves). */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** CUSUM layer over the tiny (type, day) series — r81's published
+    * shape, also the per-wave report of the streaming twin. */
+  private[graft] def cusumFromDaily(daily: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wOrd = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,6 +126,8 @@ object ExtraQueries5 {
           .as("peak_dev_events"))
       .orderBy("event_type")
   }
+
+  private val r81: Fn = (s, d) => cusumFromDaily(dailyCounts(events(s, d)))
   private val r81Sql =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
@@ -550,7 +557,184 @@ object ExtraQueries5 {
       |       max(sim) AS max_sim
       |FROM inr GROUP BY 1 ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------- u17 join-fanout audit
+
+  /** u17: join-cardinality (fan-out) audit — the per-key multiplicity
+    * profile of the fact table against each join dimension, i.e. the
+    * numbers a query planner's join-size estimate lives or dies on and
+    * the first thing to check before shipping a new join at 100 TB
+    * (a hidden 10⁵-row hot key turns a "small" join into a skew
+    * incident). Per join axis: key count, max/avg fan-out, p50/p99
+    * fan-out, and the row share of the single hottest key.
+    *
+    * Shape: one keyed partial-agg shuffle per axis over the fact table;
+    * the percentile/aggregate layer runs on the per-key count relation
+    * (dimension-sized, not fact-sized). The orders axis measures true
+    * fan-out including fanout-0 keys via a right join to the dimension.
+    * All counts exact; avg/p-quantiles are the p14 percentile parity
+    * pairing; shares are one double division rounded once. */
+  private val u17: Fn = (s, d) => {
+    val li = lineitem(s, d)
+    def axis(name: String, keyed: DataFrame): DataFrame = {
+      keyed.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("fo")).as("n_rows"),
+        max(col("fo")).as("max_fanout"),
+        round(sum(col("fo")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 4)
+          .as("avg_fanout"),
+        percentile(col("fo").cast(DoubleType), lit(0.5)).as("p50_fanout"),
+        percentile(col("fo").cast(DoubleType), lit(0.99)).as("p99_fanout"))
+        .select(lit(name).as("axis"), col("n_keys"), col("n_rows"), col("max_fanout"),
+          col("avg_fanout"), col("p50_fanout"), col("p99_fanout"),
+          round(col("max_fanout").cast(DoubleType) / col("n_rows").cast(DoubleType), 6)
+            .as("hottest_key_share"))
+    }
+    val byOrder = orders(s, d).select(col("o_orderkey"))
+      .join(li.select(col("l_orderkey")), col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey").agg(count(col("l_orderkey")).as("fo"))
+    val byPart = li.groupBy("l_partkey").agg(count(lit(1)).as("fo"))
+    val bySupp = li.groupBy("l_suppkey").agg(count(lit(1)).as("fo"))
+    axis("order", byOrder).unionAll(axis("part", byPart)).unionAll(axis("supplier", bySupp))
+      .orderBy("axis")
+  }
+  private val u17Sql =
+    """WITH byorder AS (
+      |  SELECT o.o_orderkey, count(l.l_orderkey) AS fo
+      |  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1),
+      |bypart AS (SELECT l_partkey, count(*) AS fo FROM lineitem GROUP BY 1),
+      |bysupp AS (SELECT l_suppkey, count(*) AS fo FROM lineitem GROUP BY 1),
+      |u AS (
+      |  SELECT 'order' AS axis, count(*) AS n_keys, CAST(sum(fo) AS BIGINT) AS n_rows,
+      |         max(fo) AS max_fanout,
+      |         round(CAST(sum(fo) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_fanout,
+      |         quantile_cont(CAST(fo AS DOUBLE), 0.5) AS p50_fanout,
+      |         quantile_cont(CAST(fo AS DOUBLE), 0.99) AS p99_fanout
+      |  FROM byorder
+      |  UNION ALL
+      |  SELECT 'part', count(*), CAST(sum(fo) AS BIGINT), max(fo),
+      |         round(CAST(sum(fo) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4),
+      |         quantile_cont(CAST(fo AS DOUBLE), 0.5), quantile_cont(CAST(fo AS DOUBLE), 0.99)
+      |  FROM bypart
+      |  UNION ALL
+      |  SELECT 'supplier', count(*), CAST(sum(fo) AS BIGINT), max(fo),
+      |         round(CAST(sum(fo) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4),
+      |         quantile_cont(CAST(fo AS DOUBLE), 0.5), quantile_cont(CAST(fo AS DOUBLE), 0.99)
+      |  FROM bysupp)
+      |SELECT axis, n_keys, n_rows, max_fanout, avg_fanout, p50_fanout, p99_fanout,
+      |       round(CAST(max_fanout AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS hottest_key_share
+      |FROM u ORDER BY axis""".stripMargin
+
+  // --------------------------------------------- m12 audio clipping QA
+
+  /** m12: audio QA — clipping and silence detection over the DECODED
+    * sample grid: per audio document, how many of the 32 resampled
+    * amplitude points sit at the rails (≥250 of 255: clipping) or the
+    * floor (≤5: silence), plus the RMS level — the three numbers an
+    * ingest QA gate alerts on before bad audio poisons a training mix.
+    * Runs through the real batched decode path
+    * ([[graft.multimodal.Multimodal.audioResample]], m06's operator),
+    * so the oracle's relational replay of the interpolation doubles as
+    * an independent end-to-end check of the decode stage.
+    *
+    * Determinism: the resampled v's are bitwise-portable doubles (m06's
+    * contract); threshold comparisons are exact; v² is truncated to
+    * 1e-6 fixed point per sample BEFORE the per-doc sum (t14's
+    * discipline), and the RMS takes one sqrt of the same double on both
+    * engines. */
+  private val m12: Fn = (s, d) => {
+    val res = graft.multimodal.Multimodal.audioResample(
+      graft.multimodal.Multimodal.attachPayload(
+        docs(s, d).filter(col("source") === "src1"))
+        .filter(col("meta.mime") === "audio/wav"))
+    res
+      .withColumn("v2_fp", (col("v") * col("v") * 1e6).cast(LongType))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(when(col("v") >= 250.0, 1L).otherwise(0L)).as("n_clipped"),
+        sum(when(col("v") <= 5.0, 1L).otherwise(0L)).as("n_silent"),
+        round(sqrt(sum(col("v2_fp")).cast(DoubleType) / 1e6 / count(lit(1)).cast(DoubleType)), 6)
+          .as("rms"))
+      .orderBy("doc_id")
+  }
+  private val m12Sql = {
+    val S = 32
+    val p = s"CAST(t * (len - 1) AS DOUBLE) / ${S - 1}.0"
+    val i0 = s"CAST(floor($p) AS INTEGER)"
+    val b0 = s"CAST(arr[$i0 + 1] AS DOUBLE)"
+    val b1 = s"CAST(arr[least($i0 + 1, len - 1) + 1] AS DOUBLE)"
+    s"""WITH a AS (
+       |  SELECT doc_id, list_transform(split(text, ''), c -> ascii(c)) AS arr,
+       |         length(text) AS len
+       |  FROM documents WHERE source = 'src1' AND length(text) > 0),
+       |g AS (SELECT doc_id, arr, len, CAST(unnest(range($S)) AS INTEGER) AS t FROM a),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len = 1 THEN CAST(arr[1] AS DOUBLE)
+       |         ELSE $b0 + ($b1 - $b0) * ($p - floor($p)) END AS v
+       |  FROM g)
+       |SELECT doc_id, count(*) AS n_samples,
+       |       CAST(sum(CASE WHEN v >= 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |       CAST(sum(CASE WHEN v <= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       |       round(sqrt(CAST(sum(CAST(trunc(v * v * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*)), 6) AS rms
+       |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------- p21 point-in-time label assembly
+
+  /** p21: point-in-time-correct training-label assembly — every
+    * purchase (label event) is joined to the user's state attribute AS
+    * OF the purchase instant, the feature-store discipline that
+    * prevents label leakage (using any later attribute value would let
+    * the future leak into training features). State = the user's
+    * last-seen non-purchase event type (r49's SCD2 attribute), but the
+    * join is implemented the scalable way: NOT label⋈interval (the
+    * range-join temptation, which re-shuffles per feature table) — the
+    * state stream and the label stream ride ONE user-partitioned
+    * window, and a carry-forward `last(..., ignoreNulls)` over the
+    * strictly-preceding frame delivers the as-of value in a single
+    * pass. Exactly the r84 window shape; what differs is the output
+    * grain (row-level labeled examples, the training-set contract) and
+    * the leakage guarantee being pinned.
+    *
+    * Scale: one user-keyed shuffle, timeline scanned once per user;
+    * deterministic order (ts, event_id). 2% user slice (the r49 cohort
+    * discipline) keeps the registered result review-sized. */
+  private val p21: Fn = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("user_id") % 50 === 0)
+      .withColumn("state_asof",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("label_us"),
+        coalesce(col("state_asof"), lit("none")).as("state_asof"),
+        col("value").cast(DecimalType(12, 2)).as("label_value"))
+      .orderBy("user_id", "event_id")
+  }
+  private val p21Sql =
+    """WITH cohort AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events WHERE user_id % 50 = 0),
+      |st AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS state_asof
+      |  FROM cohort)
+      |SELECT user_id, event_id, epoch_us(ts) AS label_us,
+      |       coalesce(state_asof, 'none') AS state_asof,
+      |       CAST(value AS DECIMAL(12,2)) AS label_value
+      |FROM st WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("u17_fanout_audit", u17, Some(u17Sql)),
+    Q("m12_audio_clipping", m12, Some(m12Sql)),
+    Q("p21_pit_labels", p21, Some(p21Sql)),
     Q("r80_weighted_median", r80, Some(r80Sql)),
     Q("r81_cusum_changepoint", r81, Some(r81Sql)),
     Q("r82_rfm_segments", r82, Some(r82Sql)),

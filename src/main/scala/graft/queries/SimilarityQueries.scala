@@ -1180,7 +1180,70 @@ object SimilarityQueries {
        |      FROM votes) v
        |WHERE vr = 1 ORDER BY q_id""".stripMargin
 
+  // ---------------- s19 triangle census over the kNN graph -------------
+
+  /** s19: triangle census + global clustering coefficient over the s10
+    * kNN graph — the structural-health metric of a similarity graph
+    * (HNSW-style graph indexes and graph-based dedup both degrade when
+    * local clustering collapses; a near-random graph clusters ≈0). This
+    * COMPOSES the registered s10 plan itself (s11's precedent), so the
+    * census grades exactly the graph that ships.
+    *
+    * Shape: node-iterator triangle join (Schank & Wagner 2005) on the
+    * canonicalized undirected support — e1(u,v)⋈e2(v,w) with u<v<w,
+    * closed by an (u,w) hash probe against the same edge relation.
+    * Scale safety: a kNN graph has out-degree exactly K, so the edge
+    * list is N·K rows, the wedge join fans out to at most Σ deg² ≤
+    * (2K)·N·K rows before the closing probe, and every join is a plain
+    * keyed shuffle — no vertex ever requires its full neighborhood in
+    * one task beyond the bounded kNN lists (in-degree hubs are capped
+    * by the candidate-generation cells upstream). Open-triad counts are
+    * exact integer algebra on the degree relation; the only double is
+    * the final 3T/triads division, rounded once. */
+  private val s19: Fn = (s, d) => {
+    val und = s10(s, d)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("x")).unionAll(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val wedges = und.alias("e1")
+      .join(und.alias("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.join(und,
+      col("a") === col("u") && col("c") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      (sum(col("deg")) / 2).cast(LongType).as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast(LongType).as("n_triads"))
+    stats.crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"),
+        round(lit(3L) * col("n_triangles").cast(DoubleType) / col("n_triads").cast(DoubleType), 6)
+          .as("global_clustering"))
+  }
+  private val s19Sql =
+    s"""WITH knn AS ($s10Sql),
+       |und AS (
+       |  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+       |deg AS (
+       |  SELECT x, count(*) AS deg FROM (
+       |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) t GROUP BY 1),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+       |       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |stats AS (
+       |  SELECT count(*) AS n_vertices,
+       |         CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+       |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_triads
+       |  FROM deg)
+       |SELECT n_vertices, n_edges, n_triangles,
+       |       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_triads AS DOUBLE), 6) AS global_clustering
+       |FROM stats CROSS JOIN tri""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s19_triangle_census", s19, Some(s19Sql)),
     Q("s14_knn_classify", s14, Some(s14Sql)),
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
     Q("s12_pagerank", s12, Some(s12Sql)),

@@ -376,6 +376,49 @@ object StreamingOps {
           lit(java.math.BigDecimal.ZERO).as("wsum_fp"), lit(java.math.BigDecimal.ZERO).as("vsum_fp"))
           .limit(0)))
 
+  // ---- incremental CUSUM changepoint monitor (r81 twin) ----
+
+  /** r81's always-on twin: CUSUM changepoint detection maintained
+    * incrementally. CUSUM itself is NOT additive (the running deviation
+    * depends on the whole series' mean), so the split follows the
+    * mergeable-kernel discipline: the STATE is the (event_type, day,
+    * cnt) daily-count frame — counts sum across arrival waves at any
+    * batch boundary or order — and the CUSUM layer re-derives from that
+    * tiny types×days relation after each merge via the SAME oracled
+    * batch code (`ExtraQueries5.cusumFromDaily`), so the published
+    * changepoint is always exactly what the batch audit would print on
+    * the events seen so far. Corpus-sized work stays incremental; only
+    * the bounded series recomputes. Versioned-state replay discipline
+    * identical to [[decayedAggStream]]. */
+  def cusumStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => cusumStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental fold (exposed for specs + replay proof). */
+  def cusumStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = decayedState(spark, s"$tableDir/daily", beforeBatch = Some(batchId))
+    val batchDaily = graft.queries.ExtraQueries5.dailyCounts(batch)
+    val merged = base match {
+      case None => batchDaily
+      case Some(b) => b.unionByName(batchDaily)
+        .groupBy("event_type", "day")
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+    }
+    writeVersion(merged, s"$tableDir/daily", batchId)
+  }
+
+  /** Published changepoint report from the standing state — r81's
+    * exact shape. */
+  def cusumReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries5.cusumFromDaily(
+      decayedState(spark, s"$tableDir/daily").getOrElse(
+        spark.emptyDataFrame
+          .select(lit("").as("event_type"),
+            lit(java.sql.Date.valueOf("1970-01-01")).as("day"), lit(0L).as("cnt"))
+          .limit(0)))
+
   // ---- incremental adoption curve (r78 twin) ----
 
   /** r78's always-on twin: the cumulative-distinct adoption curve

@@ -153,6 +153,70 @@ class ExtraQueries5Spec extends AnyFunSuite {
     }
   }
 
+  test("s19 triangle census matches a brute-force count over the same kNN graph") {
+    val r = graft.SparkEntry.queries("s19_triangle_census")(spark, sf).collect().head
+    val edges = graft.SparkEntry.queries("s10_knn_graph")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(x => (math.min(x.getLong(0), x.getLong(1)), math.max(x.getLong(0), x.getLong(1))))
+      .toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    assert(r.getLong(0) == verts.size, "n_vertices")
+    assert(r.getLong(1) == edges.size, "n_edges")
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var tri = 0L
+    edges.foreach { case (u, v) =>
+      adj.getOrElse(v, Set.empty).foreach { w => if (edges.contains((u, w))) tri += 1 }
+    }
+    assert(r.getLong(2) == tri, s"engine ${r.getLong(2)} vs brute $tri triangles")
+    val triads = verts.toSeq.map { x => val d = edges.count(e => e._1 == x || e._2 == x).toLong; d * (d - 1) / 2 }.sum
+    assert(math.abs(r.getDouble(3) - 3.0 * tri / triads) < 1e-6, "global clustering")
+  }
+
+  test("u17 fan-out audit conserves fact rows on every axis") {
+    val rows = graft.SparkEntry.queries("u17_fanout_audit")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("order", "part", "supplier"))
+    val nLi = graft.Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == nLi, s"${r.getString(0)}: n_rows ${r.getLong(2)} != lineitem count $nLi")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= nLi)
+      assert(r.getDouble(7) > 0 && r.getDouble(7) <= 1.0, "hottest-key share in (0,1]")
+    }
+    // the order axis must include zero-fanout orders in its key count
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    assert(rows.find(_.getString(0) == "order").get.getLong(1) == nOrders)
+  }
+
+  test("m12 clipping counts match direct byte-threshold recomputation") {
+    val rows = graft.SparkEntry.queries("m12_audio_clipping")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 32, "32-sample grid")
+      assert(r.getLong(2) + r.getLong(3) <= 32)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0, "RMS within byte range")
+    }
+    // ASCII payload bytes are all printable (32..126): nothing can clip
+    // at >=250 and nothing can be silent at <=5 — the QA gate must agree
+    assert(rows.forall(r => r.getLong(2) == 0 && r.getLong(3) == 0),
+      "printable-ASCII fixture cannot clip or be silent")
+  }
+
+  test("p21 as-of state never leaks the future and covers every cohort purchase") {
+    val rows = graft.SparkEntry.queries("p21_pit_labels")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.Tables.events(spark, sf).filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == evs.count(_._4 == "purchase"), "one labeled row per cohort purchase")
+    rows.foreach { r =>
+      val (uid, eid, labelUs, state) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val timeline = evs.filter(_._1 == uid).sortBy(e => (e._2, e._3))
+      val before = timeline.takeWhile(e => e._2 < labelUs || (e._2 == labelUs && e._3 < eid))
+        .filter(_._4 != "purchase")
+      val expected = if (before.isEmpty) "none" else before.last._4
+      assert(state == expected, s"user $uid purchase $eid: engine $state vs brute $expected")
+    }
+  }
+
   test("s18 range-search counts match a brute-force scan") {
     val rows = graft.SparkEntry.queries("s18_range_search")(spark, sf).collect()
     val vecs = graft.Tables.embeddings(spark, sf)

@@ -388,6 +388,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch perturbed the adoption state")
   }
 
+  test("incremental CUSUM monitor: state after N batches equals batch r81 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[E].collect()
+    // waves deliberately NOT in time order: daily counts are additive so
+    // the merged state must converge to the batch series regardless
+    val (b1, rest) = rows.reverse.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[E]
+    val q = StreamingOps.cusumStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r81_cusum_changepoint")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.cusumReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental CUSUM state diverged from the oracled batch r81")
+    // replay idempotency: re-running the LAST step (same batch id, same
+    // rows) must rebuild from the pre-batch base and leave state unchanged
+    StreamingOps.cusumStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.cusumReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch double-counted into additive daily state")
+  }
+
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
