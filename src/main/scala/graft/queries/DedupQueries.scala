@@ -937,7 +937,64 @@ object DedupQueries {
       |WHERE round(CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE), 6) >= 0.8
       |ORDER BY d1, d2""".stripMargin
 
+  // ------------------- d18 cross-source duplication matrix -------------
+
+  /** d18: cross-source near-duplicate contamination matrix — the d04
+    * LSH pair relation rolled up to (source, source) grain and
+    * normalized by the possible-pair count: the number a mixture
+    * curator reads to decide which source pairs share content (mirror
+    * sites, scraped re-posts) before weighting them independently.
+    * COMPOSES the registered d04 plan itself (the s11/s19 composition
+    * precedent), so the matrix grades exactly the pair set the dedup
+    * stage acts on.
+    *
+    * Shape: the pair relation is already blocked/capped by d04 (never
+    * n²); two broadcastable doc_id→source joins, one (src,src)-keyed
+    * aggregation, and a broadcast per-source count join. possible_pairs
+    * is exact integer algebra (n_a·n_b cross-source, n·(n−1)/2 within);
+    * the rate is one double division rounded once. */
+  private val d18: Fn = (s, d) => {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val pairs = d04(s, d)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    val nd = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(nd.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(nd.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .withColumn("possible_pairs",
+        when(col("source_a") === col("source_b"), col("na") * (col("na") - 1) / 2)
+          .otherwise(col("na") * col("nb")).cast(LongType))
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("possible_pairs"),
+        round(col("n_pairs").cast(DoubleType) / col("possible_pairs").cast(DoubleType), 9)
+          .as("dup_rate"))
+      .orderBy("source_a", "source_b")
+  }
+  private val d18Sql =
+    s"""WITH d04 AS ($d04Sql),
+       |src AS (SELECT doc_id, source FROM documents),
+       |pairs AS (
+       |  SELECT least(s1.source, s2.source) AS source_a,
+       |         greatest(s1.source, s2.source) AS source_b,
+       |         count(*) AS n_pairs
+       |  FROM d04 p JOIN src s1 ON p.d1 = s1.doc_id JOIN src s2 ON p.d2 = s2.doc_id
+       |  GROUP BY 1, 2),
+       |nd AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+       |SELECT source_a, source_b, n_pairs,
+       |       CAST(CASE WHEN source_a = source_b THEN a.n * (a.n - 1) // 2
+       |                 ELSE a.n * b.n END AS BIGINT) AS possible_pairs,
+       |       round(CAST(n_pairs AS DOUBLE) /
+       |             CAST(CASE WHEN source_a = source_b THEN a.n * (a.n - 1) // 2
+       |                       ELSE a.n * b.n END AS DOUBLE), 9) AS dup_rate
+       |FROM pairs JOIN nd a ON pairs.source_a = a.source
+       |           JOIN nd b ON pairs.source_b = b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("d18_crosssource_matrix", d18, Some(d18Sql)),
     Q("d13_containment_dedup", d13, Some(d13Sql)),
     Q("d15_sorted_neighbors", d15, Some(d15Sql)),
     Q("d10_duplicate_spans", d10, Some(d10Sql)),

@@ -731,7 +731,99 @@ object ExtraQueries5 {
       |FROM st WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------- r85 seasonality lift
+
+  /** r85: weekday×hour seasonality profile — observed traffic per
+    * (dow, hour) cell against the independence expectation
+    * E = rowtot·coltot/N, reported as lift (the r68 contingency algebra
+    * at calendar grain): the heatmap capacity planning and anomaly
+    * baselines are built from.
+    *
+    * Shape: ONE corpus-sized partial-agg shuffle to the 7×24 cell
+    * relation, which is then persisted (r46's precedent: the margin
+    * branches are column-pruned differently, so exchange reuse can't
+    * dedup them — without the persist each margin re-scans the events)
+    * and re-aggregated three ways (7-row, 24-row, 1-row), all riding
+    * back as broadcasts. Lift is exact-integer products (n·N, row·col)
+    * divided once; dow is pinned to DuckDB's Sunday=0 convention
+    * (Spark's dayofweek is Sunday=1, hence the −1). */
+  private val r85: Fn = (s, d) => {
+    val cells = events(s, d)
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowm = cells.groupBy("dow").agg(sum(col("n")).as("rowtot"))
+    val colm = cells.groupBy("hr").agg(sum(col("n")).as("coltot"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    cells
+      .join(broadcast(rowm), "dow")
+      .join(broadcast(colm), "hr")
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n"),
+        round((col("rowtot") * col("coltot")).cast(DoubleType) / col("nn").cast(DoubleType), 4)
+          .as("expected"),
+        round((col("n") * col("nn")).cast(DoubleType) / (col("rowtot") * col("coltot")).cast(DoubleType), 4)
+          .as("lift"))
+      .orderBy("dow", "hr")
+  }
+  private val r85Sql =
+    """WITH cells AS (
+      |  SELECT dayofweek(ts) AS dow, hour(ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |rowm AS (SELECT dow, CAST(sum(n) AS BIGINT) AS rowtot FROM cells GROUP BY 1),
+      |colm AS (SELECT hr, CAST(sum(n) AS BIGINT) AS coltot FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)
+      |SELECT dow, hr, n,
+      |       round(CAST(rowtot * coltot AS DOUBLE) / CAST(nn AS DOUBLE), 4) AS expected,
+      |       round(CAST(n * nn AS DOUBLE) / CAST(rowtot * coltot AS DOUBLE), 4) AS lift
+      |FROM cells JOIN rowm USING (dow) JOIN colm USING (hr), tot
+      |ORDER BY dow, hr""".stripMargin
+
+  // ------------------------------------------ r86 hypothetical-set rank
+
+  /** r86: hypothetical-set rank — SQL's `RANK(x) WITHIN GROUP (ORDER BY
+    * …)` ordered-set aggregate, which Spark has no native form of:
+    * where WOULD a 150,000.00 order rank inside each priority class if
+    * inserted now? The canonical what-if primitive for pricing/SLA
+    * dashboards.
+    *
+    * Implemented the scale-safe way: hyp_rank = 1 + count(v > x) is a
+    * pure conditional aggregation — one keyed partial-agg shuffle, no
+    * sort, no window, no per-group materialization, identical at any
+    * group size. percent_rank/cume_dist derive from the same exact
+    * integers with one rounded division each (the SQL-standard
+    * definitions: (rank−1)/n and (n_le+1)/(n+1)). Money compares on
+    * the DECIMAL grid (q01 discipline) so ties are exact. */
+  private val r86: Fn = (s, d) => {
+    val x = lit(java.math.BigDecimal.valueOf(150000.00)).cast(DecimalType(12, 2))
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice").cast(DecimalType(12, 2)).as("v"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(when(col("v") > x, 1L).otherwise(0L)) + 1L).as("hyp_rank"),
+        sum(when(col("v") <= x, 1L).otherwise(0L)).as("n_le"))
+      .select(col("o_orderpriority"), col("n_orders"), col("hyp_rank"),
+        round((col("hyp_rank") - 1).cast(DoubleType) / col("n_orders").cast(DoubleType), 6)
+          .as("hyp_percent_rank"),
+        round((col("n_le") + 1).cast(DoubleType) / (col("n_orders") + 1).cast(DoubleType), 6)
+          .as("hyp_cume_dist"))
+      .orderBy("o_orderpriority")
+  }
+  private val r86Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS v FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CASE WHEN v > CAST(150000.00 AS DECIMAL(12,2)) THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_rank,
+      |       round(CAST(sum(CASE WHEN v > CAST(150000.00 AS DECIMAL(12,2)) THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE), 6) AS hyp_percent_rank,
+      |       round(CAST(sum(CASE WHEN v <= CAST(150000.00 AS DECIMAL(12,2)) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+      |             / CAST(count(*) + 1 AS DOUBLE), 6) AS hyp_cume_dist
+      |FROM o GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r85_seasonality_lift", r85, Some(r85Sql)),
+    Q("r86_hypothetical_rank", r86, Some(r86Sql)),
     Q("u17_fanout_audit", u17, Some(u17Sql)),
     Q("m12_audio_clipping", m12, Some(m12Sql)),
     Q("p21_pit_labels", p21, Some(p21Sql)),

@@ -217,6 +217,48 @@ class ExtraQueries5Spec extends AnyFunSuite {
     }
   }
 
+  test("d18 matrix conserves the d04 pair set and its denominators") {
+    val rows = graft.SparkEntry.queries("d18_crosssource_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nPairs = graft.SparkEntry.queries("d04_minhash_lsh")(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs, "matrix must conserve every d04 pair")
+    val nd = graft.Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val want = if (sa == sb) nd(sa) * (nd(sa) - 1) / 2 else nd(sa) * nd(sb)
+      assert(r.getLong(3) == want, s"($sa,$sb): possible_pairs ${r.getLong(3)} vs $want")
+      assert(r.getLong(2) <= r.getLong(3), "pairs cannot exceed the possible count")
+    }
+  }
+
+  test("r85 cells conserve events and lift reproduces from published margins") {
+    val rows = graft.SparkEntry.queries("r85_seasonality_lift")(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells must conserve every event")
+    val rowtot = rows.groupBy(_.getInt(0)).map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    val coltot = rows.groupBy(_.getInt(1)).map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    rows.foreach { r =>
+      val lift = r.getLong(2).toDouble * total / (rowtot(r.getInt(0)).toDouble * coltot(r.getInt(1)))
+      assert(math.abs(r.getDouble(4) - lift) <= 5.01e-5, s"cell ${r.getInt(0)}x${r.getInt(1)} lift")
+    }
+  }
+
+  test("r86 hypothetical ranks match a brute-force insert per group") {
+    val rows = graft.SparkEntry.queries("r86_hypothetical_rank")(spark, sf).collect()
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val x = BigDecimal("150000.00")
+    rows.foreach { r =>
+      val grp = orders.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) == grp.length)
+      assert(r.getLong(2) == 1 + grp.count(_ > x), s"${r.getString(0)}: hyp_rank")
+      val pr = grp.count(_ > x).toDouble / grp.length
+      assert(math.abs(r.getDouble(3) - pr) < 1e-6)
+    }
+  }
+
   test("s18 range-search counts match a brute-force scan") {
     val rows = graft.SparkEntry.queries("s18_range_search")(spark, sf).collect()
     val vecs = graft.Tables.embeddings(spark, sf)
