@@ -993,7 +993,63 @@ object DedupQueries {
        |           JOIN nd b ON pairs.source_b = b.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------- p22 dedup-savings economics report -----------
+
+  /** p22: deduplication-savings report — what acting on the d08 cluster
+    * map would actually buy, per source: docs and bytes removed when
+    * each near-dup cluster keeps only its exemplar (the cluster label,
+    * which label propagation makes the minimum doc_id). The
+    * cost/benefit readout a curator checks before scheduling the dedup
+    * pass at corpus scale. COMPOSES the registered d08 plan (s11/s19/
+    * d18 precedent) and re-derives members by exploding its published
+    * member list — so the savings grade exactly the clusters that ship.
+    *
+    * Shape: the cluster relation is tiny (pairs survive d03's blocking
+    * + 0.4 floor); exploding members and joining doc sizes is
+    * cluster-sized work, and the corpus-side totals are one keyed
+    * count/sum aggregation. All counts/bytes exact BIGINT; the byte
+    * share is one rounded division. */
+  private val p22: Fn = (s, d) => {
+    val members = d08(s, d)
+      .select(col("cluster"), explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster"), col("m").cast(LongType).as("doc_id"))
+    val removed = members.filter(col("doc_id") =!= col("cluster"))
+      .join(docs(s, d).select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_removed"), sum(col("n_chars")).as("bytes_removed"))
+    val totals = docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes_total"))
+    totals.join(removed, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("bytes_total"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("bytes_removed"), lit(0L)).as("bytes_removed"),
+        round(coalesce(col("bytes_removed"), lit(0L)).cast(DoubleType)
+          / col("bytes_total").cast(DoubleType), 6).as("byte_share"))
+      .orderBy("source")
+  }
+  private val p22Sql =
+    s"""WITH d08 AS (${d08Sql}),
+       |members AS (
+       |  SELECT cluster, CAST(unnest(string_split(members, ',')) AS BIGINT) AS doc_id
+       |  FROM d08),
+       |removed AS (
+       |  SELECT dd.source, count(*) AS n_removed,
+       |         CAST(sum(dd.n_chars) AS BIGINT) AS bytes_removed
+       |  FROM members m JOIN documents dd ON m.doc_id = dd.doc_id
+       |  WHERE m.doc_id <> m.cluster
+       |  GROUP BY 1),
+       |totals AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes_total
+       |  FROM documents GROUP BY 1)
+       |SELECT t.source, t.n_docs, t.bytes_total,
+       |       coalesce(r.n_removed, 0) AS n_removed,
+       |       coalesce(r.bytes_removed, 0) AS bytes_removed,
+       |       round(CAST(coalesce(r.bytes_removed, 0) AS DOUBLE) / CAST(t.bytes_total AS DOUBLE), 6) AS byte_share
+       |FROM totals t LEFT JOIN removed r ON t.source = r.source
+       |ORDER BY t.source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p22_dedup_savings", p22, Some(p22Sql)),
     Q("d18_crosssource_matrix", d18, Some(d18Sql)),
     Q("d13_containment_dedup", d13, Some(d13Sql)),
     Q("d15_sorted_neighbors", d15, Some(d15Sql)),

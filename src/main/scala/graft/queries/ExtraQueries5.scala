@@ -821,7 +821,107 @@ object ExtraQueries5 {
       |             / CAST(count(*) + 1 AS DOUBLE), 6) AS hyp_cume_dist
       |FROM o GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------ t27 token burstiness
+
+  /** t27: token burstiness — the Fano factor (variance-to-mean ratio of
+    * per-document counts, zero-docs included) of each frequent token:
+    * uniformly-scattered function words sit near 1, topically bursty
+    * content words far above (Church & Gale 1995) — the signal that
+    * separates them without a stopword list.
+    *
+    * Exactness: with D docs, total count ct and Σc² = s2, Fano =
+    * (D·s2 − ct²)/(D·ct) — pure BIGINT numerator/denominator from two
+    * keyed count shuffles, divided ONCE (the r39 exact-moments
+    * discipline; zero-count docs enter through D without being
+    * materialized). Products stay far under 2^63 at any fixture SF
+    * (ct, s2 ≤ corpus tokens; D ≤ docs). Top-15 plans as
+    * TakeOrderedAndProject on (fano desc, token). */
+  private val t27: Fn = (s, d) => {
+    val perDoc = docs(s, d).select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val dTot = docs(s, d).agg(count(lit(1)).as("dd"))
+    val stats = perDoc.groupBy("token")
+      .agg(sum(col("c")).as("ct"), sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("df"))
+      .filter(col("ct") >= 50)
+      .crossJoin(broadcast(dTot))
+    stats
+      .withColumn("fano",
+        round((col("dd") * col("s2") - col("ct") * col("ct")).cast(DoubleType)
+          / (col("dd") * col("ct")).cast(DoubleType), 6))
+      .orderBy(desc("fano"), col("token"))
+      .limit(15)
+      .select("token", "ct", "df", "fano")
+  }
+  private val t27Sql =
+    """WITH perdoc AS (
+      |  SELECT token, doc_id, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY 1, 2),
+      |dtot AS (SELECT count(*) AS dd FROM documents),
+      |stats AS (
+      |  SELECT token, CAST(sum(c) AS BIGINT) AS ct, CAST(sum(c * c) AS BIGINT) AS s2,
+      |         count(*) AS df
+      |  FROM perdoc GROUP BY 1 HAVING CAST(sum(c) AS BIGINT) >= 50)
+      |SELECT token, ct, df,
+      |       round(CAST(dd * s2 - ct * ct AS DOUBLE) / CAST(dd * ct AS DOUBLE), 6) AS fano
+      |FROM stats, dtot
+      |ORDER BY fano DESC, token LIMIT 15""".stripMargin
+
+  // ------------------------------------------- r87 interval coverage
+
+  /** r87: interval-union coverage — per event type, the total wall time
+    * covered by the union of the [ts, ts+5min) activity intervals, plus
+    * utilization of the observed span: "how much of the month was this
+    * system actually active", which naive Σ durations OVERCOUNTS
+    * wherever intervals overlap (r76 measures the overlap peak; this
+    * measures the union). Same sweep-line marks and tie discipline as
+    * r76 — one type-partitioned ordered window carries the running
+    * occupancy AND the gap to the next mark; covered time = Σ gaps
+    * where occupancy > 0. All micros stay BIGINT; the only doubles are
+    * the two final reported divisions. */
+  private val r87: Fn = (s, d) => {
+    val e = events(s, d).select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val marks = e.select(col("event_type"), col("us").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(e.select(col("event_type"), (col("us") + 300L * 1000000L).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val wOrd = Window.partitionBy("event_type").orderBy("t", "delta", "event_id")
+    val swept = marks
+      .withColumn("occ", sum(col("delta")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("t"), 1).over(wOrd))
+    swept.groupBy("event_type")
+      .agg(
+        (count(lit(1)) / 2).cast(LongType).as("n_events"),
+        sum(when(col("occ") > 0 && col("nxt").isNotNull, col("nxt") - col("t")).otherwise(0L))
+          .as("covered_us"),
+        (max(col("t")) - min(col("t"))).as("span_us"))
+      .select(col("event_type"), col("n_events"),
+        round(col("covered_us").cast(DoubleType) / 1e6, 3).as("covered_sec"),
+        round(col("covered_us").cast(DoubleType) / col("span_us").cast(DoubleType), 6)
+          .as("utilization"))
+      .orderBy("event_type")
+  }
+  private val r87Sql =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |marks AS (
+      |  SELECT event_type, us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM e
+      |  UNION ALL
+      |  SELECT event_type, us + 300 * 1000000 AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM e),
+      |swept AS (
+      |  SELECT event_type, t,
+      |         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS occ,
+      |         lead(t) OVER (PARTITION BY event_type ORDER BY t, delta, event_id) AS nxt
+      |  FROM marks)
+      |SELECT event_type, CAST(count(*) // 2 AS BIGINT) AS n_events,
+      |       round(CAST(sum(CASE WHEN occ > 0 AND nxt IS NOT NULL THEN nxt - t ELSE 0 END) AS DOUBLE) / 1e6, 3) AS covered_sec,
+      |       round(CAST(sum(CASE WHEN occ > 0 AND nxt IS NOT NULL THEN nxt - t ELSE 0 END) AS DOUBLE)
+      |             / CAST(max(t) - min(t) AS DOUBLE), 6) AS utilization
+      |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t27_burstiness", t27, Some(t27Sql)),
+    Q("r87_interval_coverage", r87, Some(r87Sql)),
     Q("r85_seasonality_lift", r85, Some(r85Sql)),
     Q("r86_hypothetical_rank", r86, Some(r86Sql)),
     Q("u17_fanout_audit", u17, Some(u17Sql)),

@@ -1201,10 +1201,14 @@ object SimilarityQueries {
     * exact integer algebra on the degree relation; the only double is
     * the final 3T/triads division, rounded once. */
   private val s19: Fn = (s, d) => {
+    // persist the edge set: it feeds FOUR consumers (both degree
+    // branches, both wedge sides, the closing probe) — without it each
+    // re-runs the entire s10 kNN build (r46/d08's persist discipline)
     val und = s10(s, d)
       .select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("x")).unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
     val wedges = und.alias("e1")

@@ -259,6 +259,59 @@ class ExtraQueries5Spec extends AnyFunSuite {
     }
   }
 
+  test("t27 Fano factors reproduce from brute-force per-doc count moments") {
+    val rows = graft.SparkEntry.queries("t27_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val docsTok = graft.Tables.documents(spark, sf)
+      .select(split(col("text"), " ")).collect().map(_.getSeq[String](0))
+    val dd = docsTok.length.toLong
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val counts = docsTok.map(_.count(_ == tok).toLong)
+      val ct = counts.sum
+      val s2 = counts.map(c => c * c).sum
+      assert(r.getLong(1) == ct, s"$tok: ct")
+      assert(r.getLong(2) == counts.count(_ > 0), s"$tok: df")
+      val fano = (dd * s2 - ct * ct).toDouble / (dd * ct)
+      assert(math.abs(r.getDouble(3) - fano) < 1e-5, s"$tok: fano ${r.getDouble(3)} vs $fano")
+      assert(ct >= 50, "min-count floor")
+    }
+  }
+
+  test("r87 covered time matches a brute-force interval union and never exceeds the span") {
+    val rows = graft.SparkEntry.queries("r87_interval_coverage")(spark, sf).collect()
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val starts = evs.filter(_._1 == r.getString(0)).map(_._2).sorted
+      // union length by merging sorted [t, t+300s) intervals
+      var (covered, curStart, curEnd) = (0L, Long.MinValue, Long.MinValue)
+      starts.foreach { t =>
+        if (t > curEnd) { if (curEnd > curStart) covered += curEnd - curStart; curStart = t; curEnd = t + 300000000L }
+        else curEnd = math.max(curEnd, t + 300000000L)
+      }
+      if (curEnd > curStart) covered += curEnd - curStart
+      assert(math.abs(r.getDouble(2) - covered / 1e6) < 2e-3,
+        s"${r.getString(0)}: engine ${r.getDouble(2)} vs brute ${covered / 1e6} covered sec")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, "utilization in (0,1]")
+    }
+  }
+
+  test("p22 savings conserve the d08 cluster membership") {
+    val rows = graft.SparkEntry.queries("p22_dedup_savings")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "per-source totals conserve the corpus")
+    val clusters = graft.SparkEntry.queries("d08_dedup_clusters")(spark, sf).collect()
+    val expectRemoved = clusters.map(_.getLong(1) - 1).sum
+    assert(rows.map(_.getLong(3)).sum == expectRemoved,
+      "every non-exemplar cluster member is removed exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "bytes removed cannot exceed source bytes")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+  }
+
   test("s18 range-search counts match a brute-force scan") {
     val rows = graft.SparkEntry.queries("s18_range_search")(spark, sf).collect()
     val vecs = graft.Tables.embeddings(spark, sf)
