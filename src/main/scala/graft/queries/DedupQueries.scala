@@ -664,7 +664,17 @@ object DedupQueries {
     * ever single-partition. Output: one row per cluster (keeper = min
     * doc_id), member list, size. Deterministic ⇒ oracled (DuckDB
     * WITH RECURSIVE transitive closure computes the same components). */
-  private val d08: Fn = (s, d) => {
+  /** d08's cluster map through [[SharedPools]]: the label-propagation
+    * fixpoint is the most expensive dedup stage (6+ s at sf0.1) and now
+    * has TWO registered consumers (d08 itself and p22's savings
+    * report) — exactly the stage-boundary materialization a production
+    * pipeline would write between clustering and its readers. Exact
+    * types only (longs + the members CSV string), so the parquet
+    * round-trip is bitwise. */
+  private def clusterPool(s: SparkSession, d: String): DataFrame =
+    SharedPools.materialized(s, d, "dedup_clusters")(clustersBuilt(s, d))
+
+  private def clustersBuilt(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairsPrefix(s, d).select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -711,6 +721,9 @@ object DedupQueries {
         array_join(transform(sort_array(collect_list(col("id"))), _.cast(StringType)), ",").as("members"))
       .orderBy("cluster")
   }
+
+  private val d08: Fn = (s, d) => clusterPool(s, d).orderBy("cluster")
+
   private val d08Sql =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id,
@@ -1010,7 +1023,7 @@ object DedupQueries {
     * count/sum aggregation. All counts/bytes exact BIGINT; the byte
     * share is one rounded division. */
   private val p22: Fn = (s, d) => {
-    val members = d08(s, d)
+    val members = clusterPool(s, d)
       .select(col("cluster"), explode(split(col("members"), ",")).as("m"))
       .select(col("cluster"), col("m").cast(LongType).as("doc_id"))
     val removed = members.filter(col("doc_id") =!= col("cluster"))

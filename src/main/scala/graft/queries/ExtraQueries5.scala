@@ -170,14 +170,19 @@ object ExtraQueries5 {
     * from identical inputs (p14's precedent); score boundaries use <=
     * on the interpolated cutoffs identically in both engines. */
   private val r82: Fn = (s, d) => {
-    val o = orders(s, d)
-    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
-    val perCust = o
+    // ONE orders scan/shuffle: the per-customer relation is persisted
+    // and feeds all three consumers (anchor, cutoffs, scoring) — the
+    // global anchor date is just max(lastd) over it, so no separate
+    // corpus-sized aggregation exists at all (r46/s19 persist discipline)
+    val perCust0 = orders(s, d)
       .groupBy("o_custkey")
       .agg(
         max(to_date(col("o_orderdate"))).as("lastd"),
         count(lit(1)).as("freq"),
         dsum(col("o_totalprice"), 2).as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchor = perCust0.agg(max(col("lastd")).as("maxd"))
+    val perCust = perCust0
       .crossJoin(broadcast(anchor))
       .select(
         col("o_custkey"),
