@@ -1258,7 +1258,69 @@ object SimilarityQueries {
        |       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_triads AS DOUBLE), 6) AS global_clustering
        |FROM stats CROSS JOIN tri""".stripMargin
 
+  /** s20: degree assortativity of the kNN graph — the Pearson
+    * correlation of endpoint degrees over the (symmetrized) edge list,
+    * Newman's r: do similar-degree vectors link to each other (hub
+    * cores, r > 0) or do hubs fan out to leaves (r < 0, typical of ANN
+    * graphs whose out-degree is capped at K)? The third consumer of the
+    * [[SharedPools]] kNN graph, and the graph-health companion to s19's
+    * clustering coefficient.
+    *
+    * Exactness: over the symmetrized pairs Σx = Σy and Σx² = Σy², so
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) with every term an exact
+    * integer (degrees are counts); the products ride DECIMAL(38,0) so
+    * a 100 TB edge count cannot overflow either engine — ONE double
+    * division + round(6) at the end.
+    * Scale safety: degrees are bounded by the kNN construction (out-
+    * degree exactly K, in-degree capped by the candidate cells), so
+    * the degree relation is |V| rows, the two keyed joins hash-probe
+    * it against the N·K edge list, and the sufficient statistics are
+    * one partial-agg reduction — no window, no driver state. */
+  private val s20: Fn = (s, d) => {
+    val und = knnPool(s, d)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+    val deg = sym.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val pairs = sym
+      .join(deg.select(col("id").as("xid"), col("deg").as("dx")), col("x") === col("xid"))
+      .join(deg.select(col("id").as("yid"), col("deg").as("dy")), col("y") === col("yid"))
+    val st = pairs.agg(
+      count(lit(1)).as("m2"),
+      sum(dec(col("dx"))).cast(DecimalType(38, 0)).as("sx"),
+      sum(dec(col("dx")) * dec(col("dx"))).cast(DecimalType(38, 0)).as("sxx"),
+      sum(dec(col("dx")) * dec(col("dy"))).cast(DecimalType(38, 0)).as("sxy"))
+    st.select(
+      floor(col("m2") / 2).cast(LongType).as("n_edges"),
+      round((dec(col("m2")) * col("sxy") - col("sx") * col("sx")).cast(DoubleType) /
+        (dec(col("m2")) * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+        .as("assortativity"))
+  }
+  private val s20Sql =
+    s"""WITH knn AS ($s10Sql),
+       |edges AS (
+       |  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+       |sym AS (SELECT u AS x, v AS y FROM edges UNION ALL SELECT v, u FROM edges),
+       |deg AS (SELECT x AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY x),
+       |pairs AS (
+       |  SELECT du.deg AS dx, dv.deg AS dy
+       |  FROM sym JOIN deg du ON sym.x = du.id JOIN deg dv ON sym.y = dv.id),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m2,
+       |         CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |         CAST(sum(CAST(dx AS DECIMAL(38,0)) * dx) AS DECIMAL(38,0)) AS sxx,
+       |         CAST(sum(CAST(dx AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sxy
+       |  FROM pairs)
+       |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       |       round(CAST(CAST(m2 AS DECIMAL(38,0)) * sxy - sx * sx AS DOUBLE) /
+       |             CAST(CAST(m2 AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+       |FROM st""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s20_assortativity", s20, Some(s20Sql)),
     Q("s19_triangle_census", s19, Some(s19Sql)),
     Q("s14_knn_classify", s14, Some(s14Sql)),
     Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Oracle-independent invariants for ExtraQueries6 (Hare apportionment,
+  * runs test, Simpson diversity, candidate keys) and s20 assortativity:
+  * brute-force equivalence on the tiny SF plus the conservation laws the
+  * scaladocs claim (Σseats exact, runs algebra, degree symmetry).
+  */
+class ExtraQueries6Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("r88 seats sum to exactly 1000 and each nation gets floor or floor+1") {
+    val rows = graft.SparkEntry.queries("r88_apportionment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(4)).sum == 1000L, "largest-remainder must allocate the full budget")
+    rows.foreach { r =>
+      val bump = r.getLong(4) - r.getLong(3)
+      assert(bump == 0L || bump == 1L, s"nation ${r.get(0)}: seats must be floor or floor+1")
+    }
+    // quota property: every seat count is within 1 of the exact share
+    val t = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val exact = 1000.0 * r.getLong(2) / t
+      assert(math.abs(r.getLong(4) - exact) < 1.0, s"nation ${r.get(0)}: off-quota seat count")
+    }
+  }
+
+  test("r89 runs statistics match a brute-force scan of the daily series") {
+    val rows = graft.SparkEntry.queries("r89_runs_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("grp"), col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2))).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, BigDecimal(r.getDecimal(2))))
+    rows.foreach { r =>
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2).map(_._3)
+      val signs = series.sliding(2).collect {
+        case Array(a, b) if a != b => if (b > a) 1 else -1
+      }.toArray
+      val runsBrute = if (signs.isEmpty) 0
+        else 1 + signs.sliding(2).count { case Array(a, b) => a != b; case _ => false }
+      assert(r.getLong(1) == runsBrute, s"${r.getString(0)}: runs")
+      assert(r.getLong(2) == signs.count(_ == 1), s"${r.getString(0)}: n1")
+      assert(r.getLong(3) == signs.count(_ == -1), s"${r.getString(0)}: n2")
+      assert(r.getLong(4) == signs.length, s"${r.getString(0)}: n")
+      val (rr, n1, n2, n) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val zBrute = (rr * n - n - 2.0 * n1 * n2) /
+        math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n - 1.0))
+      assert(math.abs(r.getDouble(5) - zBrute) < 1e-6, s"${r.getString(0)}: z")
+    }
+  }
+
+  test("t28 diversity reproduces from brute-force token counts") {
+    val rows = graft.SparkEntry.queries("t28_simpson_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val counts = docs.filter(_._1 == r.getString(0))
+        .flatMap(_._2.split(" ", -1)).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      assert(r.getLong(1) == n, s"${r.getString(0)}: N")
+      assert(r.getLong(2) == counts.size.toLong, s"${r.getString(0)}: V")
+      val simpson = 1.0 - counts.map(c => c.toDouble * (c - 1)).sum / (n.toDouble * (n - 1))
+      assert(math.abs(r.getDouble(3) - simpson) < 1e-6, s"${r.getString(0)}: simpson")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(math.abs(r.getDouble(4) - counts.size.toDouble / n) < 1e-6, s"${r.getString(0)}: ttr")
+    }
+  }
+
+  test("u18 distinct counts match direct recomputation and o_orderkey is a key") {
+    val rows = graft.SparkEntry.queries("u18_candidate_keys")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 5)
+    val o = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").collect()
+    val n = o.length.toLong
+    assert(rows("o_orderkey").getBoolean(3), "o_orderkey must be a key")
+    assert(rows("o_orderkey").getLong(1) == o.map(_.get(0)).distinct.length.toLong)
+    assert(rows("o_custkey").getLong(1) == o.map(_.get(1)).distinct.length.toLong)
+    assert(rows("o_custkey+o_orderdate").getLong(1) ==
+      o.map(r => (r.get(1), r.get(2))).distinct.length.toLong)
+    rows.values.foreach { r =>
+      assert(r.getLong(2) == n)
+      assert(r.getBoolean(3) == (r.getLong(1) == n))
+    }
+  }
+
+  test("s20 assortativity matches a brute-force Pearson over the same graph") {
+    val row = graft.SparkEntry.queries("s20_assortativity")(spark, sf).collect().head
+    val edges = graft.SparkEntry.queries("s10_knn_graph")(spark, sf)
+      .select(least(col("a_id"), col("b_id")), greatest(col("a_id"), col("b_id")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getLong(0) == edges.length.toLong, "edge count")
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (k, v) => k -> v.length }
+    val xs = edges.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = xs.length.toDouble
+    val sx = xs.map(_._1.toDouble).sum
+    val sxx = xs.map(p => p._1.toDouble * p._1).sum
+    val sxy = xs.map(p => p._1.toDouble * p._2).sum
+    val brute = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert(math.abs(row.getDouble(1) - brute) < 1e-6, s"engine ${row.getDouble(1)} vs brute $brute")
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+}
