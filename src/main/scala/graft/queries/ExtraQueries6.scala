@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -109,11 +109,17 @@ object ExtraQueries6 {
     * Scale shape: the corpus-sized work is the (priority, day) partial
     * aggregation; all windows ride the tiny daily series partitioned by
     * priority (r81's CUSUM discipline). */
-  private val r89: Fn = (s, d) => {
-    val wOrd = Window.partitionBy("grp").orderBy("day")
-    val daily = orders(s, d)
-      .groupBy(col("o_orderpriority").as("grp"), col("o_orderdate").as("day"))
+  /** Daily-revenue kernel shared by r89/r90 and the streaming runs
+    * monitor — the mergeable state (decimal sums are additive across
+    * arrival waves; r81's dailyCounts discipline). */
+  private[graft] def dailyRevenue(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority").as("grp"), col("o_orderdate").as("day"))
       .agg(dsum(col("o_totalprice"), 2).as("rev"))
+
+  /** Runs-test layer over the tiny (grp, day) series — r89's published
+    * shape, also the per-wave report of the streaming twin. */
+  private[graft] def runsFromDaily(daily: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("grp").orderBy("day")
     val sgn = daily.withColumn("prev", lag(col("rev"), 1).over(wOrd))
       .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
       .select(col("grp"), col("day"),
@@ -134,6 +140,9 @@ object ExtraQueries6 {
             (col("n") - 1).cast(DoubleType)), 6).as("z"))
       .orderBy("grp")
   }
+
+  private val r89: Fn = (s, d) => runsFromDaily(dailyRevenue(orders(s, d)))
+
   private val r89Sql =
     """WITH daily AS (
       |  SELECT o_orderpriority AS grp, o_orderdate AS day,
@@ -159,6 +168,114 @@ object ExtraQueries6 {
       |             sqrt(CAST(2*n1*n2 AS DOUBLE) * CAST(2*n1*n2 - n AS DOUBLE)
       |                  / CAST(n - 1 AS DOUBLE)), 6) AS z
       |FROM st ORDER BY grp""".stripMargin
+
+  // -------------------------------------------- r90 seasonal decompose
+
+  /** r90: classical seasonal decomposition of the daily-revenue series
+    * per priority — detrend with a centered 7-day moving average, then
+    * the day-of-week seasonal index is the mean detrended deviation.
+    * The additive-decomposition companion to r85's multiplicative lift
+    * heatmap, on the r89 revenue kernel instead of event counts.
+    *
+    * Exactness: the mean is never divided inside the pipeline — the
+    * deviation is multiplied through by the window width (dev7 =
+    * 7·rev − Σ₇rev, exact DECIMAL), mirroring r81's CUSUM trick, and
+    * edge days without a full 7-row window are excluded by an exact
+    * window count. ONE rounded division per output cell. Day-of-week is
+    * pinned to DuckDB's Sunday=0 (r85's convention).
+    *
+    * Scale shape: corpus-sized work is the r89 daily partial-agg; the
+    * moving window and the dow reduction ride the tiny per-priority
+    * series, every window partitioned. */
+  private val r90: Fn = (s, d) => {
+    val w = Window.partitionBy("grp").orderBy("day").rowsBetween(-3, 3)
+    dailyRevenue(orders(s, d))
+      .withColumn("sum7", sum(col("rev")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === 7)
+      .select(col("grp"), (dayofweek(col("day")) - 1).cast(LongType).as("dow"),
+        (lit(7) * col("rev") - col("sum7")).as("dev7"))
+      .groupBy("grp", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("dev7")).cast(DoubleType) / (lit(7.0) * count(lit(1))), 4).as("seasonal"))
+      .orderBy("grp", "dow")
+  }
+  private val r90Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS grp, o_orderdate AS day,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |win AS (
+      |  SELECT grp, day, rev, sum(rev) OVER w AS sum7, count(*) OVER w AS n7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY grp ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dev AS (
+      |  SELECT grp, CAST(dayofweek(day) AS BIGINT) AS dow, 7 * rev - sum7 AS dev7
+      |  FROM win WHERE n7 = 7)
+      |SELECT grp, dow, CAST(count(*) AS BIGINT) AS n_days,
+      |       round(CAST(sum(dev7) AS DOUBLE) / (7.0 * count(*)), 4) AS seasonal
+      |FROM dev GROUP BY 1, 2 ORDER BY grp, dow""".stripMargin
+
+  // -------------------------------------------- u19 FK containment
+
+  /** u19: foreign-key inference audit — for each candidate FK edge in
+    * the schema, the exact inclusion coefficients: containment
+    * (share of child keys present in the parent — 1.0 means the edge
+    * IS a valid FK) and coverage (share of parent keys referenced).
+    * The inference companion to u05's violation counter and u18's key
+    * discovery: u18 finds the keys, u19 finds the edges between them.
+    *
+    * Scale shape: per edge two keyed DISTINCTs (map-side partial) and
+    * one keyed join of the distinct-key sets — the join operands are
+    * key domains, not the fact tables; the three 1-row aggregates meet
+    * through broadcast nested-loop joins (never a CartesianProduct).
+    * Exact BIGINTs until the two rounded ratios. */
+  private val u19: Fn = (s, d) => {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(ck).as("k")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = parent.select(col(pk).as("k")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.agg(count(lit(1)).as("child_d"))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("parent_d"))))
+        .crossJoin(broadcast(c.join(p, "k").agg(count(lit(1)).as("contained"))))
+        .select(lit(name).as("edge"), col("child_d"), col("parent_d"), col("contained"),
+          round(col("contained").cast(DoubleType) / col("child_d").cast(DoubleType), 6)
+            .as("containment"),
+          round(col("contained").cast(DoubleType) / col("parent_d").cast(DoubleType), 6)
+            .as("coverage"))
+    }
+    edge("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+      .unionByName(edge("orders.o_custkey->customer.c_custkey",
+        orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation.n_nationkey",
+        Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .unionByName(edge("supplier.s_nationkey->nation.n_nationkey",
+        Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy("edge")
+  }
+  private val u19Sql = {
+    def edgeSql(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS edge,
+         |  CAST((SELECT count(DISTINCT $ck) FROM $child) AS BIGINT) AS child_d,
+         |  CAST((SELECT count(DISTINCT $pk) FROM $parent) AS BIGINT) AS parent_d,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $ck FROM $child) c
+         |        JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk) AS BIGINT) AS contained""".stripMargin
+    s"""WITH e AS (
+       |${edgeSql("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${edgeSql("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${edgeSql("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey")}
+       |UNION ALL
+       |${edgeSql("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey")})
+       |SELECT edge, child_d, parent_d, contained,
+       |       round(CAST(contained AS DOUBLE) / child_d, 6) AS containment,
+       |       round(CAST(contained AS DOUBLE) / parent_d, 6) AS coverage
+       |FROM e ORDER BY edge""".stripMargin
+  }
 
   // -------------------------------------------- t28 Simpson diversity
 
@@ -251,6 +368,8 @@ object ExtraQueries6 {
   val all: Seq[Q] = Seq(
     Q("r88_apportionment", r88, Some(r88Sql)),
     Q("r89_runs_test", r89, Some(r89Sql)),
+    Q("r90_seasonal_decompose", r90, Some(r90Sql)),
     Q("t28_simpson_diversity", t28, Some(t28Sql)),
-    Q("u18_candidate_keys", u18, Some(u18Sql)))
+    Q("u18_candidate_keys", u18, Some(u18Sql)),
+    Q("u19_fk_containment", u19, Some(u19Sql)))
 }

@@ -1117,8 +1117,14 @@ object SimilarityQueries {
     s10(s, d).select("a_id", "b_id")
 
   private val s12: Fn = (s, d) => pageRank(s10Edges(s, d), PrRounds)
-  private def s12Sql: String = {
-    val rounds = (1 to PrRounds).map { k =>
+
+  /** The [[pageRank]] iteration unrolled as generated DuckDB CTEs over
+    * an arbitrary edge relation — shared by s12 and TextQueries' t29
+    * TextRank so both oracles replay the SAME fixed-point kernel. The
+    * caller embeds the result after `WITH ` and reads relation
+    * `r<rounds>` (columns id, r). */
+  private[graft] def pageRankCtes(edgesSql: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
       s"""c$k AS (
          |  SELECT e.b_id AS id, CAST(sum(r.r // e.outdeg) AS BIGINT) AS s
          |  FROM ed e JOIN r${k - 1} r ON e.a_id = r.id GROUP BY 1),
@@ -1126,16 +1132,19 @@ object SimilarityQueries {
          |  SELECT nd.id, (${PrScale * 15L / 100L} // n.n) + (85 * COALESCE(c.s, 0)) // 100 AS r
          |  FROM nodes nd LEFT JOIN c$k c ON nd.id = c.id, n)""".stripMargin
     }
-    s"""WITH edges AS (SELECT a_id, b_id FROM ($s10Sql) t),
+    s"""edges AS ($edgesSql),
        |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
        |n AS (SELECT count(*) AS n FROM nodes),
        |od AS (SELECT a_id, count(*) AS outdeg FROM edges GROUP BY 1),
        |ed AS (SELECT e.a_id, e.b_id, o.outdeg FROM edges e JOIN od o ON e.a_id = o.a_id),
        |r0 AS (SELECT id, $PrScale // n.n AS r FROM nodes, n),
-       |${rounds.mkString(",\n")}
+       |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def s12Sql: String =
+    s"""WITH ${pageRankCtes(s"SELECT a_id, b_id FROM ($s10Sql) t", PrRounds)}
        |SELECT id AS vec_id, CAST(r AS BIGINT) AS pr_fp FROM r$PrRounds
        |ORDER BY pr_fp DESC, vec_id""".stripMargin
-  }
 
   /** s14: kNN label-vote classifier — the eval loop a labeled embedding
     * corpus runs to sanity-check the encoder (neighbors sharing labels

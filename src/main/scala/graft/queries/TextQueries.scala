@@ -930,7 +930,71 @@ object TextQueries {
       |FROM scored CROSS JOIN cuts
       |GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
 
+  /** t29: TextRank keyword extraction — PageRank over the word
+    * co-occurrence graph (adjacent-token pairs, undirected via the
+    * mirror union, self-loops dropped), top-10 keywords per language.
+    * Mihalcea & Tarau's published formulation, run through the SAME
+    * fixed-point integer [[SimilarityQueries.pageRank]] kernel s12
+    * ships, so the iteration is bit-exact in both engines and the
+    * oracle replays it via the shared generated-CTE unroll
+    * ([[SimilarityQueries.pageRankCtes]]). Node ids are `lang|token`
+    * strings — the languages form disjoint components of one graph, so
+    * a single global run ranks all of them at once (the uniform
+    * teleport term scales every component identically).
+    *
+    * Scale shape: the corpus-sized work is the doc-keyed bigram window
+    * and the edge DISTINCT (both keyed shuffles); the graph itself is
+    * vocabulary-sized — orders of magnitude smaller than the corpus —
+    * and the kernel's per-round cost is two keyed operations on it.
+    * The per-language top-10 window is partitioned by lang. */
+  private val t29: Fn = (s, d) => {
+    val tokPos = docs(s, d)
+      .select(col("lang"), col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val und = tokPos.withColumn("prev", lag(col("token"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("token"))
+      .select(concat(col("lang"), lit("|"), col("prev")).as("u"),
+        concat(col("lang"), lit("|"), col("token")).as("v"))
+      .distinct()
+    val edges = und.select(col("u").as("a_id"), col("v").as("b_id"))
+      .union(und.select(col("v").as("a_id"), col("u").as("b_id")))
+      .distinct()
+    val pr = SimilarityQueries.pageRank(edges, SimilarityQueries.PrRounds)
+    val wl = Window.partitionBy("lang").orderBy(desc("tr_fp"), col("token"))
+    pr.select(substring_index(col("vec_id"), "|", 1).as("lang"),
+        substring_index(col("vec_id"), "|", -1).as("token"),
+        col("pr_fp").as("tr_fp"))
+      .withColumn("rk", row_number().over(wl).cast(LongType))
+      .filter(col("rk") <= 10)
+      .select("lang", "rk", "token", "tr_fp")
+      .orderBy("lang", "rk")
+  }
+  private def t29Sql: String = {
+    val edgesSql =
+      """SELECT DISTINCT a_id, b_id FROM (
+        |    SELECT u AS a_id, v AS b_id FROM und UNION ALL SELECT v, u FROM und) m""".stripMargin
+    s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+       |prs AS (
+       |  SELECT lang, unnest(list_transform(range(1, len(ts)), i -> {'a': ts[i], 'b': ts[i+1]})) AS x
+       |  FROM toks),
+       |und AS (
+       |  SELECT DISTINCT lang || '|' || x.a AS u, lang || '|' || x.b AS v
+       |  FROM prs WHERE x.a <> x.b),
+       |${SimilarityQueries.pageRankCtes(edgesSql, SimilarityQueries.PrRounds)},
+       |fin AS (
+       |  SELECT split_part(id, '|', 1) AS lang, split_part(id, '|', 2) AS token,
+       |         CAST(r AS BIGINT) AS tr_fp
+       |  FROM r${SimilarityQueries.PrRounds}),
+       |rnk AS (
+       |  SELECT lang, token, tr_fp,
+       |         row_number() OVER (PARTITION BY lang ORDER BY tr_fp DESC, token) AS rk
+       |  FROM fin)
+       |SELECT lang, CAST(rk AS BIGINT) AS rk, token, tr_fp FROM rnk
+       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("t29_textrank_keywords", t29, Some(t29Sql)),
     Q("t20_perplexity_tiers", t20, Some(t20Sql)),
     Q("t19_zipf_fit", t19, Some(t19Sql)),
     Q("t16_bigram_logprob", t16, Some(t16Sql)),

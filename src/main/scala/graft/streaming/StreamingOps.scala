@@ -419,6 +419,50 @@ object StreamingOps {
             lit(java.sql.Date.valueOf("1970-01-01")).as("day"), lit(0L).as("cnt"))
           .limit(0)))
 
+  // ---- incremental runs-test monitor (r89 twin) ----
+
+  /** r89's always-on twin: the Wald–Wolfowitz runs test maintained
+    * incrementally over an orders stream. Runs statistics are NOT
+    * additive (a run can span a batch boundary, and the up/down signs
+    * depend on neighboring days), so the split follows the
+    * mergeable-kernel discipline: the STATE is the (grp, day, rev)
+    * daily-revenue frame — exact DECIMAL sums are additive across
+    * arrival waves at any batch boundary or order — and the runs layer
+    * re-derives from that tiny series after each merge via the SAME
+    * oracled batch code (`ExtraQueries6.runsFromDaily`), so the
+    * published z is always exactly what the batch audit would print on
+    * the orders seen so far. Versioned-state replay discipline
+    * identical to [[cusumStream]]. */
+  def runsStream(orders: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    orders.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => runsStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental fold (exposed for specs + replay proof). */
+  def runsStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = decayedState(spark, s"$tableDir/daily_rev", beforeBatch = Some(batchId))
+    val batchDaily = graft.queries.ExtraQueries6.dailyRevenue(batch)
+    val merged = base match {
+      case None => batchDaily
+      case Some(b) => b.unionByName(batchDaily)
+        .groupBy("grp", "day")
+        .agg(sum(col("rev")).cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("rev"))
+    }
+    writeVersion(merged, s"$tableDir/daily_rev", batchId)
+  }
+
+  /** Published runs-test report from the standing state — r89's exact
+    * shape. */
+  def runsReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries6.runsFromDaily(
+      decayedState(spark, s"$tableDir/daily_rev").getOrElse(
+        spark.emptyDataFrame
+          .select(lit("").as("grp"),
+            lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)).as("day"),
+            lit(BigDecimal(0).bigDecimal).cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("rev"))
+          .limit(0)))
+
   // ---- incremental adoption curve (r78 twin) ----
 
   /** r78's always-on twin: the cumulative-distinct adoption curve

@@ -92,6 +92,63 @@ class ExtraQueries6Spec extends AnyFunSuite {
     }
   }
 
+  test("r90 seasonal indices reproduce from a brute-force decomposition") {
+    val rows = graft.SparkEntry.queries("r90_seasonal_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("grp"), col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2))).as("rev"),
+        (dayofweek(col("day")) - 1).cast(org.apache.spark.sql.types.LongType).as("dow"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, BigDecimal(r.getDecimal(2)), r.getLong(3)))
+    val byGrp = daily.groupBy(_._1).map { case (g, xs) => g -> xs.sortBy(_._2) }
+    rows.foreach { r =>
+      val series = byGrp(r.getString(0))
+      val cells = series.indices.filter(i => i >= 3 && i + 3 < series.length)
+        .map(i => (series(i)._4, 7 * series(i)._3 - (i - 3 to i + 3).map(j => series(j)._3).sum))
+        .filter(_._1 == r.getLong(1))
+      assert(r.getLong(2) == cells.length.toLong, s"${r.getString(0)}/${r.getLong(1)}: n_days")
+      val brute = (cells.map(_._2).sum / (7.0 * cells.length)).toDouble
+      assert(math.abs(r.getDouble(3) - brute) < 5e-4, s"${r.getString(0)}/${r.getLong(1)}: seasonal")
+    }
+  }
+
+  test("u19 containment is 1.0 on every declared FK edge and counts reproduce") {
+    val rows = graft.SparkEntry.queries("u19_fk_containment")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      // the fixture's FK edges are all valid: every child key must appear
+      assert(r.getDouble(4) == 1.0, s"${r.getString(0)}: containment")
+      assert(r.getLong(3) == r.getLong(1), s"${r.getString(0)}: contained = child_d")
+      assert(r.getLong(3) <= r.getLong(2), s"${r.getString(0)}: contained <= parent_d")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"${r.getString(0)}: coverage")
+    }
+    val o = graft.Tables.orders(spark, sf)
+    val custD = o.select("o_custkey").distinct().count()
+    val edge = rows.find(_.getString(0).startsWith("orders.o_custkey")).get
+    assert(edge.getLong(1) == custD)
+  }
+
+  test("t29 keywords: ids are splittable, ranks dense per lang, scores positive") {
+    val rows = graft.SparkEntry.queries("t29_textrank_keywords")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the lang|token id scheme requires '|'-free tokens in the fixture
+    val bad = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").contains("|")).count()
+    assert(bad == 0, "fixture tokens must not contain the id separator")
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq, s"$lang: dense ranks")
+      assert(rs.length <= 10)
+      // fixed-point ranks are positive and ordered with the rank
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.forall(_.getLong(3) > 0), s"$lang: positive scores")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) >= b.getLong(3); case _ => true
+      }, s"$lang: scores non-increasing in rank")
+    }
+  }
+
   test("s20 assortativity matches a brute-force Pearson over the same graph") {
     val row = graft.SparkEntry.queries("s20_assortativity")(spark, sf).collect().head
     val edges = graft.SparkEntry.queries("s10_knn_graph")(spark, sf)

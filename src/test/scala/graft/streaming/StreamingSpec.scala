@@ -11,6 +11,8 @@ import graft.SparkTestSession
   * rows (the batch forms are the DuckDB-oracled q21/st1). */
 case class E(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, source: String, text: String)
+case class O(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+  o_totalprice: Double, o_orderdate: java.time.LocalDateTime, o_orderpriority: String)
 
 /** Poison-pill switch for the crash-restart spec: a JVM-global object so
   * executor threads (local mode, same JVM) see the flag without closure
@@ -415,6 +417,34 @@ class StreamingSpec extends AnyFunSuite {
     // rows) must rebuild from the pre-batch base and leave state unchanged
     StreamingOps.cusumStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
     val replayed = StreamingOps.cusumReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch double-counted into additive daily state")
+  }
+
+  test("incremental runs monitor: state after N batches equals batch r89 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("runs").toString
+    val rows = graft.Tables.orders(spark, sf).as[O].collect()
+    // waves deliberately NOT in time order: daily revenue sums are
+    // additive so the merged state must converge to the batch series
+    val (b1, rest) = rows.reverse.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[O]
+    val q = StreamingOps.runsStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r89_runs_test")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.runsReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental runs state diverged from the oracled batch r89")
+    // replay idempotency: re-running the LAST step (same batch id, same
+    // rows) must rebuild from the pre-batch base and leave state unchanged
+    StreamingOps.runsStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.runsReport(spark, dir).collect().map(_.toSeq).toSet
     assert(replayed == want, "replayed batch double-counted into additive daily state")
   }
 
