@@ -950,6 +950,84 @@ object DedupQueries {
       |WHERE round(CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE), 6) >= 0.8
       |ORDER BY d1, d2""".stripMargin
 
+  // ------------------- d19 LSH parameter sweep --------------------------
+
+  /** d19: LSH parameter-sweep harness — precision/recall of the
+    * MinHash banding against the exact-Jaccard ground truth for every
+    * (bands × rows) split of the 64-perm signature: the tuning table a
+    * dedup deployment reads before fixing its banding (more rows per
+    * band = higher precision / lower recall; the shipped d04 point is
+    * (32, 2)). The s11-recall-harness idea applied to the dedup family:
+    * every config's candidates come from the SAME registered signature
+    * kernel, so the table grades exactly what would ship.
+    *
+    * Bucket identity per config is the ordered row-value tuple encoded
+    * as a comma-joined string — equality is all LSH needs, and string
+    * equality is engine-portable where a 4-value integer encoding would
+    * overflow. Candidates are [[capBuckets]]-capped like d04, so no
+    * config can quadratic-blow a hot bucket at scale; true positives
+    * are a keyed join against the d03 prefix-filtered truth (computed
+    * once, reused by all configs). Counts exact BIGINT; the two ratios
+    * are guarded one-rounding divisions. */
+  private val d19: Fn = (s, d) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigs = minhashSignatures(s, d).persist(lvl)
+    val truth = jaccardPairsPrefix(s, d).select(col("d1"), col("d2")).persist(lvl)
+    val configs = Seq((32, 2), (16, 4), (8, 8))
+    configs.map { case (nb, nr) =>
+      val bands = sigs.select(col("doc_id"), posexplode(array((0 until nb).map { b =>
+          concat_ws(",", (0 until nr).map(r => col("sig")(b * nr + r)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+      val capped = capBuckets(bands, Seq("band", "bucket"))
+      val cand = capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        .persist(lvl)
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(broadcast(cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("tp"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(nb.toLong).as("bands"), lit(nr.toLong).as("rows_per_band"),
+          col("n_cand"), col("tp"), col("n_truth"),
+          when(col("n_cand") > 0,
+            round(col("tp").cast(DoubleType) / col("n_cand").cast(DoubleType), 6)).as("precision"),
+          when(col("n_truth") > 0,
+            round(col("tp").cast(DoubleType) / col("n_truth").cast(DoubleType), 6)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(desc("bands"))
+  }
+  private val d19Sql = {
+    val configs = Seq((32, 2), (16, 4), (8, 8))
+    val per = configs.map { case (nb, nr) =>
+      s"""bands_$nb AS (
+         |  SELECT doc_id, CAST(j // $nr AS INTEGER) AS band,
+         |         string_agg(CAST(sv AS VARCHAR), ',' ORDER BY j) AS bucket
+         |  FROM sig GROUP BY 1, 2),
+         |cap_$nb AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT doc_id, band, bucket,
+         |           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+         |    FROM bands_$nb) t WHERE rn <= $MaxBucket),
+         |cand_$nb AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM cap_$nb a JOIN cap_$nb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |m_$nb AS (
+         |  SELECT CAST($nb AS BIGINT) AS bands, CAST($nr AS BIGINT) AS rows_per_band,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cand_$nb) AS n_cand,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cand_$nb c
+         |            JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS tp,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth)""".stripMargin
+    }
+    s"""WITH $lshCoreSql,
+       |truth AS (SELECT d1, d2 FROM ($d03Sql) t),
+       |${per.mkString(",\n")}
+       |SELECT bands, rows_per_band, n_cand, tp, n_truth,
+       |       CASE WHEN n_cand > 0 THEN round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END AS precision,
+       |       CASE WHEN n_truth > 0 THEN round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END AS recall
+       |FROM (SELECT * FROM m_32 UNION ALL SELECT * FROM m_16 UNION ALL SELECT * FROM m_8) u
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   // ------------------- d18 cross-source duplication matrix -------------
 
   /** d18: cross-source near-duplicate contamination matrix — the d04
@@ -1063,6 +1141,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     Q("p22_dedup_savings", p22, Some(p22Sql)),
+    Q("d19_lsh_sweep", d19, Some(d19Sql)),
     Q("d18_crosssource_matrix", d18, Some(d18Sql)),
     Q("d13_containment_dedup", d13, Some(d13Sql)),
     Q("d15_sorted_neighbors", d15, Some(d15Sql)),

@@ -915,9 +915,12 @@ object PipelineQueries {
     * sources saturate on this fixture, so the redistribution path is
     * actually exercised), exact integer arithmetic; the level is one
     * double division of exact integers, identical in both engines. */
-  private val p16: Fn = (s, d) => {
-    val stats = docs(s, d).groupBy("source")
-      .agg(sum(col("n_chars")).cast(LongType).as("c"))
+  /** The closed-form waterfill layer over a per-source (source, c)
+    * availability aggregate — p16's published algorithm, factored out
+    * so p23's quality-gated variant runs the IDENTICAL kernel. Extra
+    * columns on `stats` ride through untouched (p23 carries its
+    * quality moments alongside). */
+  private[queries] def waterfill(stats: DataFrame): DataFrame = {
     val wAll = Window.partitionBy(lit(1))
     val wOrd = Window.partitionBy(lit(1)).orderBy(col("c"), col("source"))
     val annotated = stats
@@ -942,16 +945,22 @@ object PipelineQueries {
           .otherwise(expr("CAST(water AS BIGINT)")))
       .withColumn("share",
         round(col("alloc_tokens").cast(DoubleType) / col("budget").cast(DoubleType), 6))
-    levelled.select("source", "c", "saturated", "alloc_tokens", "share")
+    levelled
+  }
+
+  private val p16: Fn = (s, d) =>
+    waterfill(docs(s, d).groupBy("source")
+      .agg(sum(col("n_chars")).cast(LongType).as("c")))
+      .select("source", "c", "saturated", "alloc_tokens", "share")
       .withColumnRenamed("c", "avail_tokens")
       .orderBy("source")
-  }
-  private val p16Sql =
-    """WITH stats AS (
-      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
-      |  FROM documents GROUP BY source),
-      |ann AS (
-      |  SELECT source, c,
+
+  /** p16's waterfill CTE chain on top of a CTE named `stats` with
+    * columns (source, c, ...extras) — relation `wl` holds the levelled
+    * rows (p16Sql and p23Sql both read it). */
+  private[queries] val waterfillCtes: String =
+    """ann AS (
+      |  SELECT *,
       |         sum(c) OVER () AS total,
       |         count(*) OVER () AS n_src,
       |         (sum(c) OVER ()) * 19 // 20 AS budget,
@@ -963,12 +972,82 @@ object PipelineQueries {
       |         CAST(c AS DOUBLE) <= CAST(budget - prefix AS DOUBLE) / CAST(n_src - k + 1 AS DOUBLE) AS saturated
       |  FROM ann),
       |fu AS (SELECT *, min(CASE WHEN NOT saturated THEN k END) OVER () AS first_unsat FROM lv),
-      |wl AS (SELECT *, min(CASE WHEN k = first_unsat THEN lvl END) OVER () AS water FROM fu)
-      |SELECT source, c AS avail_tokens, saturated,
-      |       CASE WHEN saturated THEN c ELSE CAST(trunc(water) AS BIGINT) END AS alloc_tokens,
-      |       round(CAST(CASE WHEN saturated THEN c ELSE CAST(trunc(water) AS BIGINT) END AS DOUBLE)
-      |             / CAST(budget AS DOUBLE), 6) AS share
+      |wl AS (SELECT *, min(CASE WHEN k = first_unsat THEN lvl END) OVER () AS water,
+      |       CASE WHEN saturated THEN c
+      |            ELSE CAST(trunc(min(CASE WHEN k = first_unsat THEN lvl END) OVER ()) AS BIGINT)
+      |       END AS alloc_tokens
+      |       FROM fu)""".stripMargin
+  private val p16Sql =
+    s"""WITH stats AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+      |  FROM documents GROUP BY source),
+      |$waterfillCtes
+      |SELECT source, c AS avail_tokens, saturated, alloc_tokens,
+      |       round(CAST(alloc_tokens AS DOUBLE) / CAST(budget AS DOUBLE), 6) AS share
       |FROM wl ORDER BY source""".stripMargin
+
+  // ------------------------------------- p23 quality-gated waterfilling
+
+  /** p23: quality-gated mixture waterfilling — the composition a real
+    * curation pipeline runs: gate every document through the t05
+    * quality score (threshold 0.18 ≈ the corpus median, so the gate
+    * genuinely bites), THEN waterfill the token budget across sources
+    * over the eligible pools only (the IDENTICAL [[waterfill]] kernel
+    * p16 ships — factored, not reimplemented). Output adds the gate's
+    * per-source evidence: eligible doc counts and the mean quality of
+    * what survived.
+    *
+    * Exactness: the gate compares the 6-dp-rounded score (identical
+    * doubles in both engines, the p14 precedent); the quality mean
+    * rides a per-doc round(q·1e6) nearest-integer fixed-point sum
+    * (t14's discipline, nearest instead of trunc because q's 6-dp grid
+    * makes q·1e6 integral up to the engines' ±1-ulp round() skew)
+    * divided once; waterfill arithmetic is p16's proven exact form.
+    * Scale shape: ONE corpus scan into the per-source aggregate; the
+    * waterfill windows ride the #sources relation (allowlisted class);
+    * empty gated pools keep their row with a NULL mean (the audit can
+    * never silently drop a starved source). */
+  private val p23: Fn = (s, d) => {
+    val thr = 0.18
+    val scored = docs(s, d).select(col("source"), col("n_chars"),
+      TextQueries.qualityScore.as("q"))
+    val stats = scored.groupBy("source").agg(
+      sum(when(col("q") >= thr, col("n_chars")).otherwise(lit(0L))).cast(LongType).as("c"),
+      count(lit(1)).as("n_docs_total"),
+      sum(when(col("q") >= thr, 1L).otherwise(0L)).cast(LongType).as("n_docs_eligible"),
+      // round-to-nearest, NOT trunc: q sits on a 6-dp grid so q·1e6 is
+      // integral up to ±1 ulp, and the two engines' round(x, 6) results
+      // can sit one ulp apart — trunc amplifies that ulp to a whole
+      // count, nearest-integer absorbs it (measured: sf0.001 src8)
+      sum(when(col("q") >= thr, round(col("q") * 1e6, 0).cast(LongType)).otherwise(lit(0L)))
+        .cast(LongType).as("q_fp"))
+    waterfill(stats)
+      .select(col("source"), col("n_docs_total"), col("n_docs_eligible"),
+        col("c").as("eligible_tokens"), col("saturated"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast(DoubleType) / col("budget").cast(DoubleType), 6).as("share"),
+        when(col("n_docs_eligible") > 0,
+          round(col("q_fp").cast(DoubleType) / 1e6 / col("n_docs_eligible").cast(DoubleType), 6))
+          .as("mean_quality"))
+      .orderBy("source")
+  }
+  private val p23Sql = {
+    val q = TextQueries.qualityScoreSql
+    s"""WITH scored AS (
+       |  SELECT source, n_chars, $q AS q FROM documents),
+       |stats AS (
+       |  SELECT source,
+       |         CAST(sum(CASE WHEN q >= 0.18 THEN n_chars ELSE 0 END) AS BIGINT) AS c,
+       |         CAST(count(*) AS BIGINT) AS n_docs_total,
+       |         CAST(sum(CASE WHEN q >= 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_eligible,
+       |         CAST(sum(CASE WHEN q >= 0.18 THEN CAST(round(q * 1e6, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_fp
+       |  FROM scored GROUP BY source),
+       |$waterfillCtes
+       |SELECT source, n_docs_total, n_docs_eligible, c AS eligible_tokens, saturated, alloc_tokens,
+       |       round(CAST(alloc_tokens AS DOUBLE) / CAST(budget AS DOUBLE), 6) AS share,
+       |       CASE WHEN n_docs_eligible > 0
+       |            THEN round(CAST(q_fp AS DOUBLE) / 1e6 / CAST(n_docs_eligible AS DOUBLE), 6) END AS mean_quality
+       |FROM wl ORDER BY source""".stripMargin
+  }
 
   // ------------------------------------------------ p17 compaction planner
 
@@ -1186,6 +1265,7 @@ object PipelineQueries {
     Q("p18_inference_batches", p18, Some(p18Sql)),
     Q("p17_compaction_plan", p17, Some(p17Sql)),
     Q("p16_mixture_waterfill", p16, Some(p16Sql)),
+    Q("p23_quality_waterfill", p23, Some(p23Sql)),
     Q("p15_preference_pairs", p15, Some(p15Sql)),
     Q("u08_split_leakage", u08, Some(u08Sql)),
     Q("p14_curriculum_bins", p14, Some(p14Sql)),

@@ -149,6 +149,52 @@ class ExtraQueries6Spec extends AnyFunSuite {
     }
   }
 
+  test("d19 sweep: counts consistent, truth matches d03, coarser banding never beats (32,2) recall") {
+    val rows = graft.SparkEntry.queries("d19_lsh_sweep")(spark, sf).collect()
+    assert(rows.length == 3)
+    val truth = graft.SparkEntry.queries("d03_ngram_jaccard")(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(4) == truth, "n_truth must equal the registered d03 pair count")
+      assert(r.getLong(3) <= r.getLong(2), "tp <= candidates")
+      assert(r.getLong(3) <= r.getLong(4), "tp <= truth")
+    }
+    val byCfg = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(byCfg.keySet == Set((32L, 2L), (16L, 4L), (8L, 8L)))
+    // banding theory: fewer rows per band can only ADD candidates, so the
+    // shipped (32,2) recall dominates the stricter configs
+    assert(byCfg((32L, 2L)).getDouble(6) >= byCfg((16L, 4L)).getDouble(6))
+    assert(byCfg((32L, 2L)).getDouble(6) >= byCfg((8L, 8L)).getDouble(6))
+  }
+
+  test("p23 allocations respect eligibility, budget conservation and brute-force quality means") {
+    val rows = graft.SparkEntry.queries("p23_quality_waterfill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "eligible <= total docs")
+      assert(r.getLong(5) <= r.getLong(3), "alloc <= eligible tokens")
+      if (!r.isNullAt(7)) assert(r.getDouble(7) >= 0.18, "mean quality of gated docs >= threshold")
+    }
+    val totalEligible = rows.map(_.getLong(3)).sum
+    val budget = totalEligible * 19 / 20
+    val alloc = rows.map(_.getLong(5)).sum
+    assert(alloc <= budget, "total allocation within budget")
+    assert(alloc >= budget - rows.length, "floor loss bounded by one token per source")
+    // brute-force the gate per source
+    val brute = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), graft.queries.TextQueries.qualityScore.as("q"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (src, xs) =>
+        src -> (xs.length.toLong, xs.count(_.getDouble(2) >= 0.18).toLong,
+          xs.filter(_.getDouble(2) >= 0.18).map(_.getLong(1)).sum)
+      }
+    rows.foreach { r =>
+      val (nTot, nElig, tok) = brute(r.getString(0))
+      assert(r.getLong(1) == nTot && r.getLong(2) == nElig && r.getLong(3) == tok,
+        s"${r.getString(0)}: gate counts")
+    }
+  }
+
   test("s20 assortativity matches a brute-force Pearson over the same graph") {
     val row = graft.SparkEntry.queries("s20_assortativity")(spark, sf).collect().head
     val edges = graft.SparkEntry.queries("s10_knn_graph")(spark, sf)

@@ -65,6 +65,9 @@ class PlanLintSpec extends AnyFunSuite {
     "p04_mixture_sample" -> AggBounded,
     "u04_skew_report" -> AggBounded,
     "p16_mixture_waterfill" -> AggBounded,
+    // p23: the same waterfill kernel over the quality-gated per-SOURCE
+    // aggregate — identical #sources-row input class as p16.
+    "p23_quality_waterfill" -> AggBounded,
     "p17_compaction_plan" -> AggBounded,
     "t19_zipf_fit" -> AggBounded,
     "r62_skyline" -> AggBounded,
