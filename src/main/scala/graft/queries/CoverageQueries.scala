@@ -198,6 +198,75 @@ object CoverageQueries {
       |WHERE e.event_type = 'error'
       |ORDER BY e.event_id, signup_ts NULLS FIRST""".stripMargin
 
+  /** m13: cross-origin byte-histogram drift — pairwise L1 distance
+    * between the per-origin mean 16-bucket byte distributions of the
+    * payloads: the corpus-level feature-drift audit a multimodal
+    * ingest runs to catch an origin whose encoder changed (m02 grades
+    * single payloads; this grades origins against each other, the PSI
+    * idea of u10 applied to the decode-path features).
+    *
+    * Exactness: bucket counts are exact BIGINTs per (origin, bucket)
+    * over a DENSE origin×bucket grid (absent buckets enter as zero
+    * through the grid left-join — an inner join would silently drop
+    * one-sided buckets and undercount the distance), and the L1
+    * numerator Σ_b |cnt_ab·tot_b − cnt_bb·tot_a| stays integer in
+    * DECIMAL(38,0); ONE rounded division by tot_a·tot_b per pair.
+    * Scale shape: the per-char explode is one map+keyed-count pass
+    * (at 100 TB the counts come from the batched decode partials —
+    * the same additive kernel); everything after rides the tiny
+    * #origins×16 grid and the #origins² pair relation. */
+  private val m13: Fn = (s, d) => {
+    val dec16 = (c: Column) => c.cast(DecimalType(38, 0))
+    val cnt = Tables.documents(s, d)
+      .select(col("source").as("origin"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy(col("origin"), (ascii(col("ch")) / 16).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val origins = cnt.select("origin").distinct()
+    val grid = origins
+      .crossJoin(broadcast(spark_range16(cnt.sparkSession)))
+      .join(cnt, Seq("origin", "bucket"), "left")
+      .select(col("origin"), col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.groupBy("origin").agg(sum(col("c")).cast(LongType).as("tot"))
+    val a = grid.join(tot, "origin")
+      .select(col("origin").as("oa"), col("bucket"), col("c").as("ca"), col("tot").as("ta"))
+    val b = grid.join(tot, "origin")
+      .select(col("origin").as("ob"), col("bucket"), col("c").as("cb"), col("tot").as("tb"))
+    a.join(b, Seq("bucket")).filter(col("oa") < col("ob"))
+      .groupBy(col("oa").as("origin_a"), col("ob").as("origin_b"))
+      .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(abs(dec16(col("ca")) * dec16(col("tb")) - dec16(col("cb")) * dec16(col("ta"))))
+          .cast(DecimalType(38, 0)).as("num"))
+      .select(col("origin_a"), col("origin_b"),
+        round(col("num").cast(DoubleType) /
+          (col("ta").cast(DoubleType) * col("tb").cast(DoubleType)), 6).as("l1_dist"))
+      .orderBy("origin_a", "origin_b")
+  }
+  /** The 16-bucket id relation (0..15) as a tiny broadcastable frame. */
+  private def spark_range16(s: SparkSession): DataFrame =
+    s.range(0, 16).select(col("id").cast(IntegerType).as("bucket"))
+  private val m13Sql =
+    """WITH cnt AS (
+      |  SELECT source AS origin, CAST(ascii(ch) // 16 AS INTEGER) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(split(text, '')) AS ch FROM documents) t
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT o.origin, r.bucket, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT origin FROM cnt) o
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) r
+      |  LEFT JOIN cnt c ON c.origin = o.origin AND c.bucket = r.bucket),
+      |tot AS (SELECT origin, CAST(sum(c) AS BIGINT) AS tot FROM grid GROUP BY origin),
+      |pairs AS (
+      |  SELECT a.origin AS origin_a, b.origin AS origin_b, a.bucket,
+      |         a.c AS ca, ta.tot AS ta, b.c AS cb, tb.tot AS tb
+      |  FROM grid a JOIN grid b ON a.bucket = b.bucket AND a.origin < b.origin
+      |  JOIN tot ta ON ta.origin = a.origin JOIN tot tb ON tb.origin = b.origin)
+      |SELECT origin_a, origin_b,
+      |       round(CAST(sum(abs(CAST(ca AS DECIMAL(38,0)) * tb - CAST(cb AS DECIMAL(38,0)) * ta)) AS DOUBLE)
+      |             / (CAST(max(ta) AS DOUBLE) * CAST(max(tb) AS DOUBLE)), 6) AS l1_dist
+      |FROM pairs GROUP BY 1, 2 ORDER BY origin_a, origin_b""".stripMargin
+
   /** Multimodal metadata projection over binary payloads (decode runs in
     * Multimodal.decodeFeatures; metadata/pruning layer is plain SQL). */
   private val m01: Fn = (s, d) =>
@@ -1002,6 +1071,7 @@ object CoverageQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("m13_histogram_drift", m13, Some(m13Sql)),
     Q("m09_phash_signatures", m09, Some(m09Sql)),
     Q("m10_phash_pairs", m10, Some(m10Sql)),
     Q("st5_stream_topk", st5, Some(st5Sql)),

@@ -277,6 +277,160 @@ object ExtraQueries6 {
        |FROM e ORDER BY edge""".stripMargin
   }
 
+  // -------------------------------------------- r91 Theil index
+
+  /** r91: Theil T inequality index of customer spend per region — the
+    * information-theoretic companion to r73's Gini: T = (Σ xᵢ·ln xᵢ)/T
+    * − ln(T/n) over per-customer totals x (scale-invariant, so the
+    * cent-integer basis cancels). Decomposable across groups, which is
+    * why inequality monitoring prefers it at mixture-audit time.
+    *
+    * Determinism: spend is exact cents (BIGINT); each ln(xc) is
+    * floored to a 1e-9 fixed-point NEAREST integer (the p23 lesson:
+    * nearest absorbs the engines' ±1-ulp libm skew where trunc
+    * amplifies it), products ride DECIMAL(38,0) so the Σ x·ln x sum
+    * cannot overflow at any corpus size; the final expression is one
+    * double subtraction of a single ln, rounded once — a 1-ulp ln μ
+    * skew is ~1e-15, far below the 6-dp boundary.
+    *
+    * Scale shape: orders⋈customer⋈nation into a (region, cust) partial
+    * aggregate, then a region-keyed reduction — two keyed shuffles,
+    * no windows. */
+  private val r91: Fn = (s, d) => {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+    val base = orders(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("o_custkey").as("cust"))
+      .agg((dsum(col("o_totalprice"), 2) * 100).cast(LongType).as("xc"))
+    base
+      .withColumn("lnfp", round(log(col("xc").cast(DoubleType)) * 1e9, 0).cast(LongType))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("xc")).cast(LongType).as("total_cents"),
+        sum(dec(col("xc")) * dec(col("lnfp"))).cast(DecimalType(38, 0)).as("s_fp"))
+      .select(col("region"), col("n_customers"), col("total_cents"),
+        round(
+          col("s_fp").cast(DoubleType) / (col("total_cents").cast(DoubleType) * 1e9) -
+            log(col("total_cents").cast(DoubleType) / col("n_customers").cast(DoubleType)),
+          6).as("theil"))
+      .orderBy("region")
+  }
+  private val r91Sql =
+    """WITH base AS (
+      |  SELECT n.n_regionkey AS region, o.o_custkey AS cust,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(24,2))) * 100 AS BIGINT) AS xc
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |fp AS (SELECT region, xc,
+      |              CAST(round(ln(CAST(xc AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lnfp
+      |       FROM base),
+      |st AS (
+      |  SELECT region, CAST(count(*) AS BIGINT) AS n_customers,
+      |         CAST(sum(xc) AS BIGINT) AS total_cents,
+      |         CAST(sum(CAST(xc AS DECIMAL(38,0)) * lnfp) AS DECIMAL(38,0)) AS s_fp
+      |  FROM fp GROUP BY region)
+      |SELECT region, n_customers, total_cents,
+      |       round(CAST(s_fp AS DOUBLE) / (CAST(total_cents AS DOUBLE) * 1e9)
+      |             - ln(CAST(total_cents AS DOUBLE) / CAST(n_customers AS DOUBLE)), 6) AS theil
+      |FROM st ORDER BY region""".stripMargin
+
+  // -------------------------------------------- r92 Spearman rho
+
+  /** r92: Spearman rank correlation (exact, tie-corrected) between
+    * order frequency and total spend per region — the distribution-free
+    * companion to r67's Pearson matrix: does ordering MORE OFTEN rank
+    * with spending MORE, monotonically, outlier-proof?
+    *
+    * Exactness: classical average ranks, carried DOUBLED so ties stay
+    * integer (2r = 2·|{x' < x}| + |{x'' = x}| + 1, from a cumulative
+    * window over the per-(region, value) count relation); rho is then
+    * Pearson over the integer doubled ranks via the r67 sufficient-
+    * statistics form in DECIMAL(38,0) — ONE double sqrt + division +
+    * round at the end (sqrt is IEEE-exact, so both engines agree).
+    * Spec-pinned to pandas' average-rank Spearman on the fixture.
+    *
+    * Scale shape: corpus work is the (region, cust) partial aggregate;
+    * the rank windows ride per-(region, value) COUNT relations (one
+    * row per distinct value, partitioned by region) and join back
+    * keyed — no corpus-sized window, no global window. */
+  private val r92: Fn = (s, d) => {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+    val base = orders(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("x"),
+        (dsum(col("o_totalprice"), 2) * 100).cast(LongType).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def doubledRanks(valueCol: String, outCol: String): DataFrame = {
+      val cnt = base.groupBy(col("region"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("region").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt.withColumn("cum", sum(col("c")).over(w) - col("c"))
+        .select(col("region"), col("v"),
+          (lit(2) * col("cum") + col("c") + 1).as(outCol))
+    }
+    val rx = doubledRanks("x", "rx2")
+      .withColumnRenamed("region", "rgx").withColumnRenamed("v", "xv")
+    val ry = doubledRanks("y", "ry2")
+      .withColumnRenamed("region", "rgy").withColumnRenamed("v", "yv")
+    base
+      .join(rx, col("region") === col("rgx") && col("x") === col("xv"))
+      .join(ry, col("region") === col("rgy") && col("y") === col("yv"))
+      .select(col("region"), col("rx2"), col("ry2"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("rx2"))).cast(DecimalType(38, 0)).as("sx"),
+        sum(dec(col("ry2"))).cast(DecimalType(38, 0)).as("sy"),
+        sum(dec(col("rx2")) * dec(col("rx2"))).cast(DecimalType(38, 0)).as("sxx"),
+        sum(dec(col("ry2")) * dec(col("ry2"))).cast(DecimalType(38, 0)).as("syy"),
+        sum(dec(col("rx2")) * dec(col("ry2"))).cast(DecimalType(38, 0)).as("sxy"))
+      .select(col("region"), col("n"),
+        round((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6)
+          .as("rho"))
+      .orderBy("region")
+  }
+  private val r92Sql =
+    """WITH base AS (
+      |  SELECT n.n_regionkey AS region, o.o_custkey AS cust,
+      |         CAST(count(*) AS BIGINT) AS x,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(24,2))) * 100 AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |xr AS (SELECT region, x AS v,
+      |         2*(sum(c) OVER (PARTITION BY region ORDER BY x
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rx2
+      |       FROM (SELECT region, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1,2) t),
+      |yr AS (SELECT region, y AS v,
+      |         2*(sum(c) OVER (PARTITION BY region ORDER BY y
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS ry2
+      |       FROM (SELECT region, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1,2) t),
+      |rk AS (
+      |  SELECT b.region, xr.rx2, yr.ry2
+      |  FROM base b JOIN xr ON b.region = xr.region AND b.x = xr.v
+      |              JOIN yr ON b.region = yr.region AND b.y = yr.v),
+      |st AS (
+      |  SELECT region, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(rx2) AS DECIMAL(38,0)) AS sx, CAST(sum(ry2) AS DECIMAL(38,0)) AS sy,
+      |         CAST(sum(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS DECIMAL(38,0)) AS sxx,
+      |         CAST(sum(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS DECIMAL(38,0)) AS syy,
+      |         CAST(sum(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS DECIMAL(38,0)) AS sxy
+      |  FROM rk GROUP BY region)
+      |SELECT region, n,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+      |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho
+      |FROM st ORDER BY region""".stripMargin
+
   // -------------------------------------------- t28 Simpson diversity
 
   /** t28: lexical-diversity profile per language — Simpson diversity
@@ -369,6 +523,8 @@ object ExtraQueries6 {
     Q("r88_apportionment", r88, Some(r88Sql)),
     Q("r89_runs_test", r89, Some(r89Sql)),
     Q("r90_seasonal_decompose", r90, Some(r90Sql)),
+    Q("r91_theil_index", r91, Some(r91Sql)),
+    Q("r92_spearman", r92, Some(r92Sql)),
     Q("t28_simpson_diversity", t28, Some(t28Sql)),
     Q("u18_candidate_keys", u18, Some(u18Sql)),
     Q("u19_fk_containment", u19, Some(u19Sql)))

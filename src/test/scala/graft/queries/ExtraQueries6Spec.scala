@@ -149,6 +149,80 @@ class ExtraQueries6Spec extends AnyFunSuite {
     }
   }
 
+  test("r91 Theil reproduces from a brute-force recompute and is non-negative") {
+    val rows = graft.SparkEntry.queries("r91_theil_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2))) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("xc"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    rows.foreach { r =>
+      val xs = base.filter(_._1 == r.getInt(0)).map(_._2.toDouble)
+      val t = xs.sum
+      val brute = xs.map(x => x * math.log(x)).sum / t - math.log(t / xs.length)
+      assert(math.abs(r.getDouble(3) - brute) < 1e-4, s"region ${r.getInt(0)}: theil")
+      assert(r.getDouble(3) >= 0.0, "Theil T is non-negative for positive inputs")
+      assert(r.getLong(1) == xs.length.toLong)
+    }
+  }
+
+  test("r92 Spearman matches a brute-force average-rank Pearson") {
+    val rows = graft.SparkEntry.queries("r92_spearman")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2))) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    def avgRanks(vs: Array[Long]): Map[Long, Double] =
+      vs.groupBy(identity).map { case (v, g) =>
+        v -> (vs.count(_ < v) + (g.length + 1) / 2.0)
+      }
+    rows.foreach { r =>
+      val grp = base.filter(_._1 == r.getInt(0))
+      val rx = avgRanks(grp.map(_._2)); val ry = avgRanks(grp.map(_._3))
+      val ps = grp.map(g => (rx(g._2), ry(g._3)))
+      val n = ps.length.toDouble
+      val (sx, sy) = (ps.map(_._1).sum, ps.map(_._2).sum)
+      val sxx = ps.map(p => p._1 * p._1).sum
+      val syy = ps.map(p => p._2 * p._2).sum
+      val sxy = ps.map(p => p._1 * p._2).sum
+      val brute = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getDouble(2) - brute) < 1e-6, s"region ${r.getInt(0)}: rho")
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("m13 drift is a symmetric-complete pair table with L1 in [0,2], brute-checked") {
+    val rows = graft.SparkEntry.queries("m13_histogram_drift")(spark, sf).collect()
+    val origins = graft.Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.length == origins.length * (origins.length - 1) / 2, "all unordered pairs present")
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 2.0))
+    // brute-force one pair from raw text bytes
+    val (oa, ob) = (origins(0), origins(1))
+    val hist = graft.Tables.documents(spark, sf)
+      .filter(col("source").isin(oa, ob)).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, ds) =>
+        val cnts = new Array[Long](16)
+        ds.foreach(_.getString(1).foreach(ch => cnts(ch.toInt / 16) += 1))
+        src -> cnts
+      }
+    val (ca, cb) = (hist(oa), hist(ob))
+    val (ta, tb) = (ca.sum.toDouble, cb.sum.toDouble)
+    val brute = (0 until 16).map(b => math.abs(ca(b) / ta - cb(b) / tb)).sum
+    val got = rows.find(r => r.getString(0) == oa && r.getString(1) == ob).get.getDouble(2)
+    assert(math.abs(got - brute) < 1e-5, s"$oa vs $ob: L1")
+  }
+
   test("d19 sweep: counts consistent, truth matches d03, coarser banding never beats (32,2) recall") {
     val rows = graft.SparkEntry.queries("d19_lsh_sweep")(spark, sf).collect()
     assert(rows.length == 3)
