@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 import graft.Tables
-import graft.queries.Relational.{Fn, Q}
+import graft.queries.Relational.{Fn, Q, money}
 
 /** Round-7 batch 6: allocation, randomness-testing, lexical-diversity
   * and key-discovery operators — largest-remainder apportionment of a
@@ -21,6 +21,7 @@ import graft.queries.Relational.{Fn, Q}
 object ExtraQueries6 {
 
   private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** Order-independent exact decimal sum (Relational.dsum twin). */
@@ -431,6 +432,105 @@ object ExtraQueries6 {
       |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho
       |FROM st ORDER BY region""".stripMargin
 
+  // -------------------------------------------- r93 clamped balance
+
+  /** r93: floor-clamped running inventory balance per supplier — the
+    * stock can never go negative, so the naive cumulative sum is wrong
+    * and the recurrence B_t = max(0, B_{t−1} + net_t) looks
+    * sequentially-dependent. It is not: by the Lindley-recursion
+    * closed form, B_t = S_t − min(0, min_{k≤t} S_k) where S is the
+    * plain cumulative sum — TWO ordered windows instead of a per-key
+    * scan loop, fully parallel across suppliers (spec-proven against
+    * the procedural clamp). Output is the per-supplier season report:
+    * final/peak balance, stockout-day count.
+    *
+    * Exactness: quantities are integral (the r80 fixture contract), so
+    * every balance is exact BIGINT; no doubles anywhere. Scale shape:
+    * one (supp, day) partial agg over the fact table; both windows and
+    * the closing reduction ride the supplier-keyed daily series. */
+  private val r93: Fn = (s, d) => {
+    val wCum = Window.partitionBy("supp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = lineitem(s, d)
+      .groupBy(col("l_suppkey").as("supp"), col("l_shipdate").as("day"))
+      .agg(sum(when(col("l_returnflag") === "R", col("l_quantity").cast(LongType))
+        .otherwise(-col("l_quantity").cast(LongType))).cast(LongType).as("net"))
+    daily.withColumn("s", sum(col("net")).over(wCum))
+      .withColumn("bal", (col("s") - least(lit(0L), min(col("s")).over(wCum))).cast(LongType))
+      .groupBy("supp")
+      .agg(count(lit(1)).as("n_days"),
+        max_by(col("bal"), col("day")).as("final_balance"),
+        max(col("bal")).as("peak_balance"),
+        sum(when(col("bal") === 0L, 1L).otherwise(0L)).cast(LongType).as("stockout_days"))
+      .orderBy("supp")
+  }
+  private val r93Sql =
+    """WITH daily AS (
+      |  SELECT l_suppkey AS supp, l_shipdate AS day,
+      |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+      |                       ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT supp, day, net,
+      |         CAST(sum(net) OVER (PARTITION BY supp ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM daily),
+      |bal AS (
+      |  SELECT supp, day,
+      |         CAST(s - least(0, min(s) OVER (PARTITION BY supp ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS bal
+      |  FROM cum)
+      |SELECT supp, CAST(count(*) AS BIGINT) AS n_days,
+      |       arg_max(bal, day) AS final_balance,
+      |       max(bal) AS peak_balance,
+      |       CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS stockout_days
+      |FROM bal GROUP BY supp ORDER BY supp""".stripMargin
+
+  // -------------------------------------------- r94 revenue proration
+
+  /** r94: revenue recognition by exact cent proration — each order's
+    * total is spread over the 3 months starting at its order date,
+    * with the integer-division remainder assigned to the EARLIEST
+    * months (the row-grain largest-remainder rule; r88's budget
+    * exactness at order grain): Σ recognized = Σ order totals to the
+    * cent, by construction, which a per-month rate multiply cannot
+    * guarantee. Output: the monthly recognized-revenue schedule.
+    *
+    * Exactness: cents are exact BIGINT; base = cents div 3 and the
+    * i < cents mod 3 bump are pure integer ops; month arithmetic
+    * (add-months with end-of-month clamping, then month truncation)
+    * agrees between Spark's `add_months` and DuckDB's `to_months`
+    * addition. Scale shape: a 3× explode of the fact table into a
+    * month-keyed partial aggregation — one shuffle to ~#months rows. */
+  private val r94: Fn = (s, d) => {
+    val o = orders(s, d).select(
+      (money(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+      to_date(col("o_orderdate")).as("day"))
+    o.select(col("cents"), col("day"), explode(sequence(lit(0), lit(2))).as("i"))
+      .select(
+        trunc(add_months(col("day"), col("i").cast(IntegerType)), "month").as("month"),
+        (expr("cents div 3") + when(col("i") < expr("cents % 3"), 1L).otherwise(0L))
+          .as("recognized"))
+      .groupBy("month")
+      .agg(sum(col("recognized")).cast(LongType).as("recognized_cents"),
+        count(lit(1)).as("n_slices"))
+      .orderBy("month")
+  }
+  private val r94Sql =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(o_orderdate AS DATE) AS day
+      |  FROM orders),
+      |sl AS (
+      |  SELECT cents, day, unnest(range(0, 3)) AS i FROM o),
+      |rec AS (
+      |  SELECT CAST(date_trunc('month', day + to_months(CAST(i AS INTEGER))) AS DATE) AS month,
+      |         cents // 3 + CASE WHEN i < cents % 3 THEN 1 ELSE 0 END AS recognized
+      |  FROM sl)
+      |SELECT month, CAST(sum(recognized) AS BIGINT) AS recognized_cents,
+      |       CAST(count(*) AS BIGINT) AS n_slices
+      |FROM rec GROUP BY month ORDER BY month""".stripMargin
+
   // -------------------------------------------- t28 Simpson diversity
 
   /** t28: lexical-diversity profile per language — Simpson diversity
@@ -525,6 +625,8 @@ object ExtraQueries6 {
     Q("r90_seasonal_decompose", r90, Some(r90Sql)),
     Q("r91_theil_index", r91, Some(r91Sql)),
     Q("r92_spearman", r92, Some(r92Sql)),
+    Q("r93_clamped_balance", r93, Some(r93Sql)),
+    Q("r94_revenue_proration", r94, Some(r94Sql)),
     Q("t28_simpson_diversity", t28, Some(t28Sql)),
     Q("u18_candidate_keys", u18, Some(u18Sql)),
     Q("u19_fk_containment", u19, Some(u19Sql)))

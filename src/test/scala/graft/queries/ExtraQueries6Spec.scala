@@ -149,6 +149,41 @@ class ExtraQueries6Spec extends AnyFunSuite {
     }
   }
 
+  test("r93 Lindley closed form equals the procedural clamp on every supplier") {
+    val rows = graft.SparkEntry.queries("r93_clamped_balance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey").as("supp"), col("l_shipdate").as("day"))
+      .agg(sum(when(col("l_returnflag") === "R", col("l_quantity").cast(org.apache.spark.sql.types.LongType))
+        .otherwise(-col("l_quantity").cast(org.apache.spark.sql.types.LongType))).as("net"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    rows.foreach { r =>
+      val series = daily.filter(_._1 == r.getLong(0)).sortBy(_._2).map(_._3)
+      var bal = 0L; var peak = 0L; var stockouts = 0L
+      series.foreach { net =>
+        bal = math.max(0L, bal + net)
+        peak = math.max(peak, bal)
+        if (bal == 0L) stockouts += 1
+      }
+      assert(r.getLong(1) == series.length.toLong, s"supp ${r.getLong(0)}: n_days")
+      assert(r.getLong(2) == bal, s"supp ${r.getLong(0)}: final")
+      assert(r.getLong(3) == peak, s"supp ${r.getLong(0)}: peak")
+      assert(r.getLong(4) == stockouts, s"supp ${r.getLong(0)}: stockouts")
+    }
+  }
+
+  test("r94 proration conserves every cent and emits exactly 3 slices per order") {
+    val rows = graft.SparkEntry.queries("r94_revenue_proration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = graft.Tables.orders(spark, sf)
+      .agg(sum((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast(org.apache.spark.sql.types.LongType)).as("cents"),
+        count(lit(1)).as("n")).collect().head
+    assert(rows.map(_.getLong(1)).sum == o.getLong(0),
+      "recognized revenue must conserve order totals to the cent")
+    assert(rows.map(_.getLong(2)).sum == 3L * o.getLong(1), "3 slices per order")
+  }
+
   test("r91 Theil reproduces from a brute-force recompute and is non-negative") {
     val rows = graft.SparkEntry.queries("r91_theil_index")(spark, sf).collect()
     assert(rows.nonEmpty)
