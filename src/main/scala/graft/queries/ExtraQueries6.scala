@@ -22,6 +22,7 @@ object ExtraQueries6 {
 
   private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
   private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** Order-independent exact decimal sum (Relational.dsum twin). */
@@ -531,6 +532,69 @@ object ExtraQueries6 {
       |       CAST(count(*) AS BIGINT) AS n_slices
       |FROM rec GROUP BY month ORDER BY month""".stripMargin
 
+  // -------------------------------------------- r95 growth accounting
+
+  /** r95: daily growth accounting — the canonical DAU decomposition
+    * every product-analytics stack ships: each active (user, day) is
+    * NEW (first day ever), RETAINED (also active the previous calendar
+    * day) or RESURRECTED (returning after a gap), and CHURNED(d) counts
+    * users whose previous activity was d−1 with nothing on d. The
+    * identity active(d) = new + retained + resurrected and
+    * churned(d) = active(d−1) − retained(d) are spec-asserted — an
+    * accounting that doesn't balance is wrong by construction.
+    *
+    * Exactness: pure set logic on exact dates; no doubles at all.
+    * Scale shape: one DISTINCT to the (user, day) activity grain, one
+    * user-partitioned lag/min window over it (fine-grained key — never
+    * a hot reducer), and day-keyed count reductions; the churn side is
+    * the same relation shifted one day. */
+  private val r95: Fn = (s, d) => {
+    val wu = Window.partitionBy("user_id").orderBy("day")
+    val active = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("prev", lag(col("day"), 1).over(wu))
+      .withColumn("first", min(col("day")).over(
+        Window.partitionBy("user_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flows = active.groupBy("day").agg(
+      sum(when(col("day") === col("first"), 1L).otherwise(0L)).cast(LongType).as("n_new"),
+      sum(when(col("prev") === date_add(col("day"), -1), 1L).otherwise(0L))
+        .cast(LongType).as("n_retained"),
+      sum(when(col("day") =!= col("first") &&
+        (col("prev").isNull || col("prev") < date_add(col("day"), -1)), 1L)
+        .otherwise(0L)).cast(LongType).as("n_resurrected"))
+    val prevActive = active.groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("prev_active"))
+    flows.join(prevActive, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        (col("n_new") + col("n_retained") + col("n_resurrected")).as("n_active"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained")).cast(LongType)
+          .as("n_churned"))
+      .orderBy("day")
+  }
+  private val r95Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |ann AS (
+      |  SELECT user_id, day,
+      |         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |         min(day) OVER (PARTITION BY user_id) AS first
+      |  FROM act),
+      |flows AS (
+      |  SELECT day,
+      |         CAST(sum(CASE WHEN day = first THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |         CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |         CAST(sum(CASE WHEN day <> first AND (prev IS NULL OR prev < day - 1)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM ann GROUP BY day),
+      |pa AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS prev_active
+      |       FROM act GROUP BY 1)
+      |SELECT f.day, n_new, n_retained, n_resurrected,
+      |       n_new + n_retained + n_resurrected AS n_active,
+      |       CAST(COALESCE(pa.prev_active, 0) - n_retained AS BIGINT) AS n_churned
+      |FROM flows f LEFT JOIN pa ON f.day = pa.day
+      |ORDER BY f.day""".stripMargin
+
   // -------------------------------------------- t28 Simpson diversity
 
   /** t28: lexical-diversity profile per language — Simpson diversity
@@ -627,6 +691,7 @@ object ExtraQueries6 {
     Q("r92_spearman", r92, Some(r92Sql)),
     Q("r93_clamped_balance", r93, Some(r93Sql)),
     Q("r94_revenue_proration", r94, Some(r94Sql)),
+    Q("r95_growth_accounting", r95, Some(r95Sql)),
     Q("t28_simpson_diversity", t28, Some(t28Sql)),
     Q("u18_candidate_keys", u18, Some(u18Sql)),
     Q("u19_fk_containment", u19, Some(u19Sql)))

@@ -1328,7 +1328,103 @@ object SimilarityQueries {
        |             CAST(CAST(m2 AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 6) AS assortativity
        |FROM st""".stripMargin
 
+  val BeamRounds = 4
+  val BeamWidth = 16
+  val BeamOut = 5
+
+  /** s21: graph-ANN beam search over the s10 kNN graph — the HNSW-style
+    * query path: start at a fixed entry node, repeatedly expand the
+    * current beam's out-neighbors, score against the query, keep the
+    * best [[BeamWidth]] per query, [[BeamRounds]] rounds, then report
+    * the top-[[NumQueries]] hits. The fourth [[SharedPools]] graph
+    * consumer: s10 builds the index, s19/s20 audit it, s21 QUERIES it —
+    * together the full lifecycle of a graph-ANN deployment, with s11's
+    * recall harness grading the result in DedupSimilaritySpec.
+    *
+    * Determinism/oracle: fixed entry (lowest node id), 4-dp-rounded
+    * cosine with node-id tiebreaks at every beam cut, bounded rounds —
+    * the whole search unrolls into generated SQL CTEs like s12's
+    * PageRank. Scale shape: each round is one keyed join of the tiny
+    * beam relation (|Q|·beam rows) against the edge list plus one
+    * keyed embedding-lookup join — the classic "graph walk beats scan"
+    * trade; rounds persist+materialize (the d08 loop discipline: the
+    * beam feeds two branches per round, and a lazy chain would
+    * exponentially recompute round 0). */
+  private val s21: Fn = (s, d) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val q = queriesDf(s, d)
+    val edges = knnPool(s, d).select(col("a_id"), col("b_id"))
+    val e = emb(s, d).select(col("vec_id").as("node"), col("embedding").as("nv"))
+    val entry = edges.agg(min(col("a_id")).as("node"))
+    def score(df: DataFrame): DataFrame = // (q_id, qv, node) -> + sim
+      df.join(e, Seq("node"))
+        .withColumn("sim", round(VectorOps.cosine(col("qv"), col("nv")), 4))
+        .drop("nv")
+    val wb = Window.partitionBy("q_id").orderBy(desc("sim"), col("node"))
+    var beam = score(q.crossJoin(broadcast(entry))).persist(lvl)
+    beam.count()
+    val olds = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to BeamRounds) {
+      val expanded = beam.select(col("q_id"), col("qv"), col("node"))
+        .join(edges, col("node") === col("a_id"))
+        .select(col("q_id"), col("qv"), col("b_id").as("node"))
+        .distinct()
+      val next = score(expanded).unionByName(beam)
+        .dropDuplicates("q_id", "node")
+        .withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= BeamWidth).drop("rk")
+        .persist(lvl)
+      next.count()
+      olds += beam
+      beam = next
+    }
+    val out = beam.filter(col("node") =!= col("q_id"))
+      .withColumn("rk", row_number().over(wb).cast(LongType))
+      .filter(col("rk") <= BeamOut)
+      .select(col("q_id"), col("rk"), col("node").as("vec_id"), col("sim"))
+      .orderBy("q_id", "rk")
+    olds.result().foreach(_.unpersist(false))
+    out
+  }
+  private def s21Sql: String = {
+    val cos = (a: String, b: String) =>
+      s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+         |      sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]) *
+         |           list_dot_product($b::DOUBLE[], $b::DOUBLE[])), 4)""".stripMargin
+    val rounds = (1 to BeamRounds).map { k =>
+      s"""exp$k AS (
+         |  SELECT DISTINCT b.q_id, ed.b_id AS node
+         |  FROM b${k - 1} b JOIN edges ed ON b.node = ed.a_id),
+         |sc$k AS (
+         |  SELECT x.q_id, x.node, ${cos("q.qv", "e.embedding")} AS sim
+         |  FROM exp$k x JOIN q ON q.q_id = x.q_id
+         |  JOIN embeddings e ON e.vec_id = x.node),
+         |u$k AS (
+         |  SELECT q_id, node, sim FROM sc$k UNION
+         |  SELECT q_id, node, sim FROM b${k - 1}),
+         |b$k AS (
+         |  SELECT q_id, node, sim FROM (
+         |    SELECT q_id, node, sim,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rk
+         |    FROM u$k) t WHERE rk <= $BeamWidth)""".stripMargin
+    }
+    s"""WITH knn AS ($s10Sql),
+       |edges AS (SELECT a_id, b_id FROM knn),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |entry AS (SELECT min(a_id) AS node FROM edges),
+       |b0 AS (
+       |  SELECT q.q_id, e.vec_id AS node, ${cos("q.qv", "e.embedding")} AS sim
+       |  FROM q CROSS JOIN entry JOIN embeddings e ON e.vec_id = entry.node),
+       |${rounds.mkString(",\n")}
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, node AS vec_id, sim FROM (
+       |  SELECT q_id, node, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rk
+       |  FROM b$BeamRounds WHERE node <> q_id) t
+       |WHERE rk <= $BeamOut ORDER BY q_id, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("s21_graph_search", s21, Some(s21Sql)),
     Q("s20_assortativity", s20, Some(s20Sql)),
     Q("s19_triangle_census", s19, Some(s19Sql)),
     Q("s14_knn_classify", s14, Some(s14Sql)),

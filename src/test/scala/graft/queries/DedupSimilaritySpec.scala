@@ -564,4 +564,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val b = run("s12_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("s21 beam search: sane per-query structure and measured recall floor vs exact") {
+    val beam = run("s21_graph_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(beam.nonEmpty)
+    beam.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= SimilarityQueries.BeamOut, s"q$q: at most BeamOut hits")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"q$q: dense ranks")
+      assert(rs.forall(_._3 != q), s"q$q: never returns the query itself")
+      val ordered = rs.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b }, s"q$q: sims ordered")
+    }
+    // measured recall@5 vs the exact s01 top-5 on this fixture is 0.72
+    // (random embeddings are the graph-ANN worst case; the floor guards
+    // against a silent walk regression, not an absolute quality bar)
+    val exact = run("s01_ann_bruteforce").collect()
+      .filter(_.getLong(1) <= SimilarityQueries.BeamOut)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = beam.map(b => (b._1, b._3)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"beam recall@5 fell to $recall")
+  }
 }

@@ -149,6 +149,36 @@ class ExtraQueries6Spec extends AnyFunSuite {
     }
   }
 
+  test("r95 growth accounting balances and matches a brute-force user timeline") {
+    val rows = graft.SparkEntry.queries("r95_growth_accounting")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val act = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = act.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted.toVector }
+    val activeByDay = act.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      var nNew = 0L; var nRet = 0L; var nRes = 0L
+      byUser.values.foreach { days =>
+        val i = days.indexOf(day)
+        if (i >= 0) {
+          if (i == 0) nNew += 1
+          else if (days(i - 1) == day.minusDays(1)) nRet += 1
+          else nRes += 1
+        }
+      }
+      assert(r.getLong(1) == nNew, s"$day: new")
+      assert(r.getLong(2) == nRet, s"$day: retained")
+      assert(r.getLong(3) == nRes, s"$day: resurrected")
+      assert(r.getLong(4) == nNew + nRet + nRes, s"$day: active identity")
+      val churnBrute = activeByDay.getOrElse(day.minusDays(1), 0L) - nRet
+      assert(r.getLong(5) == churnBrute, s"$day: churn identity")
+    }
+    // totals: every first activity is counted new exactly once
+    assert(rows.map(_.getLong(1)).sum == byUser.size.toLong, "Σnew = distinct users")
+  }
+
   test("r93 Lindley closed form equals the procedural clamp on every supplier") {
     val rows = graft.SparkEntry.queries("r93_clamped_balance")(spark, sf).collect()
     assert(rows.nonEmpty)
