@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Round-7 batch 7: time-series diagnostics, text readability, and a
+  * pipeline-freshness audit — sample autocorrelation of the daily
+  * revenue series, Flesch reading-ease scoring with a deterministic
+  * syllable proxy, and per-event-type staleness/age percentiles.
+  *
+  * Same determinism discipline as ExtraQueries3–6: exact integer/decimal
+  * sufficient statistics, transcendentals only per-scalar, counting-based
+  * exact percentiles (never a corpus-sized global window), unique-key
+  * tiebreaks wherever order matters.
+  */
+object ExtraQueries7 {
+
+  private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  // -------------------------------------------- r96 autocorrelation
+
+  val AcfMaxLag = 7
+
+  /** r96: sample autocorrelation function of the daily-revenue series at
+    * lags 1..[[AcfMaxLag]] — the standard pre-model diagnostic for any
+    * forecast pipeline (a weekly cadence shows up as a lag-7 peak; the
+    * r90 seasonal decomposition ASSUMES the period this query measures).
+    * Uses the textbook estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * over the day-ordered revenue sequence.
+    *
+    * Exactness: daily revenues are exact cent sums; multiplying the
+    * estimator through by n² clears the mean division, so BOTH engines
+    * evaluate r_k = (n²P_k − nS(H_k+T_k) + (n−k)S²) / (n²Q − nS²) on
+    * identical DECIMAL(38,0)/HUGEINT integers (P_k = Σx_t·x_{t+k},
+    * H/T = head/tail sums, S/Q = global sum/sum-of-squares) — ONE double
+    * division per lag, rounded once. The r67 sufficient-statistics
+    * pattern, lifted to the lagged pair relation.
+    * Scale shape: one corpus-sized keyed day aggregate; everything after
+    * runs on the #days-row series (the row_number index window is over
+    * that aggregate — AggBounded in PlanLintSpec, r62's class). The lag
+    * join is an equi-join on t+k with the 7 lags exploded map-side. */
+  private val r96: Fn = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("x"))
+    val series = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .select(col("t"), col("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = series.agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(dec(col("x"))).cast(DecimalType(38, 0)).as("sx"),
+      sum((dec(col("x")) * dec(col("x"))).cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).as("qx"))
+    val left = series.select(col("t"), col("x").as("xa"),
+      explode(array((1 to AcfMaxLag).map(lit): _*)).as("lag"))
+    val st = left
+      .join(series.select(col("t").as("t2"), col("x").as("xb")),
+        col("t2") === col("t") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((dec(col("xa")) * dec(col("xb"))).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("pk"),
+        sum(dec(col("xa"))).cast(DecimalType(38, 0)).as("hk"),
+        sum(dec(col("xb"))).cast(DecimalType(38, 0)).as("tk"))
+    st.crossJoin(broadcast(g))
+      .select(col("lag").cast(LongType).as("lag"), col("n_pairs"),
+        round(
+          (col("n") * col("n") * col("pk") - col("n") * col("sx") * (col("hk") + col("tk"))
+            + (col("n") - dec(col("lag"))) * col("sx") * col("sx")).cast(DoubleType)
+            / (col("n") * col("n") * col("qx") - col("n") * col("sx") * col("sx"))
+            .cast(DoubleType), 6).as("acf"))
+      .orderBy("lag")
+  }
+  private val r96Sql =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS HUGEINT) AS x
+       |  FROM orders GROUP BY 1),
+       |series AS (SELECT row_number() OVER (ORDER BY day) AS t, x FROM daily),
+       |g AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(x) AS HUGEINT) AS sx,
+       |         CAST(sum(x * x) AS HUGEINT) AS qx
+       |  FROM series),
+       |lagged AS (
+       |  SELECT l.lag, a.x AS xa, b.x AS xb
+       |  FROM series a
+       |  CROSS JOIN (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag) l
+       |  JOIN series b ON b.t = a.t + l.lag),
+       |st AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(xa * xb) AS HUGEINT) AS pk,
+       |         CAST(sum(xa) AS HUGEINT) AS hk,
+       |         CAST(sum(xb) AS HUGEINT) AS tk
+       |  FROM lagged GROUP BY lag)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |       round(CAST(n * n * pk - n * sx * (hk + tk) + (n - lag) * sx * sx AS DOUBLE)
+       |             / CAST(n * n * qx - n * sx * sx AS DOUBLE), 6) AS acf
+       |FROM st CROSS JOIN g ORDER BY lag""".stripMargin
+
+  // -------------------------------------------- t30 readability
+
+  /** t30: Flesch reading-ease scoring per document — the classic
+    * readability quality signal (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words) with a deterministic syllable proxy: the
+    * number of vowel-letter groups per token, floored at 1 (the standard
+    * dictionary-free approximation; both engines run the identical
+    * regex). Readability is a stock column in web-corpus quality
+    * filtering alongside t05's heuristic score and t14's perplexity.
+    *
+    * Exactness: word/sentence/syllable counts are exact integers from
+    * identical split/regex semantics (space split = the house tokenizer;
+    * sentence split on [.!?]+ keeping non-blank fragments); the score is
+    * one double expression over those integers, rounded once.
+    * Scale shape: pure map-side per-document work — higher-order
+    * transform/aggregate over the token array, NO explode-regroup
+    * shuffle; the only shuffle is the output ORDER BY. */
+  private val t30: Fn = (s, d) => {
+    val words = split(col("text"), " ")
+    val sents = filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > lit(0))
+    val syl = aggregate(
+      transform(words, w =>
+        greatest(lit(1), size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, x) => acc + x)
+    documents(s, d)
+      .select(col("doc_id"),
+        greatest(lit(1), size(words)).cast(LongType).as("n_words"),
+        greatest(lit(1), size(sents)).cast(LongType).as("n_sentences"),
+        syl.cast(LongType).as("n_syllables"))
+      .withColumn("fre", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType))
+          - lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType)),
+        4))
+      .orderBy("doc_id")
+  }
+  private val t30Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         GREATEST(1, len(string_split(text, ' '))) AS n_words,
+      |         GREATEST(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+      |                                     x -> len(trim(x)) > 0))) AS n_sentences,
+      |         list_sum(list_transform(string_split(text, ' '),
+      |           w -> GREATEST(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))) AS n_syll
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |       CAST(n_sentences AS BIGINT) AS n_sentences,
+      |       CAST(n_syll AS BIGINT) AS n_syllables,
+      |       round(206.835
+      |             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |             - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS fre
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- u20 freshness audit
+
+  /** u20: per-event-type freshness audit — how stale is each event
+    * stream relative to the newest event anywhere (the watermark every
+    * ingestion SLA is written against), plus exact p50/p95 event ages.
+    * A type whose staleness_min spikes is a dead producer; a type whose
+    * p95 age drifts up is a backlogged one.
+    *
+    * Exactness: ages are integer minutes from exact microsecond
+    * arithmetic (the r72 epoch-micros idiom; / then cast truncates
+    * toward zero in both engines for these non-negative values).
+    * Percentiles use the COUNTING method — value at cumulative rank
+    * ⌈q·n⌉ — not a corpus-sized rank window: the corpus reduces to a
+    * (type, age_min) histogram first, and the cumulative window runs
+    * over that bounded aggregate, partitioned by type (the r66/p14
+    * scale-safe exact-percentile form). */
+  private val u20: Fn = (s, d) => {
+    val ev = events(s, d).select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val gmax = ev.agg(max(col("us")).as("gmax"))
+    val aged = ev.crossJoin(broadcast(gmax))
+      .withColumn("age_min", ((col("gmax") - col("us")) / lit(60000000L)).cast(LongType))
+    val hist = aged.groupBy("event_type", "age_min").agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy("event_type").orderBy("age_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wt))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    cum.groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        min(col("age_min")).as("staleness_min"),
+        max(col("age_min")).as("max_age_min"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("age_min"))).as("p50_age_min"),
+        min(when(col("cum") >= ceil(col("n") * 0.95), col("age_min"))).as("p95_age_min"))
+      .orderBy("event_type")
+  }
+  private val u20Sql =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |gmax AS (SELECT max(us) AS gmax FROM ev),
+      |aged AS (
+      |  SELECT event_type, CAST((gmax - us) // 60000000 AS BIGINT) AS age_min
+      |  FROM ev CROSS JOIN gmax),
+      |hist AS (SELECT event_type, age_min, count(*) AS c FROM aged GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, age_min,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY age_min
+      |                      ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      |       min(age_min) AS staleness_min, max(age_min) AS max_age_min,
+      |       min(CASE WHEN cum >= ceil(n * 0.5) THEN age_min END) AS p50_age_min,
+      |       min(CASE WHEN cum >= ceil(n * 0.95) THEN age_min END) AS p95_age_min
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("r96_autocorrelation", r96, Some(r96Sql)),
+    Q("t30_readability", t30, Some(t30Sql)),
+    Q("u20_freshness_audit", u20, Some(u20Sql)))
+}

@@ -1328,6 +1328,145 @@ object SimilarityQueries {
        |             CAST(CAST(m2 AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 6) AS assortativity
        |FROM st""".stripMargin
 
+  // ---------------- s22 Adamic-Adar link prediction ------------------
+
+  /** s22: Adamic–Adar link prediction over the s10 kNN graph — score
+    * every non-adjacent pair that shares at least one neighbor by
+    * Σ_z 1/ln(deg(z)) over the common neighbors z (Adamic & Adar 2003),
+    * and report the top 20 predicted links. On a similarity graph these
+    * are the "missing edges" a graph-ANN index build would add next, and
+    * the standard link-prediction baseline every graph stack ships.
+    *
+    * Exactness: degrees are exact counts; each 1/ln(deg) is truncated to
+    * 1e-9 fixed point BEFORE the per-pair sum (the t14 ln discipline), so
+    * summation order cannot move the hash; a common neighbor has deg ≥ 2
+    * by construction so ln is never 0. Top-20 cut orders by the exact
+    * fixed-point score with (a,b) tiebreaks — no window, the orderBy+limit
+    * lowers to TakeOrderedAndProject (the q08 bounded-heap idiom).
+    * Scale shape: the wedge join is keyed on the shared middle node and
+    * fans out to Σ deg² ≤ (2K)·N·K rows on a kNN graph (out-degree K,
+    * in-degree capped by the candidate cells); the existing-edge check is
+    * a keyed LEFT ANTI join; degree weights are a |V|-row broadcastable
+    * dimension. */
+  private val s22: Fn = (s, d) => {
+    val und = knnPool(s, d)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+    val wfp = sym.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+      .withColumn("w", (lit(1.0) / log(col("deg").cast(DoubleType)) * 1e9).cast(LongType))
+    val cand = sym.as("n1").join(sym.as("n2"),
+        col("n1.x") === col("n2.x") && col("n1.y") < col("n2.y"))
+      .select(col("n1.y").as("a"), col("n2.y").as("b"), col("n1.x").as("z"))
+    val open = cand.join(und, col("a") === col("u") && col("b") === col("v"), "left_anti")
+    open.join(wfp, col("z") === col("id"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("score_fp"))
+      .orderBy(desc("score_fp"), col("a"), col("b"))
+      .limit(20)
+      .select(col("a").as("a_id"), col("b").as("b_id"), col("n_common"),
+        round(col("score_fp").cast(DoubleType) / 1e9, 6).as("aa_score"))
+  }
+  private val s22Sql =
+    s"""WITH knn AS ($s10Sql),
+       |und AS (
+       |  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+       |sym AS (SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und),
+       |wfp AS (
+       |  SELECT x AS id,
+       |         CAST(trunc(1.0 / ln(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT) AS w
+       |  FROM sym GROUP BY x),
+       |cand AS (
+       |  SELECT n1.y AS a, n2.y AS b, n1.x AS z
+       |  FROM sym n1 JOIN sym n2 ON n1.x = n2.x AND n1.y < n2.y),
+       |open AS (
+       |  SELECT c.a, c.b, c.z FROM cand c
+       |  LEFT JOIN und e ON e.u = c.a AND e.v = c.b
+       |  WHERE e.u IS NULL),
+       |sc AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+       |         CAST(sum(w) AS BIGINT) AS score_fp
+       |  FROM open JOIN wfp ON open.z = wfp.id GROUP BY a, b)
+       |SELECT a AS a_id, b AS b_id, n_common,
+       |       round(CAST(score_fp AS DOUBLE) / 1e9, 6) AS aa_score
+       |FROM sc ORDER BY score_fp DESC, a, b LIMIT 20""".stripMargin
+
+  // ---------------- s23 label-propagation communities -----------------
+
+  val LpaRounds = 4
+
+  /** s23: synchronous label propagation (Raghavan et al. 2007) over the
+    * s10 kNN graph — [[LpaRounds]] deterministic rounds where every node
+    * adopts the most frequent label among its neighbors (smallest label
+    * breaks frequency ties), starting from label = own id; output is the
+    * community-size profile. The community structure of a similarity
+    * graph is what semantic dedup (d11) and cluster-exemplar selection
+    * (s15) consume downstream — LPA finds it without the distance
+    * computations k-means needs.
+    *
+    * Determinism: synchronous updates + (count DESC, label ASC) tie-break
+    * make every round a pure function of the previous labeling, so the
+    * whole run unrolls into generated SQL CTEs (the s12/s21 discipline);
+    * fixed round count sidesteps LPA's oscillation pathology.
+    * Scale shape: each round is ONE keyed join of the N·2K edge list
+    * against the |V|-row label relation, a (node,label)-keyed count, and
+    * a node-partitioned rank — all fine-grained keys; rounds
+    * persist+materialize (d08 loop discipline) so the lineage never
+    * re-executes round 0 four times. */
+  private val s23: Fn = (s, d) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = knnPool(s, d)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .persist(lvl)
+    val sym = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+    val wn = Window.partitionBy("node").orderBy(desc("cnt"), col("label"))
+    var lab = sym.select(col("node")).distinct().withColumn("label", col("node"))
+      .persist(lvl)
+    lab.count()
+    val olds = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to LpaRounds) {
+      val next = sym
+        .join(lab.select(col("node").as("lnode"), col("label")), col("nbr") === col("lnode"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wn))
+        .filter(col("rk") === 1)
+        .select("node", "label")
+        .persist(lvl)
+      next.count()
+      olds += lab
+      lab = next
+    }
+    val out = lab.groupBy("label").agg(count(lit(1)).as("n_members")).orderBy("label")
+    olds.result().foreach(_.unpersist(false))
+    out
+  }
+  private def s23Sql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT s.node, l.label, count(*) AS cnt
+         |  FROM sym s JOIN l${k - 1} l ON s.nbr = l.node GROUP BY s.node, l.label),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rk
+         |    FROM c$k) t WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH knn AS ($s10Sql),
+       |und AS (
+       |  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+       |sym AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM sym),
+       |${rounds.mkString(",\n")}
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$LpaRounds GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val BeamRounds = 4
   val BeamWidth = 16
   val BeamOut = 5
@@ -1424,6 +1563,8 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("s23_communities", s23, Some(s23Sql)),
+    Q("s22_adamic_adar", s22, Some(s22Sql)),
     Q("s21_graph_search", s21, Some(s21Sql)),
     Q("s20_assortativity", s20, Some(s20Sql)),
     Q("s19_triangle_census", s19, Some(s19Sql)),

@@ -565,6 +565,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("s22 adamic-adar equals the brute-force score on the full edge set") {
+    val und = run("s10_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nbrs = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val deg = nbrs.map { case (n, xs) => n -> xs.size }
+    val cand = for {
+      z <- nbrs.keys.toSeq
+      ys = nbrs(z).toSeq.sorted
+      i <- ys.indices; j <- (i + 1) until ys.length
+      if !und.contains((ys(i), ys(j)))
+    } yield (ys(i), ys(j), z)
+    val brute = cand.groupBy(c => (c._1, c._2)).map { case (pair, zs) =>
+      val fp = zs.map(c => (1.0 / math.log(deg(c._3).toDouble) * 1e9).toLong).sum
+      (pair._1, pair._2, zs.size.toLong, fp)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = run("s22_adamic_adar").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == brute.length && got.nonEmpty)
+    got.zip(brute).foreach { case ((a, b, nc, sc), (ba, bb, bnc, bfp)) =>
+      assert((a, b, nc) == (ba, bb, bnc), s"pair mismatch: ($a,$b) vs ($ba,$bb)")
+      assert(sc == BigDecimal(bfp.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"score mismatch at ($a,$b)")
+    }
+    // every reported pair is genuinely non-adjacent
+    got.foreach { case (a, b, _, _) => assert(!und.contains((a, b))) }
+  }
+
+  test("s23 label propagation matches a brute-force synchronous run") {
+    val und = run("s10_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nbrs = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSeq }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to SimilarityQueries.LpaRounds) {
+      lab = nbrs.map { case (n, xs) =>
+        val freq = xs.map(lab).groupBy(identity).map { case (l, ls) => (l, ls.size) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val brute = lab.values.groupBy(identity).map { case (l, ms) => l -> ms.size.toLong }
+    val got = run("s23_communities").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute && got.nonEmpty)
+    // labels partition the node set: sizes sum to |V|
+    assert(got.values.sum == nbrs.size.toLong)
+  }
+
   test("s21 beam search: sane per-query structure and measured recall floor vs exact") {
     val beam = run("s21_graph_search").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

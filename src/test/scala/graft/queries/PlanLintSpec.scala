@@ -2,6 +2,11 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LeafNode, LocalLimit, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import graft.SparkTestSession
 
 /** Registry-WIDE plan lint: every registered query's plan is checked
@@ -74,12 +79,68 @@ class PlanLintSpec extends AnyFunSuite {
     // r88: remainder-rank window over the per-NATION aggregate — input
     // rows = nation domain (25), never orders; the Hare-quota seat
     // assignment needs a total order over that tiny relation.
-    "r88_apportionment" -> AggBounded)
+    "r88_apportionment" -> AggBounded,
+    // r96: row_number day-index over the per-DAY revenue aggregate —
+    // input rows = #days in the order history, never the orders table;
+    // the ACF lag join needs a total order over that bounded series.
+    "r96_autocorrelation" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }
+
+  // ---- persisted-subtree traversal (the r7 r96 finding): a persist()
+  // boundary replaces its subtree with an InMemoryRelation LEAF in the
+  // logical plan, so a global window INSIDE the cached subtree was
+  // invisible to the logical collect above. The cached plan is physical;
+  // these mirrors walk it (descending through AQE wrappers and nested
+  // caches) so a persisted corpus-sized global window cannot dodge the
+  // lint.
+  private def physGlobalWindows(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w: SparkPlan)
+      case a: AdaptiveSparkPlanExec => physGlobalWindows(a.inputPlan)
+      case s: InMemoryTableScanExec => physGlobalWindows(s.relation.cachedPlan)
+    }.flatten
+
+  private def physAggOrLimitGuarded(node: SparkPlan): Boolean = node match {
+    case _: BaseAggregateExec => true
+    case l if l.nodeName.toLowerCase.contains("limit") ||
+      l.nodeName.contains("TakeOrderedAndProject") => true
+    case a: AdaptiveSparkPlanExec => physAggOrLimitGuarded(a.inputPlan)
+    case s: InMemoryTableScanExec => physAggOrLimitGuarded(s.relation.cachedPlan)
+    case l if l.children.isEmpty => !l.toString.toLowerCase.contains("parquet")
+    case other => other.children.forall(physAggOrLimitGuarded)
+  }
+
+  private def physTouchesParquet(node: SparkPlan): Boolean = node match {
+    case a: AdaptiveSparkPlanExec => physTouchesParquet(a.inputPlan)
+    case s: InMemoryTableScanExec => physTouchesParquet(s.relation.cachedPlan)
+    case l if l.children.isEmpty => l.toString.toLowerCase.contains("parquet")
+    case other => other.children.exists(physTouchesParquet)
+  }
+
+  /** All unpartitioned windows of a query — logical plan AND persisted
+    * subtrees — each with its description and a bound-class checker. */
+  private def globalWindowChecks(name: String): Seq[(String, WindowBound => Boolean)] = {
+    val plan = executions(name).optimizedPlan
+    val logical = globalWindows(name).map { w =>
+      (w.simpleString(3), (b: WindowBound) => b match {
+        case AggBounded => aggOrLimitGuarded(w.child)
+        case FixtureBounded => !touchesParquet(w.child)
+      })
+    }
+    val cached = plan.collect { case r: InMemoryRelation => r }
+      .flatMap(r => physGlobalWindows(r.cachedPlan))
+      .map { w =>
+        (w.simpleString(3), (b: WindowBound) => b match {
+          case AggBounded => physAggOrLimitGuarded(w.children.head)
+          case FixtureBounded => !physTouchesParquet(w.children.head)
+        })
+      }
+    logical ++ cached
+  }
 
   /** True iff every path from `node` down to a corpus-sized (parquet)
     * leaf passes through an Aggregate or a Limit. A non-parquet leaf
@@ -100,12 +161,13 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   test("no query plans an unpartitioned Window outside the allowlist") {
-    val offenders = executions.keys.filter(n => !globalWindowAllowed.contains(n) && globalWindows(n).nonEmpty)
+    val offenders = executions.keys.filter(n =>
+      !globalWindowAllowed.contains(n) && globalWindowChecks(n).nonEmpty)
     assert(offenders.isEmpty, s"global windows in: ${offenders.toSeq.sorted}")
     // detector self-test: the allowlisted plans DO contain the global
     // window this lint exists to catch — an always-false detector (e.g.
     // after a plan-format change) fails here instead of passing silently
-    assert(globalWindowAllowed.keys.exists(n => globalWindows(n).nonEmpty),
+    assert(globalWindowAllowed.keys.exists(n => globalWindowChecks(n).nonEmpty),
       "detector found no global window even in the allowlisted queries")
   }
 
@@ -115,12 +177,12 @@ class PlanLintSpec extends AnyFunSuite {
     // claims. A corpus-sized global window sneaking into an allowlisted
     // query fails HERE even though the query name is allowlisted.
     val violations = globalWindowAllowed.toSeq.flatMap { case (name, bound) =>
-      globalWindows(name).filterNot(boundHolds(_, bound)).map(w => s"$name: ${w.simpleString(3)}")
+      globalWindowChecks(name).collect { case (desc, holds) if !holds(bound) => s"$name: $desc" }
     }
     assert(violations.isEmpty, s"allowlisted windows violating their bound class: $violations")
     // stale-entry guard: an entry whose query no longer has ANY global
     // window is dead weight that will rot (the r6 p05/r66 finding)
-    val stale = globalWindowAllowed.keys.filter(n => globalWindows(n).isEmpty)
+    val stale = globalWindowAllowed.keys.filter(n => globalWindowChecks(n).isEmpty)
     assert(stale.isEmpty, s"stale allowlist entries (no global window in plan): ${stale.toSeq.sorted}")
   }
 
