@@ -548,10 +548,19 @@ object ExtraQueries6 {
     * user-partitioned lag/min window over it (fine-grained key — never
     * a hot reducer), and day-keyed count reductions; the churn side is
     * the same relation shifted one day. */
-  private val r95: Fn = (s, d) => {
+  /** The (user_id, day) distinct-activity grain r95 derives everything
+    * from — ALSO the mergeable state of the streaming twin (set union is
+    * idempotent/commutative, so waves merge by union+distinct at any
+    * batch boundary: `StreamingOps.growthStream`). */
+  def activeDays(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+
+  /** r95's flow derivation over an activity grain (factored so the
+    * streaming twin republishes from its standing state via the SAME
+    * oracled code). */
+  def growthFlows(active0: DataFrame): DataFrame = {
     val wu = Window.partitionBy("user_id").orderBy("day")
-    val active = events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val active = active0
       .withColumn("prev", lag(col("day"), 1).over(wu))
       .withColumn("first", min(col("day")).over(
         Window.partitionBy("user_id")))
@@ -572,6 +581,7 @@ object ExtraQueries6 {
           .as("n_churned"))
       .orderBy("day")
   }
+  private val r95: Fn = (s, d) => growthFlows(activeDays(events(s, d)))
   private val r95Sql =
     """WITH act AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -502,6 +502,46 @@ object StreamingOps {
           .select(lit("").as("event_type"), lit(0L).as("user_id"), lit(0).as("first_day"))
           .limit(0)))
 
+  // ---- incremental growth accounting (r95 twin) ----
+
+  /** r95's always-on twin: the new/retained/resurrected/churned DAU
+    * decomposition maintained incrementally. The state is the
+    * (user_id, day) distinct-activity set — r95's mergeable kernel:
+    * set union is idempotent and commutative, so standing state and a
+    * micro-batch's activity merge by union+distinct regardless of
+    * batch boundaries or arrival order (a user's FIRST day can arrive
+    * in the last wave and the lag/min re-derivation still reclassifies
+    * every later day from retained/new correctly — which is exactly
+    * why the flow columns are re-DERIVED from the grain rather than
+    * accumulated). Versioned-state replay discipline identical to
+    * [[decayedAggStream]]. */
+  def growthStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => growthStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental set-union merge (exposed for specs + replay proof). */
+  def growthStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = decayedState(spark, s"$tableDir/active_days", beforeBatch = Some(batchId))
+    val batchActive = graft.queries.ExtraQueries6.activeDays(batch)
+    val merged = base match {
+      case None => batchActive
+      case Some(b) => b.unionByName(batchActive).distinct()
+    }
+    writeVersion(merged, s"$tableDir/active_days", batchId)
+  }
+
+  /** Published decomposition from the standing state — r95's exact
+    * shape, via the same oracled batch derivation. */
+  def growthReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries6.growthFlows(
+      decayedState(spark, s"$tableDir/active_days").getOrElse(
+        spark.emptyDataFrame
+          .select(lit(0L).as("user_id"),
+            lit(java.sql.Date.valueOf("1970-01-01")).as("day"))
+          .limit(0)))
+
   /** Atomic versioned-state write shared by the additive/mergeable
     * foreachBatch folds (decayed aggregate, adoption curve). */
   private def writeVersion(df: DataFrame, dir: String, batchId: Long): Unit = {

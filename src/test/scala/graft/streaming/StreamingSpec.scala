@@ -359,6 +359,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch double-counted into additive state")
   }
 
+  test("incremental growth accounting: state after N batches equals batch r95 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("growth").toString
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[E].collect()
+    // waves deliberately NOT in time order: a user's FIRST day can arrive
+    // in the LAST wave — re-deriving flows from the merged grain must
+    // still reclassify that user's later days from new to retained
+    val (b1, rest) = rows.reverse.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[E]
+    val q = StreamingOps.growthStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r95_growth_accounting")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.growthReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental growth state diverged from the oracled batch r95")
+    // replay idempotency: re-running the LAST step must not perturb state
+    StreamingOps.growthStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.growthReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch perturbed the activity-set state")
+  }
+
   test("incremental adoption curve: state after N batches equals batch r78 exactly, replay-safe") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
