@@ -107,6 +107,108 @@ object ExtraQueries7 {
        |             / CAST(n * n * qx - n * sx * sx AS DOUBLE), 6) AS acf
        |FROM st CROSS JOIN g ORDER BY lag""".stripMargin
 
+  // -------------------------------------------- r97 forecast backtest
+
+  /** r97: linear-trend forecast backtest per order priority — fit OLS
+    * revenue-vs-day-index on the FIRST 80% of each priority's daily
+    * series, score MAE and mean error (bias) on the held-out last 20%.
+    * The model-eval loop every forecasting pipeline runs before
+    * shipping a trend model; r60 fits the regression, THIS measures
+    * whether it generalizes forward in time.
+    *
+    * Exactness: multiplying the OLS prediction through by n_train·D
+    * (D = n·Sxx − Sx²) clears both divisions, so each holdout error
+    * numerator nD·y − A − nB·t (A = D·Sy − B·Sx, B = n·Sxy − Sx·Sy) is
+    * an exact DECIMAL(38,0)/HUGEINT integer; |·| sums exactly and ONE
+    * double division per statistic closes it. The 80/20 split point is
+    * integer (8·n div 10) in both engines.
+    * Scale shape: one corpus-sized keyed day aggregate; the day-index
+    * window is PARTITIONED by priority; train stats are one keyed
+    * reduction broadcast back onto the test rows. */
+  private val r97: Fn = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("y"))
+      .withColumn("t", row_number().over(Window.partitionBy("g").orderBy("day")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val split = daily.groupBy("g")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_train", expr("(8 * n) div 10"))
+    val base = daily.join(broadcast(split), "g")
+    val stats = base.filter(col("t") <= col("n_train"))
+      .groupBy("g")
+      .agg(max(col("n_train")).as("ntr"), max(col("n") - col("n_train")).as("nte"),
+        sum(dec(col("t"))).cast(DecimalType(38, 0)).as("sx"),
+        sum(dec(col("y"))).cast(DecimalType(38, 0)).as("sy"),
+        sum((dec(col("t")) * dec(col("t"))).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("sxx"),
+        sum((dec(col("t")) * dec(col("y"))).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("sxy"))
+      .withColumn("dd", (dec(col("ntr")) * col("sxx") - col("sx") * col("sx"))
+        .cast(DecimalType(38, 0)))
+      .withColumn("bb", (dec(col("ntr")) * col("sxy") - col("sx") * col("sy"))
+        .cast(DecimalType(38, 0)))
+      .withColumn("aa", (col("dd") * col("sy") - col("bb") * col("sx"))
+        .cast(DecimalType(38, 0)))
+    val err = base.filter(col("t") > col("n_train"))
+      .join(broadcast(stats), "g")
+      .withColumn("num", (dec(col("ntr")) * col("dd") * dec(col("y")) - col("aa")
+        - dec(col("ntr")) * col("bb") * dec(col("t"))).cast(DecimalType(38, 0)))
+    err.groupBy("g")
+      .agg(max(col("ntr")).as("n_train"), max(col("nte")).as("n_test"),
+        max(col("dd")).as("dd"), max(col("bb")).as("bb"), max(col("ntr")).as("ntr"),
+        sum(abs(col("num"))).cast(DecimalType(38, 0)).as("sabs"),
+        sum(col("num")).cast(DecimalType(38, 0)).as("snum"))
+      .select(col("g").as("o_orderpriority"),
+        col("n_train").cast(LongType).as("n_train"),
+        col("n_test").cast(LongType).as("n_test"),
+        round(col("bb").cast(DoubleType) / col("dd").cast(DoubleType), 6)
+          .as("slope_cents_per_day"),
+        round(col("sabs").cast(DoubleType)
+          / (col("n_test").cast(DoubleType) * col("ntr").cast(DoubleType)
+            * col("dd").cast(DoubleType)), 4).as("mae_cents"),
+        round(col("snum").cast(DoubleType)
+          / (col("n_test").cast(DoubleType) * col("ntr").cast(DoubleType)
+            * col("dd").cast(DoubleType)), 4).as("me_cents"))
+      .orderBy("o_orderpriority")
+  }
+  private val r97Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS HUGEINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT g, y, CAST(row_number() OVER (PARTITION BY g ORDER BY day) AS HUGEINT) AS t
+      |  FROM daily),
+      |split AS (SELECT g, count(*) AS n, (8 * count(*)) // 10 AS n_train FROM idx GROUP BY g),
+      |base AS (SELECT idx.*, s.n, s.n_train FROM idx JOIN split s USING (g)),
+      |stats AS (
+      |  SELECT g, CAST(max(n_train) AS HUGEINT) AS ntr,
+      |         CAST(max(n - n_train) AS HUGEINT) AS nte,
+      |         CAST(sum(t) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |         CAST(sum(t * t) AS HUGEINT) AS sxx, CAST(sum(t * y) AS HUGEINT) AS sxy
+      |  FROM base WHERE t <= n_train GROUP BY g),
+      |coef AS (
+      |  SELECT g, ntr, nte,
+      |         ntr * sxx - sx * sx AS dd,
+      |         ntr * sxy - sx * sy AS bb,
+      |         (ntr * sxx - sx * sx) * sy - (ntr * sxy - sx * sy) * sx AS aa
+      |  FROM stats),
+      |err AS (
+      |  SELECT b.g, c.ntr, c.nte, c.dd, c.bb,
+      |         c.ntr * c.dd * b.y - c.aa - c.ntr * c.bb * b.t AS num
+      |  FROM base b JOIN coef c USING (g) WHERE b.t > b.n_train)
+      |SELECT g AS o_orderpriority,
+      |       CAST(max(ntr) AS BIGINT) AS n_train, CAST(max(nte) AS BIGINT) AS n_test,
+      |       round(CAST(max(bb) AS DOUBLE) / CAST(max(dd) AS DOUBLE), 6) AS slope_cents_per_day,
+      |       round(CAST(sum(abs(num)) AS DOUBLE)
+      |             / (CAST(max(nte) AS DOUBLE) * CAST(max(ntr) AS DOUBLE)
+      |                * CAST(max(dd) AS DOUBLE)), 4) AS mae_cents,
+      |       round(CAST(sum(num) AS DOUBLE)
+      |             / (CAST(max(nte) AS DOUBLE) * CAST(max(ntr) AS DOUBLE)
+      |                * CAST(max(dd) AS DOUBLE)), 4) AS me_cents
+      |FROM err GROUP BY g ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------- t30 readability
 
   /** t30: Flesch reading-ease scoring per document — the classic
@@ -216,6 +318,7 @@ object ExtraQueries7 {
 
   val all: Seq[Q] = Seq(
     Q("r96_autocorrelation", r96, Some(r96Sql)),
+    Q("r97_forecast_backtest", r97, Some(r97Sql)),
     Q("t30_readability", t30, Some(t30Sql)),
     Q("u20_freshness_audit", u20, Some(u20Sql)))
 }

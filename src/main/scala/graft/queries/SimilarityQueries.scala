@@ -1467,6 +1467,97 @@ object SimilarityQueries {
        |FROM l$LpaRounds GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------------- s24 personalized PageRank ------------------------
+
+  val PprRounds = 6
+  val PprOut = 10
+
+  /** s24: personalized PageRank from each query seed over the s10 kNN
+    * graph — the random walk restarts at the SEED instead of uniformly,
+    * so the stationary mass measures proximity-weighted reachability
+    * from that query (the retrieval-expansion signal graph-based RAG
+    * and "related items" surfaces use, where s21's beam finds the
+    * geometric neighbors and PPR finds the structurally close ones).
+    * Top-[[PprOut]] nodes per seed after [[PprRounds]] rounds.
+    *
+    * Exactness: s12's integer fixed-point discipline on a (seed, node)
+    * state — r₀ = PrScale at the seed, each round adds 85% of in-edge
+    * contributions (integer div by out-degree) plus the 15% restart at
+    * the seed only; the whole iteration unrolls into generated SQL CTEs.
+    * Scale shape: state is |Q|·|V| rows keyed by (seed, node) — every
+    * join/aggregate is fine-grained-keyed, rounds compose lazily with
+    * ONE materialization (the s12 AQE-off loop discipline); per round
+    * one keyed shuffle. */
+  private val s24: Fn = (s, d) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges0 = knnPool(s, d).select(col("a_id"), col("b_id")).persist(lvl)
+    val nodes = edges0.select(col("a_id").as("id"))
+      .union(edges0.select(col("b_id").as("id"))).distinct().persist(lvl)
+    val od = edges0.groupBy("a_id").agg(count(lit(1)).as("outdeg"))
+    val edges = edges0.join(od, "a_id")
+      .select(col("a_id"), col("b_id"), col("outdeg")).persist(lvl)
+    edges.count()
+    val seeds = nodes.filter(col("id") < NumQueries).select(col("id").as("q_id"))
+    // dense (seed, node) state: restart mass starts entirely at the seed
+    val dense = seeds.crossJoin(nodes)
+    var ranks = dense.withColumn("r_fp",
+      when(col("q_id") === col("id"), lit(PrScale)).otherwise(lit(0L)))
+    val zeroRows = dense.select(col("q_id"), col("id").as("b_id"), lit(0L).as("c"))
+    val mids = Seq.newBuilder[DataFrame]
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (_ <- 1 to PprRounds) {
+        val next = edges.join(ranks, col("a_id") === col("id"))
+          .select(col("q_id"), col("b_id"), expr("r_fp div outdeg").as("c"))
+          .union(zeroRows)
+          .groupBy("q_id", "b_id").agg(sum(col("c")).as("s"))
+          .select(col("q_id"), col("b_id").as("id"),
+            (when(col("q_id") === col("b_id"), lit(PrScale * 15L / 100L))
+              .otherwise(lit(0L)) + expr("(85 * s) div 100")).as("r_fp"))
+          .persist(lvl)
+        mids += ranks
+        ranks = next
+      }
+      ranks.count()
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    mids.result().drop(1).foreach(_.unpersist(false))
+    edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
+    val wq = Window.partitionBy("q_id").orderBy(desc("r_fp"), col("id"))
+    ranks.withColumn("rk", row_number().over(wq).cast(LongType))
+      .filter(col("rk") <= PprOut)
+      .select(col("q_id"), col("rk"), col("id").as("vec_id"),
+        col("r_fp").cast(LongType).as("ppr_fp"))
+      .orderBy("q_id", "rk")
+  }
+  private def s24Sql: String = {
+    val restart = PrScale * 15L / 100L
+    val rounds = (1 to PprRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT r.q_id, e.b_id AS id, CAST(sum(r.r // e.outdeg) AS BIGINT) AS s
+         |  FROM ed e JOIN r${k - 1} r ON e.a_id = r.id GROUP BY 1, 2),
+         |r$k AS (
+         |  SELECT dn.q_id, dn.id,
+         |         (CASE WHEN dn.q_id = dn.id THEN $restart ELSE 0 END)
+         |           + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM dense dn LEFT JOIN c$k c ON dn.q_id = c.q_id AND dn.id = c.id)""".stripMargin
+    }
+    s"""WITH knn AS ($s10Sql),
+       |edges AS (SELECT a_id, b_id FROM knn),
+       |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+       |od AS (SELECT a_id, count(*) AS outdeg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.a_id, e.b_id, o.outdeg FROM edges e JOIN od o ON e.a_id = o.a_id),
+       |seeds AS (SELECT id AS q_id FROM nodes WHERE id < $NumQueries),
+       |dense AS (SELECT q_id, id FROM seeds CROSS JOIN nodes),
+       |r0 AS (SELECT q_id, id, CASE WHEN q_id = id THEN $PrScale ELSE 0 END AS r FROM dense),
+       |${rounds.mkString(",\n")}
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, id AS vec_id, CAST(r AS BIGINT) AS ppr_fp
+       |FROM (SELECT q_id, id, r,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY r DESC, id) AS rk
+       |      FROM r$PprRounds) t
+       |WHERE rk <= $PprOut ORDER BY q_id, rk""".stripMargin
+  }
+
   val BeamRounds = 4
   val BeamWidth = 16
   val BeamOut = 5
@@ -1563,6 +1654,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("s24_personalized_pr", s24, Some(s24Sql)),
     Q("s23_communities", s23, Some(s23Sql)),
     Q("s22_adamic_adar", s22, Some(s22Sql)),
     Q("s21_graph_search", s21, Some(s21Sql)),

@@ -614,6 +614,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.values.sum == nbrs.size.toLong)
   }
 
+  test("s24 personalized pagerank matches a brute-force integer iteration") {
+    val edges = run("s10_knn_graph").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val outdeg = edges.groupBy(_._1).map { case (a, xs) => a -> xs.length.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val seeds = nodes.filter(_ < SimilarityQueries.NumQueries)
+    val restart = SimilarityQueries.PrScale * 15L / 100L
+    val brute = seeds.flatMap { q =>
+      var r = nodes.map(n => n -> (if (n == q) SimilarityQueries.PrScale else 0L)).toMap
+      for (_ <- 1 to SimilarityQueries.PprRounds) {
+        val contrib = edges.groupBy(_._2).map { case (b, es) =>
+          b -> es.map { case (a, _) => r(a) / outdeg(a) }.sum
+        }
+        r = nodes.map(n =>
+          n -> ((if (n == q) restart else 0L) + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+      }
+      r.toSeq.sortBy { case (n, v) => (-v, n) }.take(SimilarityQueries.PprOut)
+        .zipWithIndex.map { case ((n, v), i) => (q, (i + 1).toLong, n, v) }
+    }
+    val got = run("s24_personalized_pr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == brute.toSeq && got.nonEmpty)
+    // localization: the seed itself carries the most personalized mass
+    got.filter(_._2 == 1L).foreach { case (q, _, top, _) => assert(top == q, s"seed $q") }
+  }
+
   test("s21 beam search: sane per-query structure and measured recall floor vs exact") {
     val beam = run("s21_graph_search").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

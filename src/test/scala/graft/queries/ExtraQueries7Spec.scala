@@ -64,6 +64,39 @@ class ExtraQueries7Spec extends AnyFunSuite {
     }
   }
 
+  test("r97 backtest matches a brute-force BigInt OLS + holdout evaluation") {
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("g"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .orderBy("g", "day").collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(2))))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val rows = graft.SparkEntry.queries("r97_forecast_backtest")(spark, sf).collect()
+    assert(rows.length == daily.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val ys = daily(r.getString(0))
+      val n = ys.length
+      val nTr = 8 * n / 10
+      assert(r.getLong(1) == nTr.toLong && r.getLong(2) == (n - nTr).toLong)
+      val train = ys.take(nTr).zipWithIndex.map { case (y, i) => (BigInt(i + 1), y) }
+      val sx = train.map(_._1).sum; val sy = train.map(_._2).sum
+      val sxx = train.map(t => t._1 * t._1).sum; val sxy = train.map(t => t._1 * t._2).sum
+      val dd = nTr * sxx - sx * sx
+      val bb = nTr * sxy - sx * sy
+      val aa = dd * sy - bb * sx
+      val test = ys.zipWithIndex.drop(nTr).map { case (y, i) => (BigInt(i + 1), y) }
+      val nums = test.map { case (t, y) => nTr * dd * y - aa - nTr * bb * t }
+      val den = test.length.toDouble * nTr.toDouble * dd.toDouble
+      assert(r.getDouble(3) == round6(bb.toDouble / dd.toDouble), "slope")
+      assert(r.getDouble(4) ==
+        BigDecimal(nums.map(_.abs).sum.toDouble / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, "mae")
+      assert(r.getDouble(5) ==
+        BigDecimal(nums.sum.toDouble / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, "me")
+    }
+  }
+
   test("u20 percentiles equal the rank-definition values per event type") {
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
