@@ -316,9 +316,189 @@ object ExtraQueries7 {
       |       min(CASE WHEN cum >= ceil(n * 0.95) THEN age_min END) AS p95_age_min
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- p24 target encoding
+
+  /** p24: leave-one-out target encoding of the customer market segment
+    * against order revenue — the classic categorical-feature encoder
+    * for tabular training sets, in its leakage-safe form: each row's
+    * encoding excludes its OWN target, enc_i = (S_g − y_i)/(n_g − 1),
+    * so the feature never memorizes the row it describes (the mean-
+    * encoding leak every feature-engineering guide warns about).
+    * Emitted for a fixed key slice; the segment statistics come from
+    * the FULL corpus.
+    *
+    * Exactness: S_g and y are exact cent integers; one double division
+    * per row, rounded once. Scale shape: one orders⋈customer join
+    * (AQE-planned), one segment-keyed reduction broadcast back onto the
+    * key-pruned output slice — the stats-from-all, emit-a-slice split a
+    * 100 TB feature store materializes. */
+  private val p24: Fn = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast(LongType).as("y"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val segStats = base.groupBy("seg")
+      .agg(sum(dec(col("y"))).cast(DecimalType(38, 0)).as("sg"), count(lit(1)).as("ng"))
+    base.filter(col("o_orderkey") < 1000)
+      .join(broadcast(segStats), "seg")
+      .select(col("o_orderkey"), col("seg"),
+        round((col("sg") - dec(col("y"))).cast(DoubleType)
+          / (col("ng") - lit(1)).cast(DoubleType), 4).as("loo_enc_cents"))
+      .orderBy("o_orderkey")
+  }
+  private val p24Sql =
+    """WITH base AS (
+      |  SELECT o.o_orderkey, c.c_mktsegment AS seg,
+      |         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |seg_stats AS (
+      |  SELECT seg, CAST(sum(y) AS HUGEINT) AS sg, count(*) AS ng
+      |  FROM base GROUP BY seg)
+      |SELECT b.o_orderkey, b.seg,
+      |       round(CAST(s.sg - b.y AS DOUBLE) / CAST(s.ng - 1 AS DOUBLE), 4) AS loo_enc_cents
+      |FROM base b JOIN seg_stats s USING (seg)
+      |WHERE b.o_orderkey < 1000
+      |ORDER BY b.o_orderkey""".stripMargin
+
+  // -------------------------------------------- r98 winsorization
+
+  /** r98: winsorized-mean report per order priority — clip each group's
+    * order totals at its exact p05/p95 (counting method, as u20) and
+    * compare the winsorized mean to the raw mean. The robust-statistics
+    * pre-step for any revenue KPI a few whale orders can distort; the
+    * clip-vs-drop distinction (winsorize keeps the row at the fence,
+    * trim deletes it) matters for revenue conservation audits.
+    *
+    * Exactness: fences come from the cumulative count over the
+    * (priority, cents) histogram; the winsorized sum re-aggregates the
+    * SAME histogram with fence substitution — Σ clamp(y)·c is exact
+    * integer algebra; two double divisions at the close. Scale shape:
+    * corpus reduces to the value histogram first; the cumulative window
+    * is priority-partitioned over that aggregate (the u20/p14 form). */
+  private val r98: Fn = (s, d) => {
+    val hist = orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100, 0).cast(LongType).as("y"))
+      .groupBy("g", "y").agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy("g").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wt))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+    val cuts = cum.groupBy("g").agg(
+      max(col("n")).as("n"),
+      min(when(col("cum") >= ceil(col("n") * 0.05), col("y"))).as("lo"),
+      min(when(col("cum") >= ceil(col("n") * 0.95), col("y"))).as("hi"))
+    hist.join(broadcast(cuts), "g")
+      .withColumn("yw",
+        when(col("y") < col("lo"), col("lo"))
+          .when(col("y") > col("hi"), col("hi")).otherwise(col("y")))
+      .groupBy("g")
+      .agg(max(col("n")).as("n_orders"), max(col("lo")).as("p05_cents"),
+        max(col("hi")).as("p95_cents"),
+        sum(when(col("y") < col("lo"), col("c")).otherwise(lit(0L))
+          + when(col("y") > col("hi"), col("c")).otherwise(lit(0L))).as("n_clipped"),
+        sum(dec(col("y")) * dec(col("c"))).cast(DecimalType(38, 0)).as("sraw"),
+        sum(dec(col("yw")) * dec(col("c"))).cast(DecimalType(38, 0)).as("swin"))
+      .select(col("g").as("o_orderpriority"), col("n_orders"),
+        col("p05_cents"), col("p95_cents"), col("n_clipped").cast(LongType).as("n_clipped"),
+        round(col("sraw").cast(DoubleType) / col("n_orders").cast(DoubleType), 4)
+          .as("raw_mean_cents"),
+        round(col("swin").cast(DoubleType) / col("n_orders").cast(DoubleType), 4)
+          .as("winsorized_mean_cents"))
+      .orderBy("o_orderpriority")
+  }
+  private val r98Sql =
+    """WITH hist AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y, count(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, y, c,
+      |         sum(c) OVER (PARTITION BY g ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER (PARTITION BY g) AS n
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT g, max(n) AS n,
+      |         min(CASE WHEN cum >= ceil(n * 0.05) THEN y END) AS lo,
+      |         min(CASE WHEN cum >= ceil(n * 0.95) THEN y END) AS hi
+      |  FROM cum GROUP BY g),
+      |w AS (
+      |  SELECT h.g, h.y, h.c, k.n, k.lo, k.hi,
+      |         CASE WHEN h.y < k.lo THEN k.lo WHEN h.y > k.hi THEN k.hi ELSE h.y END AS yw
+      |  FROM hist h JOIN cuts k USING (g))
+      |SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+      |       max(lo) AS p05_cents, max(hi) AS p95_cents,
+      |       CAST(sum(CASE WHEN y < lo THEN c ELSE 0 END
+      |                + CASE WHEN y > hi THEN c ELSE 0 END) AS BIGINT) AS n_clipped,
+      |       round(CAST(CAST(sum(CAST(y AS HUGEINT) * c) AS HUGEINT) AS DOUBLE)
+      |             / CAST(max(n) AS DOUBLE), 4) AS raw_mean_cents,
+      |       round(CAST(CAST(sum(CAST(yw AS HUGEINT) * c) AS HUGEINT) AS DOUBLE)
+      |             / CAST(max(n) AS DOUBLE), 4) AS winsorized_mean_cents
+      |FROM w GROUP BY g ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------- p25 rendezvous sharding
+
+  val ShardsOld = 4
+  val ShardsNew = 5
+
+  /** p25: rendezvous (highest-random-weight) shard assignment and the
+    * movement matrix of a [[ShardsOld]]→[[ShardsNew]] reshard — the
+    * data-placement kernel a petabyte corpus uses so that ADDING
+    * capacity moves only the keys the new shard wins (≈1/new of them)
+    * instead of rehashing everything (Thaler & Ravishankar 1998, the
+    * HRW form of consistent hashing). The off-diagonal of the matrix is
+    * provably confined to the new-shard column; the spec asserts it.
+    *
+    * Exactness: weights are the engine-portable md5-prefix hash of
+    * "doc:shard" ([[graft.functions.PortableHash]] family), argmax with
+    * hash-then-shard-id tiebreaks — bit-identical in both engines.
+    * Scale shape: map-side explode to #shards rows per key, a key-
+    * partitioned rank, one (old,new)-keyed count — no corpus window, no
+    * driver state; reshard planning at 100 TB is exactly this plan over
+    * the manifest. */
+  private val p25: Fn = (s, d) => {
+    def assign(nShards: Int, out: String): DataFrame = {
+      val hw = documents(s, d).select(col("doc_id"))
+        .withColumn("shard", explode(array((0 until nShards).map(lit): _*)))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(shard AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("h"), col("shard"))
+      hw.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("shard").as(out))
+    }
+    assign(ShardsOld, "old_shard").join(assign(ShardsNew, "new_shard"), "doc_id")
+      .groupBy("old_shard", "new_shard").agg(count(lit(1)).as("n_docs"))
+      .select(col("old_shard").cast(LongType).as("old_shard"),
+        col("new_shard").cast(LongType).as("new_shard"), col("n_docs"))
+      .orderBy("old_shard", "new_shard")
+  }
+  private val p25Sql = {
+    def assign(n: Int, out: String) =
+      s"""SELECT doc_id, shard AS $out FROM (
+         |  SELECT d.doc_id, s.shard,
+         |         row_number() OVER (PARTITION BY d.doc_id ORDER BY
+         |           CAST(concat('0x', substring(md5(concat(CAST(d.doc_id AS VARCHAR), ':', CAST(s.shard AS VARCHAR))), 1, 15)) AS BIGINT) DESC,
+         |           s.shard) AS rk
+         |  FROM documents d CROSS JOIN (SELECT unnest(range(0, $n)) AS shard) s) t
+         |WHERE rk = 1""".stripMargin
+    s"""WITH olda AS (${assign(ShardsOld, "old_shard")}),
+       |newa AS (${assign(ShardsNew, "new_shard")})
+       |SELECT CAST(o.old_shard AS BIGINT) AS old_shard,
+       |       CAST(n.new_shard AS BIGINT) AS new_shard,
+       |       count(*) AS n_docs
+       |FROM olda o JOIN newa n USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("r96_autocorrelation", r96, Some(r96Sql)),
     Q("r97_forecast_backtest", r97, Some(r97Sql)),
+    Q("r98_winsorize", r98, Some(r98Sql)),
     Q("t30_readability", t30, Some(t30Sql)),
-    Q("u20_freshness_audit", u20, Some(u20Sql)))
+    Q("u20_freshness_audit", u20, Some(u20Sql)),
+    Q("p24_target_encoding", p24, Some(p24Sql)),
+    Q("p25_rendezvous_shards", p25, Some(p25Sql)))
 }

@@ -1071,7 +1071,17 @@ object SimilarityQueries {
     val zeroRows = nodes.select(col("id").as("b_id"), lit(0L).as("c"))
     val mids = Seq.newBuilder[DataFrame]
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    // Size the loop shuffles to the STATE, not the session default: the
+    // per-round aggregation reduces |V| rows, so 32 partitions is pure
+    // task overhead for graph-sized states (measured warm at sf0.1 with
+    // the 4-partition loop: s12 4.77 s → 2.91 s, t29 6.92 s → 4.72 s).
+    // This is exactly the coalescing AQE would do if it were safe
+    // in-loop (it isn't — the broadcast-flip trap below); the explicit
+    // bound scales back up with |V| so a 100 TB graph still fans wide.
+    val shufWas = s.conf.get("spark.sql.shuffle.partitions", "32")
+    val loopParts = math.max(4L, math.min(shufWas.toLong, n / 20000L)).toString
     if (disableAqeInLoop) s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
       for (_ <- 1 to rounds) {
         val next = edges.join(ranks, col("a_id") === col("id"))
@@ -1093,7 +1103,10 @@ object SimilarityQueries {
       // aggregate's size estimate is unknown — so the re-executed-
       // broadcast-subtree trap documented above stays closed.)
       ranks.count()
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
     // after the materialization only the FINAL cached ranks are needed
     // by the caller's action — release every other cached relation so
     // repeated invocations (bench reps, probes, specs) leak one tiny
@@ -1428,20 +1441,27 @@ object SimilarityQueries {
     val wn = Window.partitionBy("node").orderBy(desc("cnt"), col("label"))
     var lab = sym.select(col("node")).distinct().withColumn("label", col("node"))
       .persist(lvl)
-    lab.count()
+    val nNodes = lab.count()
     val olds = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to LpaRounds) {
-      val next = sym
-        .join(lab.select(col("node").as("lnode"), col("label")), col("nbr") === col("lnode"))
-        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(wn))
-        .filter(col("rk") === 1)
-        .select("node", "label")
-        .persist(lvl)
-      next.count()
-      olds += lab
-      lab = next
-    }
+    // the pageRank loop-shuffle sizing discipline: the per-round
+    // reductions operate on ≤ N·2K candidate rows, never the corpus
+    val shufWas = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(shufWas.toLong, nNodes / 10000L)).toString)
+    try {
+      for (_ <- 1 to LpaRounds) {
+        val next = sym
+          .join(lab.select(col("node").as("lnode"), col("label")), col("nbr") === col("lnode"))
+          .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wn))
+          .filter(col("rk") === 1)
+          .select("node", "label")
+          .persist(lvl)
+        next.count()
+        olds += lab
+        lab = next
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", shufWas)
     val out = lab.groupBy("label").agg(count(lit(1)).as("n_members")).orderBy("label")
     olds.result().foreach(_.unpersist(false))
     out
@@ -1497,6 +1517,7 @@ object SimilarityQueries {
     val edges = edges0.join(od, "a_id")
       .select(col("a_id"), col("b_id"), col("outdeg")).persist(lvl)
     edges.count()
+    val nNodes = nodes.count()
     val seeds = nodes.filter(col("id") < NumQueries).select(col("id").as("q_id"))
     // dense (seed, node) state: restart mass starts entirely at the seed
     val dense = seeds.crossJoin(nodes)
@@ -1505,7 +1526,11 @@ object SimilarityQueries {
     val zeroRows = dense.select(col("q_id"), col("id").as("b_id"), lit(0L).as("c"))
     val mids = Seq.newBuilder[DataFrame]
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    // the pageRank loop-shuffle sizing discipline: |Q|·|V| state rows
+    val shufWas = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(shufWas.toLong, NumQueries * nNodes / 20000L)).toString)
     try {
       for (_ <- 1 to PprRounds) {
         val next = edges.join(ranks, col("a_id") === col("id"))
@@ -1520,7 +1545,10 @@ object SimilarityQueries {
         ranks = next
       }
       ranks.count()
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
     mids.result().drop(1).foreach(_.unpersist(false))
     edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
     val wq = Window.partitionBy("q_id").orderBy(desc("r_fp"), col("id"))
@@ -1594,6 +1622,10 @@ object SimilarityQueries {
     var beam = score(q.crossJoin(broadcast(entry))).persist(lvl)
     beam.count()
     val olds = Seq.newBuilder[DataFrame]
+    // NOT loop-shuffle-downsized like s12/s23/s24: the beam relation is
+    // tiny but each round's scoring join probes the corpus-sized
+    // embedding relation, which wants the session's full parallelism
+    // (measured: the 4-partition variant was neutral-to-worse here)
     for (_ <- 1 to BeamRounds) {
       val expanded = beam.select(col("q_id"), col("qv"), col("node"))
         .join(edges, col("node") === col("a_id"))

@@ -97,6 +97,79 @@ class ExtraQueries7Spec extends AnyFunSuite {
     }
   }
 
+  test("p24 LOO encoding matches brute force and never uses the row's own target") {
+    val base = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getString(1), BigInt(r.getLong(2))))
+    val segSum = base.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
+    val segN = base.groupBy(_._2).map { case (g, xs) => g -> xs.length }
+    val rows = graft.SparkEntry.queries("p24_target_encoding")(spark, sf).collect()
+    assert(rows.length == base.count(_._1 < 1000) && rows.nonEmpty)
+    val byKey = base.map(b => b._1 -> b).toMap
+    rows.foreach { r =>
+      val (_, g, y) = byKey(r.getLong(0))
+      assert(r.getString(1) == g)
+      val expect = (segSum(g) - y).toDouble / (segN(g) - 1).toDouble
+      assert(r.getDouble(2) ==
+        BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"order ${r.getLong(0)}")
+    }
+  }
+
+  test("r98 winsorized mean matches brute force and sits inside the fences") {
+    val vals = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    val rows = graft.SparkEntry.queries("r98_winsorize")(spark, sf).collect()
+    assert(rows.length == vals.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val ys = vals(r.getString(0))
+      val n = ys.length
+      val lo = ys(math.ceil(n * 0.05).toInt - 1)
+      val hi = ys(math.ceil(n * 0.95).toInt - 1)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == lo && r.getLong(3) == hi)
+      assert(r.getLong(4) == ys.count(y => y < lo || y > hi).toLong, "n_clipped")
+      val wsum = ys.map(y => BigInt(math.max(lo, math.min(hi, y)))).sum
+      assert(r.getDouble(6) ==
+        BigDecimal(wsum.toDouble / n.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, "winsorized mean")
+      assert(r.getDouble(6) >= lo.toDouble && r.getDouble(6) <= hi.toDouble)
+    }
+  }
+
+  test("p25 reshard movement is confined to the new shard (HRW minimal-motion law)") {
+    val rows = graft.SparkEntry.queries("p25_rendezvous_shards")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val moved = rows.filter(r => r._1 != r._2)
+    // the defining HRW property: adding shard k can only move keys TO k
+    moved.foreach { case (o, n, c) =>
+      assert(n == (ExtraQueries7.ShardsNew - 1).toLong, s"illegal move $o->$n ($c docs)")
+    }
+    // ~1/new of keys move; allow wide slack on the small fixture
+    val frac = moved.map(_._3).sum.toDouble / total
+    assert(frac > 0.05 && frac < 0.40, s"moved fraction $frac")
+    // brute-force a handful of assignments through the same md5 weights
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(doc: Long, s: Int): Long =
+      BigInt(md.digest(s"$doc:$s".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16).toLong
+    val docs = graft.Tables.documents(spark, sf).select("doc_id")
+      .limit(20).collect().map(_.getLong(0))
+    val assigns = graft.SparkEntry.queries("p25_rendezvous_shards")(spark, sf)
+    docs.foreach { doc =>
+      val old = (0 until ExtraQueries7.ShardsOld).maxBy(s => (h(doc, s), -s))
+      val nw = (0 until ExtraQueries7.ShardsNew).maxBy(s => (h(doc, s), -s))
+      assert(old == nw || nw == ExtraQueries7.ShardsNew - 1, s"doc $doc: $old -> $nw")
+    }
+  }
+
   test("u20 percentiles equal the rank-definition values per event type") {
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
