@@ -995,7 +995,9 @@ object CoverageQueries {
     * then popcount(xor) exact verification. The oracle is the NAIVE
     * all-pairs join, so hash parity also proves the pigeonhole
     * candidate set loses no pair. ASCII-only parity as m09. */
-  private val m10: Fn = (s, d) => {
+  /** The m10 pair stage, factored (round 7) so the cluster roll-up
+    * (m14) composes the REGISTERED pair plan (s11/s19 precedent). */
+  private def m10Pairs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select("doc_id", "text", "source")
     val probes = base.filter(col("doc_id") <= 3)
     val corpus = base
@@ -1018,8 +1020,40 @@ object CoverageQueries {
           bit_count(col("a.c3").bitwiseXOR(col("b.c3")))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("a_id", "b_id")
   }
+
+  private val m10: Fn = (s, d) => m10Pairs(s, d).orderBy("a_id", "b_id")
+
+  /** m14: perceptual-hash image-dedup CLUSTERS — the transitive roll-up
+    * of m10's Hamming-≤3 pair relation through the d08 min-label
+    * connected-components kernel ([[DedupQueries.minLabelComponents]]):
+    * near-duplicate images form equivalence classes (re-encodes, crops,
+    * thumbnails of one asset), and a keep-one-per-cluster pass needs the
+    * CLASS, not the pairs. The multimodal twin of d08's text clusters,
+    * running the same convergence-witnessed iteration over the same
+    * kind of bounded pair relation; oracle = recursive-CTE transitive
+    * closure over the same m10 pair SQL. */
+  private val m14: Fn = (s, d) =>
+    DedupQueries.minLabelComponents(s,
+      m10Pairs(s, d).select(col("a_id").as("d1"), col("b_id").as("d2")))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_items"),
+        array_join(transform(sort_array(collect_list(col("id"))), _.cast(StringType)), ",")
+          .as("members"))
+      .orderBy("cluster")
+  private def m14Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id AS d1, b_id AS d2 FROM ($m10Sql) t),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT cluster, count(*) AS n_items,
+       |       array_to_string(list_sort(list(id)), ',') AS members
+       |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
   private val m10Sql =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -1074,6 +1108,7 @@ object CoverageQueries {
     Q("m13_histogram_drift", m13, Some(m13Sql)),
     Q("m09_phash_signatures", m09, Some(m09Sql)),
     Q("m10_phash_pairs", m10, Some(m10Sql)),
+    Q("m14_payload_clusters", m14, Some(m14Sql)),
     Q("st5_stream_topk", st5, Some(st5Sql)),
     Q("st4_ingest_front", st4, Some(st4Sql)),
     Q("r51_asof_native", r51, Some(r51Sql)),

@@ -686,6 +686,20 @@ object DedupQueries {
   private def clustersBuilt(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPool(s, d).select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minLabelComponents(s, pairs)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("id"))), _.cast(StringType)), ",").as("members"))
+      .orderBy("cluster")
+  }
+
+  /** Min-label connected components over an undirected pair relation
+    * with columns (d1, d2) — the d08 cluster kernel, factored (round 7)
+    * so the multimodal payload-cluster twin (m14) runs the SAME
+    * convergence-witnessed iteration over its perceptual-hash pairs.
+    * Returns (id, label); covers exactly the nodes that appear in a
+    * pair (singletons are their own trivial cluster by omission). */
+  private[queries] def minLabelComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -725,10 +739,6 @@ object DedupQueries {
         "(component diameter exceeds the bound); cluster ids may be non-minimal " +
         "and the output will diverge from the transitive-closure oracle")
     labels
-      .groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        array_join(transform(sort_array(collect_list(col("id"))), _.cast(StringType)), ",").as("members"))
-      .orderBy("cluster")
   }
 
   private val d08: Fn = (s, d) => clusterPool(s, d).orderBy("cluster")

@@ -47,10 +47,17 @@ object ExtraQueries7 {
     * runs on the #days-row series (the row_number index window is over
     * that aggregate — AggBounded in PlanLintSpec, r62's class). The lag
     * join is an equi-join on t+k with the 7 lags exploded map-side. */
-  private val r96: Fn = (s, d) => {
-    val daily = orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
+  /** The (day, cents) daily-revenue grain r96 derives the ACF from —
+    * ALSO the mergeable state of the streaming twin (cent sums are
+    * additive across arrival waves: `StreamingOps.acfStream`). */
+  def dailyCents(ord: DataFrame): DataFrame =
+    ord.groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("x"))
+
+  /** r96's ACF derivation over a daily grain (factored so the streaming
+    * twin republishes from its standing state via the SAME oracled
+    * code). */
+  def acfFromDaily(daily: DataFrame): DataFrame = {
     val series = daily
       .withColumn("t", row_number().over(Window.orderBy("day")))
       .select(col("t"), col("x"))
@@ -80,6 +87,7 @@ object ExtraQueries7 {
             .cast(DoubleType), 6).as("acf"))
       .orderBy("lag")
   }
+  private val r96: Fn = (s, d) => acfFromDaily(dailyCents(orders(s, d)))
   private val r96Sql =
     s"""WITH daily AS (
        |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -735,11 +735,11 @@ object TextQueries {
   private val t18: Fn = (s, d) =>
     perceptronTrain(docs(s, d).select(col("doc_id"), col("text")), PerceptronRounds)
 
-  /** Trainer body, factored so specs can drive a constructed corpus (a
-    * DataFrame with `doc_id` and `text`). */
-  private[queries] def perceptronTrain(corpus: DataFrame, nRounds: Int): DataFrame = {
-    val s = corpus.sparkSession
-    val feats = corpus.select(
+  /** The t18 feature/weak-label relation, factored so the calibration
+    * audit (t31) scores the SAME features the trainer fits. Caller
+    * unpersists. */
+  private[queries] def perceptronFeats(corpus: DataFrame): DataFrame =
+    corpus.select(
       col("doc_id"),
       lit(1L).as("x0"),
       size(toks).cast(LongType).as("x1"),
@@ -748,8 +748,13 @@ object TextQueries {
       .withColumn("y",
         when(lit(5) * (col("x1") - col("x2")) >= col("x1"), lit(-1L)).otherwise(lit(1L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The batch-perceptron update loop over a feats relation; returns
+    * the FINAL weights (the artifact t31 calibrates). `trace` sees
+    * (round, pre-update weights, error count) per round. */
+  private[queries] def perceptronRun(feats: DataFrame, nRounds: Int,
+      trace: (Int, Array[Long], Long) => Unit = (_, _, _) => ()): Array[Long] = {
     var w = Array(0L, 0L, 0L, 0L)
-    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long, Long)]()
     for (r <- 1 to nRounds) {
       val margin = col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
         lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
@@ -760,10 +765,21 @@ object TextQueries {
         sum(mis * col("y") * col("x1")).as("d1"),
         sum(mis * col("y") * col("x2")).as("d2"),
         sum(mis * col("y") * col("x3")).as("d3")).head
-      rows += ((r - 1, w(0), w(1), w(2), w(3), upd.getLong(0)))
+      trace(r - 1, w, upd.getLong(0))
       w = Array(w(0) + upd.getLong(1), w(1) + upd.getLong(2),
         w(2) + upd.getLong(3), w(3) + upd.getLong(4))
     }
+    w
+  }
+
+  /** Trainer body, factored so specs can drive a constructed corpus (a
+    * DataFrame with `doc_id` and `text`). */
+  private[queries] def perceptronTrain(corpus: DataFrame, nRounds: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val feats = perceptronFeats(corpus)
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long, Long)]()
+    val w = perceptronRun(feats, nRounds,
+      trace = (r, wr, nMis) => rows += ((r, wr(0), wr(1), wr(2), wr(3), nMis)))
     val finalMis = feats.agg(sum(when(col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")) <= 0, 1L).otherwise(0L))).head.getLong(0)
     rows += ((nRounds, w(0), w(1), w(2), w(3), finalMis))
@@ -775,7 +791,9 @@ object TextQueries {
         col("w2"), col("w3"), col("n_mis"))
       .orderBy("round")
   }
-  private def t18Sql: String = {
+  /** The t18 feats + per-round weight CTEs, shared with t31 so the
+    * calibration oracle replays the SAME trained weights. */
+  private def perceptronCtes: String = {
     val rounds = (1 to PerceptronRounds).map { r =>
       s"""u$r AS (
          |  SELECT CAST(sum(m) AS BIGINT) AS n_mis,
@@ -788,14 +806,7 @@ object TextQueries {
          |  SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1, w.w2 + u.d2 AS w2, w.w3 + u.d3 AS w3
          |  FROM w${r - 1} w, u$r u)""".stripMargin
     }
-    val out = (1 to PerceptronRounds)
-      .map(r => s"SELECT ${r - 1} AS round, w.*, u.n_mis FROM w${r - 1} w, u$r u")
-      .mkString("\nUNION ALL\n") +
-      s"""\nUNION ALL\nSELECT $PerceptronRounds AS round, w.*,
-         |  (SELECT CAST(sum(CASE WHEN f.y * (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) <= 0
-         |                        THEN 1 ELSE 0 END) AS BIGINT) FROM feats f) AS n_mis
-         |FROM w$PerceptronRounds w""".stripMargin
-    s"""WITH feats AS (
+    s"""feats AS (
        |  SELECT doc_id, CAST(1 AS BIGINT) AS x0,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
@@ -806,10 +817,88 @@ object TextQueries {
        |  FROM documents),
        |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
        |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def t18Sql: String = {
+    val out = (1 to PerceptronRounds)
+      .map(r => s"SELECT ${r - 1} AS round, w.*, u.n_mis FROM w${r - 1} w, u$r u")
+      .mkString("\nUNION ALL\n") +
+      s"""\nUNION ALL\nSELECT $PerceptronRounds AS round, w.*,
+         |  (SELECT CAST(sum(CASE WHEN f.y * (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) <= 0
+         |                        THEN 1 ELSE 0 END) AS BIGINT) FROM feats f) AS n_mis
+         |FROM w$PerceptronRounds w""".stripMargin
+    s"""WITH $perceptronCtes
        |SELECT round, w0, w1, w2, w3, n_mis FROM (
        |$out) m ORDER BY round""".stripMargin
   }
+
+  // -------------------- t31 classifier calibration audit ---------------
+
+  /** t31: calibration (reliability) audit of the t18 quality classifier
+    * — bucket the corpus into margin deciles under the FINAL trained
+    * weights and report each bucket's observed positive rate: a
+    * well-calibrated score is monotone in the label rate, and the
+    * decile where the rate crosses 50% is where a deployment would set
+    * its keep threshold. The standard post-training eval every
+    * production quality filter ships next to its accuracy number.
+    *
+    * Exactness: margins are exact integer dot products; decile
+    * assignment is pure integer arithmetic, bucket = ⌈10·cum/n⌉ over
+    * the margin histogram's cumulative counts (ties share one margin
+    * value, hence one bucket — no ordering ambiguity); rate/mean close
+    * with one rounded division each. Scale shape: corpus reduces to
+    * the distinct-margin histogram before the cumulative window
+    * (AggBounded in PlanLintSpec — the u20/r98 counting form); the
+    * bucket map broadcasts back onto the scored relation. */
+  private val t31: Fn = (s, d) => {
+    val feats = perceptronFeats(docs(s, d).select(col("doc_id"), col("text")))
+    val w = perceptronRun(feats, PerceptronRounds)
+    val scored = feats.select(col("doc_id"), col("y"),
+      (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")).as("margin"))
+    val hist = scored.groupBy("margin").agg(count(lit(1)).as("c"))
+    val wc = Window.orderBy("margin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nDf = scored.agg(count(lit(1)).as("n"))
+    val bmap = hist.withColumn("cum", sum(col("c")).over(wc))
+      .crossJoin(broadcast(nDf))
+      .select(col("margin"), expr("(10 * cum + n - 1) div n").as("bucket"))
+    val out = scored.join(bmap, "margin")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).cast(LongType).as("n_pos"),
+        sum(col("margin").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("smargin"))
+      .select(col("bucket").cast(LongType).as("bucket"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("pos_rate"),
+        round(col("smargin").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("mean_margin"))
+      .orderBy("bucket")
+    feats.unpersist()
+    out
+  }
+  private def t31Sql: String =
+    s"""WITH $perceptronCtes,
+       |scored AS (
+       |  SELECT f.doc_id, f.y,
+       |         (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) AS margin
+       |  FROM feats f, w$PerceptronRounds w),
+       |hist AS (SELECT margin, count(*) AS c FROM scored GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+       |bmap AS (
+       |  SELECT margin,
+       |         CAST((10 * sum(c) OVER (ORDER BY margin ROWS UNBOUNDED PRECEDING)
+       |               + nn.n - 1) // nn.n AS BIGINT) AS bucket
+       |  FROM hist, nn)
+       |SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       round(CAST(sum(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 4) AS pos_rate,
+       |       round(CAST(CAST(sum(CAST(s.margin AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 4) AS mean_margin
+       |FROM scored s JOIN bmap b USING (margin)
+       |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin
 
   /** t19: Zipf-law fit over the corpus vocabulary — the distributional
     * health check a tokenizer/corpus pipeline runs to detect boilerplate
@@ -999,6 +1088,7 @@ object TextQueries {
     Q("t19_zipf_fit", t19, Some(t19Sql)),
     Q("t16_bigram_logprob", t16, Some(t16Sql)),
     Q("t18_perceptron_quality", t18, Some(t18Sql)),
+    Q("t31_calibration", t31, Some(t31Sql)),
     Q("t15_bpe_merges", t15, Some(t15Sql)),
     Q("t17_bpe_encode", t17, Some(t17Sql)),
     Q("t14_unigram_logprob", t14, Some(t14Sql)),

@@ -502,6 +502,45 @@ object StreamingOps {
           .select(lit("").as("event_type"), lit(0L).as("user_id"), lit(0).as("first_day"))
           .limit(0)))
 
+  // ---- incremental autocorrelation monitor (r96 twin) ----
+
+  /** r96's always-on twin: the daily-revenue ACF maintained
+    * incrementally. The ACF itself is nothing like additive (every lag
+    * term couples the whole series through the global mean), so the
+    * split follows the mergeable-kernel discipline: the STATE is the
+    * (day, cents) daily-revenue frame — cent sums are additive across
+    * arrival waves at any batch boundary or order — and the ACF layer
+    * re-derives from that bounded #days-row series after each merge via
+    * the SAME oracled batch code (`ExtraQueries7.acfFromDaily`).
+    * Versioned-state replay discipline identical to
+    * [[decayedAggStream]]. */
+  def acfStream(orders: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    orders.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => acfStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental additive fold (exposed for specs + replay proof). */
+  def acfStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = decayedState(spark, s"$tableDir/daily_cents", beforeBatch = Some(batchId))
+    val batchDaily = graft.queries.ExtraQueries7.dailyCents(batch)
+    val merged = base match {
+      case None => batchDaily
+      case Some(b) => b.unionByName(batchDaily)
+        .groupBy("day")
+        .agg(sum(col("x")).cast(org.apache.spark.sql.types.LongType).as("x"))
+    }
+    writeVersion(merged, s"$tableDir/daily_cents", batchId)
+  }
+
+  /** Published ACF from the standing state — r96's exact shape. */
+  def acfReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries7.acfFromDaily(
+      decayedState(spark, s"$tableDir/daily_cents").getOrElse(
+        spark.emptyDataFrame
+          .select(lit(java.sql.Date.valueOf("1970-01-01")).as("day"), lit(0L).as("x"))
+          .limit(0)))
+
   // ---- incremental growth accounting (r95 twin) ----
 
   /** r95's always-on twin: the new/retained/resurrected/churned DAU

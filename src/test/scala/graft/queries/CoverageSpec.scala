@@ -31,6 +31,31 @@ class CoverageSpec extends AnyFunSuite {
     try body(d) finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("m14 clusters are the transitive closure of exactly the m10 pairs") {
+    val pairs = graft.SparkEntry.queries("m10_phash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = graft.SparkEntry.queries("m14_payload_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong).toSeq))
+    assert(rows.nonEmpty && pairs.nonEmpty)
+    rows.foreach { case (cluster, n, members) =>
+      assert(members.length == n.toInt && members == members.sorted)
+      assert(cluster == members.min, "cluster id is the min member")
+    }
+    // disjoint partition of exactly the paired nodes
+    val all = rows.flatMap(_._3)
+    assert(all.distinct.length == all.length, "clusters overlap")
+    assert(all.toSet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every pair co-clustered (closure holds), and a brute union-find agrees
+    val byNode = rows.flatMap { case (c, _, ms) => ms.map(_ -> c) }.toMap
+    pairs.foreach { case (a, b) => assert(byNode(a) == byNode(b), s"pair ($a,$b) split") }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val brute = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+      .map { case (_, ms) => ms.min -> ms.sorted.toSeq }
+    rows.foreach { case (c, _, ms) => assert(brute(c) == ms, s"cluster $c membership") }
+  }
+
   test("approx_count_distinct within measured error of q11's exact distincts (all SFs, ANSI)") {
     forAllSfs { d =>
       val approx = graft.SparkEntry.queries("r28_approx_distinct")(spark, d).collect()

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 /** Hand-pins for the t18 batch-perceptron quality-classifier trainer
@@ -50,6 +51,34 @@ class PerceptronSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
     // training must actually move the weights off zero
     assert(got.last._2 != 0L || got.last._3 != 0L || got.last._4 != 0L || got.last._5 != 0L)
+  }
+
+  test("t31: calibration buckets partition the corpus and match brute force") {
+    val feats = TextQueries.perceptronFeats(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val w = TextQueries.perceptronRun(feats, TextQueries.PerceptronRounds)
+    val margins = feats.collect().map { r =>
+      val xs = Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      (xs.indices.map(i => w(i) * xs(i)).sum, r.getLong(5))
+    }
+    feats.unpersist()
+    val n = margins.length
+    // brute-force decile map: bucket(m) = ceil(10 * cum(m) / n)
+    val cumByMargin = margins.map(_._1).groupBy(identity)
+      .map { case (m, xs) => m -> xs.length }.toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (m, c)) => (m, acc + c) }.drop(1).toMap
+    def bucket(m: Long) = (10L * cumByMargin(m) + n - 1) / n
+    val brute = margins.groupBy(t => bucket(t._1)).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.count(_._2 == 1L).toLong)
+    }
+    val rows = graft.SparkEntry.queries("t31_calibration")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == n.toLong, "buckets partition the corpus")
+    rows.foreach { r =>
+      val (bn, bp) = brute(r.getLong(0))
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 10)
+      assert(r.getLong(1) == bn && r.getLong(2) == bp, s"bucket ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
   }
 
   test("t18: fixture run is non-vacuous and rerun-stable") {

@@ -83,7 +83,11 @@ class PlanLintSpec extends AnyFunSuite {
     // r96: row_number day-index over the per-DAY revenue aggregate —
     // input rows = #days in the order history, never the orders table;
     // the ACF lag join needs a total order over that bounded series.
-    "r96_autocorrelation" -> AggBounded)
+    "r96_autocorrelation" -> AggBounded,
+    // t31: cumulative-count window over the distinct-MARGIN histogram
+    // aggregate (decile cuts by the counting method) — input rows =
+    // margin domain, never the documents table.
+    "t31_calibration" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {

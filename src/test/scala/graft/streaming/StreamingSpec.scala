@@ -450,6 +450,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch double-counted into additive daily state")
   }
 
+  test("incremental ACF monitor: state after N batches equals batch r96 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    val rows = graft.Tables.orders(spark, sf).as[O].collect()
+    // waves deliberately NOT in time order: daily cent sums are additive
+    // so the merged state must converge to the batch series
+    val (b1, rest) = rows.reverse.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[O]
+    val q = StreamingOps.acfStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r96_autocorrelation")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.acfReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental ACF state diverged from the oracled batch r96")
+    // replay idempotency: re-running the LAST step must not double-count
+    StreamingOps.acfStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.acfReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch double-counted into additive state")
+  }
+
   test("incremental runs monitor: state after N batches equals batch r89 exactly, replay-safe") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
