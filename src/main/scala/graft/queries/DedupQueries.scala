@@ -1162,7 +1162,88 @@ object DedupQueries {
        |FROM totals t LEFT JOIN removed r ON t.source = r.source
        |ORDER BY t.source""".stripMargin
 
+  // --------------------- d21 winnowing fingerprints --------------------
+
+  val WinnowK = 8 // character k-gram width
+  val WinnowW = 4 // winnowing window (guarantee: any match ≥ K+W−1 chars shares a fingerprint)
+
+  /** d21: winnowing document fingerprints + shared-fingerprint pairs —
+    * the MOSS algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * hash every [[WinnowK]]-char gram, slide a [[WinnowW]]-window over
+    * the hash sequence, keep each window's RIGHTMOST minimum. The
+    * selected set is position-local (a shared substring of length ≥
+    * K+W−1 is guaranteed to share a fingerprint) yet ~2/(W+1) the
+    * density of all-grams — the copy-detection fingerprint family
+    * between t09's single rolling hash and d10's exact span recovery.
+    * Output: document pairs sharing ≥ 2 selected fingerprints.
+    *
+    * Determinism/oracle: gram hashes are the portable 28-bit md5-prefix
+    * base ([[graft.functions.PortableHash]]); the rightmost-min rule is
+    * a (hash ASC, position DESC) rank — no RNG, no float. The window
+    * membership explodes j ∈ [0, W) with win = p − j bounds-filtered,
+    * which both engines reproduce row-for-row (Spark `sequence` would
+    * DESCEND on an empty range; the j-explode form cannot).
+    * Scale shape: per-doc positional rows (linear in corpus chars, the
+    * d10 cost class), doc-partitioned windows only, fingerprint buckets
+    * capped at [[MaxBucket]] lowest doc_ids before pair generation (the
+    * d03/m10 bound) so a boilerplate fingerprint cannot go quadratic. */
+  private val d21: Fn = (s, d) => {
+    val k = WinnowK; val w = WinnowW
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= k + w - 1)
+      .withColumn("np", (length(col("text")) - k + 1).cast(LongType))
+    val g = base
+      .select(col("doc_id"), col("np"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"p -> CAST(conv(substring(md5(substring(text, p, $k)), 1, 7), 16, 10) AS BIGINT))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), col("np"), (col("p0") + 1).cast(LongType).as("p"), col("h"))
+    val wins = g
+      .withColumn("j", explode(array((0 until w).map(lit): _*)))
+      .withColumn("win", col("p") - col("j"))
+      .filter(col("win") >= 1 && col("win") <= col("np") - w + 1)
+    val wr = Window.partitionBy("doc_id", "win").orderBy(col("h"), desc("p"))
+    val selected = wins.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("h")).distinct()
+    val capped = capBuckets(selected, Seq("h"))
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("d1", "d2")
+  }
+  private val d21Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, CAST(length(text) - ${WinnowK - 1} AS BIGINT) AS np
+       |  FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}),
+       |pos AS (
+       |  SELECT doc_id, text, np, unnest(range(1, np + 1)) AS p FROM base),
+       |g AS (
+       |  SELECT doc_id, np, CAST(p AS BIGINT) AS p,
+       |         CAST(concat('0x', substring(md5(substring(text, CAST(p AS INTEGER), $WinnowK)), 1, 7)) AS BIGINT) AS h
+       |  FROM pos),
+       |wins AS (
+       |  SELECT doc_id, np, p, h, p - j.j AS win
+       |  FROM g CROSS JOIN (SELECT unnest(range(0, $WinnowW)) AS j) j
+       |  WHERE p - j.j >= 1 AND p - j.j <= np - ${WinnowW - 1}),
+       |selected AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, h,
+       |           row_number() OVER (PARTITION BY doc_id, win ORDER BY h, p DESC) AS rk
+       |    FROM wins) t WHERE rk = 1),
+       |capped AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM selected) t WHERE rn <= $MaxBucket)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY d1, d2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("d21_winnowing", d21, Some(d21Sql)),
     Q("p22_dedup_savings", p22, Some(p22Sql)),
     Q("d19_lsh_sweep", d19, Some(d19Sql)),
     Q("d18_crosssource_matrix", d18, Some(d18Sql)),

@@ -29,13 +29,27 @@ object SharedPools {
 
   /** Build `df` at most once per (session, dir, key): first caller pays
     * the build + a parquet write; every caller (including the first)
-    * gets a plain parquet scan of the materialized result. */
+    * gets a plain parquet scan of the materialized result.
+    *
+    * The build runs OUTSIDE the map's lock (check-then-putIfAbsent, not
+    * computeIfAbsent): pool builds may consume OTHER pools — d08's
+    * cluster pool reads the jaccard-pair pool — and a nested
+    * computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    * update". A racing duplicate build writes the same deterministic
+    * bytes to the same path with mode=overwrite, so losing the
+    * putIfAbsent race is waste, never wrongness (and Verify/Bench drive
+    * queries single-threaded anyway). */
   def materialized(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
     built.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    built.computeIfAbsent((s, d, key), _ => {
+    val mapKey = (s, d, key)
+    val existing = built.get(mapKey)
+    if (existing != null) existing
+    else {
       val path = s"$root/${key}_${Integer.toHexString(d.hashCode)}"
       build.write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
-    })
+      val df = s.read.parquet(path)
+      val prev = built.putIfAbsent(mapKey, df)
+      if (prev != null) prev else df
+    }
   }
 }

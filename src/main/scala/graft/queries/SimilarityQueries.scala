@@ -57,6 +57,45 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
+  /** s25: metadata-FILTERED exact top-k — s01 with a label predicate on
+    * the corpus side (each query retrieves only vectors sharing its own
+    * label), the "filtered search" mode every production vector store
+    * exposes (attribute + vector predicates in one query). Pre-filter
+    * semantics: the predicate prunes BEFORE ranking, so k results come
+    * from the filtered set — not post-filtering a top-k that can return
+    * fewer than k (the recall trap filtered-ANN papers warn about).
+    * Same broadcast-probe scan shape as s01; at 100 TB the predicate
+    * rides into the scan as a pushed filter / partition prune and the
+    * s03 IVF candidate stage drops in unchanged. */
+  private val s25: Fn = (s, d) => {
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label").as("qlabel"))
+    val topk = emb(s, d)
+      .join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("vec_id"))
+    topk.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        col("label").cast(LongType).as("label"), col("sim"))
+      .orderBy("q_id", "rk")
+  }
+  private val s25Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+       |          sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+       |               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS sim
+       |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, label, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, CAST(label AS BIGINT) AS label, sim
+       |FROM ranked WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
   // ---------------- LSH (random hyperplanes, seeded & deterministic) ----
 
   val LshTables = 8 // L independent hash tables...
@@ -1686,6 +1725,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("s25_filtered_ann", s25, Some(s25Sql)),
     Q("s24_personalized_pr", s24, Some(s24Sql)),
     Q("s23_communities", s23, Some(s23Sql)),
     Q("s22_adamic_adar", s22, Some(s22Sql)),

@@ -565,6 +565,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("d21 winnowing matches a brute-force MOSS replay and honors the match guarantee") {
+    val k = DedupQueries.WinnowK; val w = DedupQueries.WinnowW
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.length >= k + w - 1)
+    def fingerprints(text: String): Set[Long] = {
+      val hs = (0 to text.length - k).map(i =>
+        graft.functions.PortableHash.md5PrefixLong(text.substring(i, i + k).getBytes("UTF-8"), 7))
+      (0 to hs.length - w).map { win =>
+        // rightmost minimum of hs[win .. win+w-1]
+        (win until win + w).minBy(p => (hs(p), -p))
+      }.toSet.map((p: Int) => hs(p))
+    }
+    val sel = docs.map { case (id, t) => id -> fingerprints(t) }
+    // bucket cap at MaxBucket lowest doc_ids per fingerprint
+    val byH = sel.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).map { case (h, xs) =>
+        h -> xs.map(_._2).sorted.take(DedupQueries.MaxBucket)
+      }
+    val brutePairs = byH.values.flatMap { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 2L)
+    val got = graft.SparkEntry.queries("d21_winnowing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brutePairs && got.nonEmpty)
+    // winnowing guarantee: a shared substring of length >= k+w-1 shares
+    // a fingerprint — prove it on a constructed pair through the SAME
+    // selection code
+    val shared = "abcdefghijklmnopqrs" // length 19 >= 11
+    val fa = fingerprints("XX" + shared + "YYYYYYYY")
+    val fb = fingerprints("ZZZZZ" + shared + "WW")
+    assert((fa & fb).nonEmpty, "guarantee violated on constructed overlap")
+    // density: selected ~ 2/(w+1) of positions, never more than all
+    sel.foreach { case (id, hs) =>
+      val np = docs.find(_._1 == id).get._2.length - k + 1
+      assert(hs.nonEmpty && hs.size <= np, s"doc $id density")
+    }
+  }
+
+  test("s25 filtered ANN returns only label-matching hits, exactly the brute-force top-k") {
+    val embs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val queries = embs.filter(_._1 < SimilarityQueries.NumQueries)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      BigDecimal(dot / math.sqrt(na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = queries.flatMap { case (qid, qv, qlabel) =>
+      embs.filter(e => e._3 == qlabel && e._1 != qid)
+        .map(e => (e._1, e._3, cos(qv, e._2)))
+        .sortBy(t => (-t._3, t._1)).take(SimilarityQueries.K)
+        .zipWithIndex.map { case ((vid, l, s), i) => (qid, (i + 1).toLong, vid, l.toLong, s) }
+    }
+    val got = graft.SparkEntry.queries("s25_filtered_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == brute.toSeq && got.nonEmpty)
+    val qLabel = queries.map(q => q._1 -> q._3.toLong).toMap
+    got.foreach { case (q, _, _, l, _) => assert(l == qLabel(q), s"query $q: label leak") }
+  }
+
   test("s22 adamic-adar equals the brute-force score on the full edge set") {
     val und = run("s10_knn_graph").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
