@@ -1242,7 +1242,109 @@ object DedupQueries {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY d1, d2""".stripMargin
 
+  // --------------------- d22 Bloom-filter membership gate --------------
+
+  val BloomBits = 65536L
+  val BloomHashes = 3
+  val BloomProbes = 50
+
+  /** d22: Bloom-filter membership gate — build one deterministic Bloom
+    * filter per source over exact document text (k = [[BloomHashes]]
+    * md5-derived bit positions in an m = [[BloomBits]] space) and test a
+    * fixed probe set (the [[BloomProbes]] lowest doc_ids, plus the same
+    * texts perturbed into guaranteed NON-members) against every OTHER
+    * source's filter. The approximate-membership primitive an ingest
+    * pipeline uses to gate "have we already got this exact doc?"
+    * before paying a full dedup pass — the set-membership cousin of the
+    * r28/r47/r52 sketch family, and the manual form of the runtime
+    * Bloom pre-filters Spark itself injects into joins.
+    *
+    * Exactness: bit positions are portable md5-prefix hashes mod m —
+    * identical integers in both engines, so the filter's DECISIONS
+    * (not just its error rate) are bit-reproducible; the exact-match
+    * join grades every decision (a Bloom "no" is never wrong — the
+    * spec asserts zero false negatives, the defining guarantee).
+    * Scale shape: the filter relation is the distinct (source, bit) set
+    * — ≤ m rows per source regardless of corpus size (at 100 TB this is
+    * the bitmap an `Aggregator` would pack into m/8 bytes; the relation
+    * form keeps it oracled) — and the probe evaluation is a
+    * (source × probe)-keyed count against it. */
+  private val d22: Fn = (s, d) => {
+    def bitsOf(df: DataFrame): DataFrame = (1 to BloomHashes).map(i =>
+      df.withColumn("bit", expr(
+        s"CAST(conv(substring(md5(concat('$i:', text)), 1, 8), 16, 10) AS BIGINT) % $BloomBits")))
+      .reduce(_ unionByName _)
+    val corpus = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val filters = bitsOf(corpus).select(col("source"), col("bit")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = corpus.filter(col("doc_id") < BloomProbes)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val probes = members.unionByName(
+      members.select((col("probe_id") + lit(1000000L)).as("probe_id"),
+        concat(col("text"), lit("§")).as("text")))
+    val sources = corpus.select("source").distinct()
+    val probeBits = bitsOf(probes).select(col("probe_id"), col("bit"))
+    val decisions = probeBits.crossJoin(broadcast(sources))
+      .join(filters.withColumnRenamed("bit", "fbit").withColumnRenamed("source", "fsource"),
+        col("source") === col("fsource") && col("bit") === col("fbit"), "left")
+      .groupBy("probe_id", "source")
+      .agg((count(col("fbit")) === BloomHashes).as("flagged"))
+    val truth = probes.join(corpus.select(col("source").as("tsource"), col("text")), "text")
+      .select(col("probe_id").as("tprobe"), col("tsource")).distinct()
+    decisions.join(truth,
+        col("probe_id") === col("tprobe") && col("source") === col("tsource"), "left")
+      .select(col("source"), col("flagged"), col("tsource").isNotNull.as("is_member"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tests"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).cast(LongType).as("n_members"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).cast(LongType).as("n_flagged"),
+        sum(when(col("flagged") && !col("is_member"), 1L).otherwise(0L))
+          .cast(LongType).as("n_false_pos"),
+        sum(when(!col("flagged") && col("is_member"), 1L).otherwise(0L))
+          .cast(LongType).as("n_false_neg"))
+      .withColumn("fpr", round(col("n_false_pos").cast(DoubleType)
+        / (col("n_tests") - col("n_members")).cast(DoubleType), 4))
+      .orderBy("source")
+  }
+  private val d22Sql =
+    s"""WITH corpus AS (SELECT doc_id, source, text FROM documents),
+       |hs AS (SELECT unnest(range(1, ${BloomHashes + 1})) AS i),
+       |filters AS (
+       |  SELECT DISTINCT source,
+       |         CAST(concat('0x', substring(md5(concat(i, ':', text)), 1, 8)) AS BIGINT) % $BloomBits AS bit
+       |  FROM corpus CROSS JOIN hs),
+       |members AS (SELECT doc_id AS probe_id, text FROM corpus WHERE doc_id < $BloomProbes),
+       |probes AS (
+       |  SELECT probe_id, text FROM members
+       |  UNION ALL
+       |  SELECT probe_id + 1000000, text || chr(167) FROM members),
+       |sources AS (SELECT DISTINCT source FROM corpus),
+       |probe_bits AS (
+       |  SELECT probe_id,
+       |         CAST(concat('0x', substring(md5(concat(i, ':', text)), 1, 8)) AS BIGINT) % $BloomBits AS bit
+       |  FROM probes CROSS JOIN hs),
+       |decisions AS (
+       |  SELECT pb.probe_id, s.source, count(f.bit) = $BloomHashes AS flagged
+       |  FROM probe_bits pb CROSS JOIN sources s
+       |  LEFT JOIN filters f ON f.source = s.source AND f.bit = pb.bit
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT DISTINCT p.probe_id, c.source FROM probes p JOIN corpus c ON p.text = c.text),
+       |graded AS (
+       |  SELECT d.source, d.flagged, t.probe_id IS NOT NULL AS is_member
+       |  FROM decisions d LEFT JOIN truth t
+       |    ON d.probe_id = t.probe_id AND d.source = t.source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_tests,
+       |       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       |       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(sum(CASE WHEN flagged AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |       CAST(sum(CASE WHEN NOT flagged AND is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       |       round(CAST(sum(CASE WHEN flagged AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) - sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS DOUBLE), 4) AS fpr
+       |FROM graded GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("d22_bloom_gate", d22, Some(d22Sql)),
     Q("d21_winnowing", d21, Some(d21Sql)),
     Q("p22_dedup_savings", p22, Some(p22Sql)),
     Q("d19_lsh_sweep", d19, Some(d19Sql)),

@@ -565,6 +565,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("d22 bloom gate: zero false negatives (the defining guarantee) and sane FPR") {
+    val rows = graft.SparkEntry.queries("d22_bloom_gate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val nSources = rows.length
+    rows.foreach { case (src, nTests, nMembers, nFlagged, nFp, nFn, fpr) =>
+      assert(nFn == 0L, s"$src: a Bloom filter must never say no to a member")
+      assert(nFlagged == nMembers + nFp, s"$src: flag accounting")
+      assert(nTests == (2L * DedupQueries.BloomProbes) * 1L, s"$src: every probe tested")
+      // m=65536, k=3, n≈corpus/source: theoretical FPR at sf0.001-0.1 is
+      // well under 30%; 1.0 would mean a saturated (useless) filter
+      assert(fpr >= 0.0 && fpr < 0.5, s"$src: fpr $fpr out of band")
+    }
+    // the synthetic perturbed probes are non-members everywhere: total
+    // members across sources <= one source membership per real probe
+    assert(rows.map(_._3).sum <= DedupQueries.BloomProbes.toLong * nSources)
+  }
+
   test("d21 winnowing matches a brute-force MOSS replay and honors the match guarantee") {
     val k = DedupQueries.WinnowK; val w = DedupQueries.WinnowW
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
