@@ -1198,6 +1198,112 @@ object SimilarityQueries {
        |SELECT id AS vec_id, CAST(r AS BIGINT) AS pr_fp FROM r$PrRounds
        |ORDER BY pr_fp DESC, vec_id""".stripMargin
 
+  // ---------------------------- s26 k-core decomposition --------------
+
+  val KcoreK = 2
+  val KcoreRounds = 12
+
+  /** s26: k-core peeling of the MUTUAL-kNN graph — each round
+    * simultaneously removes every vertex whose degree WITHIN the
+    * surviving subgraph is below [[KcoreK]], until fixpoint. The
+    * k-core is the standard density filter on similarity graphs: a
+    * corpus-curation pipeline keeps the dense core (well-connected,
+    * representative documents) and routes the peeled fringe
+    * (weakly-attached outliers) to review, and community detection
+    * (s23) is routinely seeded from cores. The MUTUAL graph (edges
+    * kept only when each endpoint ranks the other in its top-
+    * [[KnnK]]) is the standard construction here: the one-directional
+    * union graph has degree ≥ [[KnnK]] at every vertex by
+    * construction, so peeling it is degenerate (all-or-nothing);
+    * mutuality is what exposes the weakly-attached fringe. Output is
+    * the full peel TRACE (round, survivor count, id checksum) — the
+    * audit artifact, monotone by construction.
+    *
+    * Exactness: pure integer logic (degree counts against the alive
+    * set), so both engines replay identical decisions; the trace runs
+    * exactly [[KcoreRounds]] rounds in BOTH engines (rounds past the
+    * fixpoint are idempotent no-ops), which keeps parity independent of
+    * when convergence happens. The spec asserts the fixpoint is reached
+    * with ≥2 spare rounds at every SF, so the fixed bound is a proven
+    * margin rather than a hope.
+    * Scale shape: the loop state is the alive vertex set — eagerly
+    * checkpointed per round (see the in-body note: two structural
+    * references per round make persist-only lineage double), previous
+    * round released, one keyed degree shuffle per round over the
+    * alive-filtered directed edge list (the [[SharedPools]] kNN
+    * parquet). Per-round trace stats are 2 collected longs — nothing
+    * corpus-sized ever reaches the driver. The DuckDB twin is a
+    * recursive CTE whose recursive term re-derives each round's degree
+    * against the previous round's survivors. */
+  private val s26: Fn = (s, d) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val knn = knnPool(s, d).select("a_id", "b_id")
+    val mut = knn.join(
+        knn.select(col("b_id").as("ra"), col("a_id").as("rb")),
+        col("a_id") === col("ra") && col("b_id") === col("rb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val dir = mut.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(mut.select(col("v").as("a"), col("u").as("b")))
+      .persist(lvl)
+    // per-round survivor stats are collected eagerly (2 longs/round —
+    // bounded loop-protocol state, the KMeans-centroid discipline);
+    // deferring them as 1-row plans would re-replay every unpersisted
+    // round's lineage at the final union
+    def stat(alive: DataFrame): (Long, Long) = {
+      val r = alive.agg(count(lit(1)), sum(col("x"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // UNLIKE the s12 loop (one state reference per round → linear plan
+    // growth, persist suffices), the degree filter references the alive
+    // set TWICE per round (both edge endpoints), so without lineage
+    // truncation the logical plan doubles every round (2^12 analyzer
+    // blowup, measured as a driver OOM). localCheckpoint is the local-
+    // mode form of the checkpoint-to-DFS a 100 TB run would use for
+    // multi-reference loop state.
+    var alive = dir.select(col("a").as("x")).distinct().localCheckpoint(true)
+    var trace = Vector((0L, stat(alive)))
+    (1 to KcoreRounds).foreach { it =>
+      val next = dir
+        .join(alive.select(col("x").as("a")), "a")
+        .join(alive.select(col("x").as("b")), "b")
+        .groupBy(col("a").as("x")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK)
+        .select("x")
+        .localCheckpoint(true)
+      alive.unpersist()
+      alive = next
+      trace = trace :+ ((it.toLong, stat(alive)))
+    }
+    alive.unpersist(); dir.unpersist()
+    import s.implicits._
+    trace.map { case (i, (n, c)) => (i, n, c) }
+      .toDF("round", "n_alive", "id_checksum").orderBy("round")
+  }
+
+  private def s26Sql: String =
+    s"""WITH RECURSIVE knn AS ($s10Sql),
+       |mut AS (
+       |  SELECT k1.a_id AS u, k1.b_id AS v FROM knn k1 JOIN knn k2
+       |    ON k1.a_id = k2.b_id AND k1.b_id = k2.a_id
+       |  WHERE k1.a_id < k1.b_id),
+       |kdir AS (
+       |  SELECT u AS a, v AS b FROM mut
+       |  UNION ALL
+       |  SELECT v AS a, u AS b FROM mut),
+       |core(iter, x) AS (
+       |  SELECT 0, a FROM (SELECT DISTINCT a FROM kdir) t
+       |  UNION ALL
+       |  SELECT c.iter + 1, c.x
+       |  FROM core c
+       |  WHERE c.iter < $KcoreRounds AND
+       |    (SELECT count(*) FROM kdir e
+       |     JOIN core c2 ON c2.iter = c.iter AND e.b = c2.x
+       |     WHERE e.a = c.x) >= $KcoreK)
+       |SELECT CAST(iter AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_alive,
+       |       CAST(sum(x) AS BIGINT) AS id_checksum
+       |FROM core GROUP BY iter ORDER BY round""".stripMargin
+
   /** s14: kNN label-vote classifier — the eval loop a labeled embedding
     * corpus runs to sanity-check the encoder (neighbors sharing labels
     * = the embedding space is organized; falling accuracy after an
@@ -1727,6 +1833,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     Q("s25_filtered_ann", s25, Some(s25Sql)),
     Q("s24_personalized_pr", s24, Some(s24Sql)),
+    Q("s26_kcore", s26, Some(s26Sql)),
     Q("s23_communities", s23, Some(s23Sql)),
     Q("s22_adamic_adar", s22, Some(s22Sql)),
     Q("s21_graph_search", s21, Some(s21Sql)),

@@ -565,6 +565,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("s26 k-core: monotone peel, fixpoint with spare rounds, and a degree-property replay") {
+    val rows = run("s26_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toVector == (0L to SimilarityQueries.KcoreRounds.toLong).toVector)
+    val counts = rows.map(_._2).toVector
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, "peel must be monotone")
+    assert(counts.last > 0, "core must not empty at this K (oracle shape depends on it)")
+    // fixpoint reached with >=2 spare rounds: the fixed round bound is margin, not luck
+    val tail3 = rows.takeRight(3)
+    assert(tail3.map(t => (t._2, t._3)).distinct.size == 1,
+      s"no fixpoint margin: ${rows.mkString(",")}")
+    // replay: every survivor of the full peel has >=K mutual neighbors among survivors
+    val knn = run("s10_knn_graph").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val dirSet = knn.toSet
+    val mutual = knn.filter { case (a, b) => a < b && dirSet((b, a)) }
+    val adj = (mutual ++ mutual.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = alive.filter(v => (adj(v) & alive).size >= SimilarityQueries.KcoreK)
+      changed = next != alive; alive = next
+    }
+    assert(alive.size.toLong == counts.last, "independent peel replay disagrees on core size")
+    assert(alive.map(identity).sum == rows.last._3, "core id checksum mismatch vs replay")
+  }
+
   test("d22 bloom gate: zero false negatives (the defining guarantee) and sane FPR") {
     val rows = graft.SparkEntry.queries("d22_bloom_gate")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
