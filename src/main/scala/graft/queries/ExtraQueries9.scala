@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+import graft.queries.Relational.{Fn, Q, money}
+
+/** Round-7 batch 9: incremental view maintenance for a join view, two
+  * exact nonparametric statistics (Mann–Whitney rank-sum, Kendall
+  * tau-b), and a zone-map data-skipping audit that quantifies the
+  * layout lesson behind `operators/Layout`.
+  *
+  * Same determinism discipline as ExtraQueries3–8: exact integer/decimal
+  * sufficient statistics end-to-end, at most one double conversion per
+  * output cell with an identical expression tree in both engines, and a
+  * total ORDER BY with a unique tiebreak.
+  */
+object ExtraQueries9 {
+
+  private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def customer(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nation(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def region(s: SparkSession, d: String) = Tables.region(s, d)
+
+  // ---------------------------------------- r100 join-view IVM
+
+  /** Delta-batch cutoffs. Orders and lineitems are split INDEPENDENTLY
+    * (an order placed long ago can still receive late-arriving
+    * lineitems), so all three delta-algebra terms are non-trivial. */
+  val IvmOrderCutoff = "1998-01-01"
+  val IvmShipCutoff = "1998-03-01"
+
+  /** r100: incremental maintenance of an aggregated join view — given
+    * the materialized view V = γ(σ(orders ⋈ lineitem)) over the OLD
+    * base and an insert-only delta batch (ΔO, ΔL), compute the view
+    * delta from the classic IVM join-delta algebra
+    * ΔV = γ(ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL) without ever re-scanning the
+    * old join. This is the maintenance step behind every materialized
+    * aggregate a warehouse keeps warm (p10 maintains a single-table
+    * aggregate; r100 maintains a JOIN view, where the cross terms are
+    * what a naive "re-aggregate the delta" gets wrong).
+    *
+    * Exactness: counts are integers and revenue rides the exact
+    * DECIMAL money algebra, so the delta-algebra sums are bit-identical
+    * to the oracle's full-minus-old differences — the IVM correctness
+    * identity IS the oracle (the DuckDB side computes γ(full) − γ(old)
+    * and the hashes must match). Insert-only deltas make the output key
+    * set well-defined: every key touched by a delta row has d_cnt > 0.
+    * Scale shape: the delta relations are one ingest batch — small by
+    * construction — so both cross terms broadcast the delta side and
+    * probe the old fact table map-side (explicit hints); ΔO⋈ΔL is
+    * delta-sized on both sides. Nothing ever shuffles the old base on
+    * its own: at 100 TB the three terms cost O(|Δ| + matched rows),
+    * which is the entire point of IVM over recompute. */
+  private val r100: Fn = (s, d) => {
+    val oc = lit(IvmOrderCutoff).cast("timestamp")
+    val sc = lit(IvmShipCutoff).cast("timestamp")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = lineitem(s, d).filter(col("l_quantity") > 10)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    val oldO = o.filter(col("o_orderdate") < oc)
+    val dO = o.filter(col("o_orderdate") >= oc)
+    val oldL = l.filter(col("l_shipdate") < sc)
+    val dL = l.filter(col("l_shipdate") >= sc)
+    val terms = Seq(
+      broadcast(dO).join(oldL, col("o_orderkey") === col("l_orderkey")),
+      oldO.join(broadcast(dL), col("o_orderkey") === col("l_orderkey")),
+      broadcast(dO).join(dL, col("o_orderkey") === col("l_orderkey")))
+    terms.reduce(_ unionByName _)
+      .groupBy(col("o_orderpriority"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("ship_month"))
+      .agg(count(lit(1)).as("d_cnt"),
+        sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("d_rev"))
+      .orderBy("o_orderpriority", "ship_month")
+  }
+
+  private val r100Sql =
+    s"""WITH v AS (
+       |  SELECT o_orderpriority, o_orderdate, l_shipdate,
+       |         CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       |         CAST(l_extendedprice AS DECIMAL(12,2)) AS e
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_quantity > 10),
+       |full_agg AS (
+       |  SELECT o_orderpriority, ship_month, count(*) AS c, sum(e) AS r
+       |  FROM v GROUP BY 1, 2),
+       |old_agg AS (
+       |  SELECT o_orderpriority, ship_month, count(*) AS c, sum(e) AS r
+       |  FROM v
+       |  WHERE o_orderdate < TIMESTAMP '$IvmOrderCutoff'
+       |    AND l_shipdate < TIMESTAMP '$IvmShipCutoff'
+       |  GROUP BY 1, 2)
+       |SELECT f.o_orderpriority, f.ship_month,
+       |       f.c - COALESCE(o.c, 0) AS d_cnt,
+       |       CAST(f.r - COALESCE(o.r, 0) AS DECIMAL(38,2)) AS d_rev
+       |FROM full_agg f
+       |LEFT JOIN old_agg o
+       |  ON f.o_orderpriority = o.o_orderpriority AND f.ship_month = o.ship_month
+       |WHERE f.c - COALESCE(o.c, 0) > 0
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------- r101 Mann–Whitney U
+
+  /** r101: Mann–Whitney U rank-sum test between every pair of
+    * order-priority classes on the order-value distribution — the
+    * standard distribution-free "did segment A spend more than segment
+    * B" test when normality can't be assumed (r71's z-test compares
+    * means; r101 compares whole distributions). U is computed by the
+    * histogram-merge method, not by ranking rows: per pair, the two
+    * per-value count histograms are merged on the value axis and
+    * 2·U₁ = Σ cₐ·(2·cum_b_below + c_b) — the doubling keeps the ½-per-tie
+    * contribution integral.
+    *
+    * Exactness: values are exact cents (money×100), all counts and 2·U₁
+    * and the tie term Σ(t³−t) are integers; the normal-approximation z
+    * (tie-corrected variance) is ONE double expression with an identical
+    * tree in both engines, rounded once.
+    * Scale shape: the only corpus-sized shuffle is the (priority, cents)
+    * histogram aggregation; everything after runs on the histogram
+    * relation (distinct values, not rows), pair-tagged via a broadcast
+    * 2·|pairs|-row mapping and ranked by pair-partitioned windows. At
+    * 100 TB the histogram is |distinct values|-sized — the same
+    * counting-method discipline as r66/p14/u20. */
+  private val r101: Fn = (s, d) => {
+    val cents = orders(s, d).select(col("o_orderpriority").as("pri"),
+      (money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val hist = cents.groupBy("pri", "cents").agg(count(lit(1)).as("cnt"))
+    val pris = hist.select("pri").distinct()
+    // non-equi self-pairing of the ≤|priorities|-row domain: broadcast
+    // explicitly so static planning can never fall back to a cartesian
+    val pairs = pris.select(col("pri").as("pa"))
+      .join(broadcast(pris.select(col("pri").as("pb"))), col("pa") < col("pb"))
+    val tags = pairs.select(col("pa").as("pri"), col("pa"), col("pb"), lit("a").as("side"))
+      .unionByName(pairs.select(col("pb").as("pri"), col("pa"), col("pb"), lit("b").as("side")))
+    val byVal = hist.join(broadcast(tags), Seq("pri"))
+      .groupBy("pa", "pb", "cents")
+      .agg(sum(when(col("side") === "a", col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", col("cnt")).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("pa", "pb").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("ca") + col("cb")
+    val agg = byVal.withColumn("cumb", sum(col("cb")).over(w) - col("cb"))
+      .groupBy("pa", "pb")
+      .agg(sum(col("ca")).cast(LongType).as("n1"),
+        sum(col("cb")).cast(LongType).as("n2"),
+        sum(col("ca") * (lit(2) * col("cumb") + col("cb"))).cast(LongType).as("u1_x2"),
+        sum(t * t * t - t).cast(LongType).as("tie_term"))
+    val nD = (col("n1") + col("n2")).cast(DoubleType)
+    agg.withColumn("z", round(
+        (col("u1_x2").cast(DoubleType) - col("n1").cast(DoubleType) * col("n2").cast(DoubleType)) /
+          (lit(2.0) * sqrt(col("n1").cast(DoubleType) * col("n2").cast(DoubleType) *
+            ((nD * nD * nD - nD) - col("tie_term").cast(DoubleType)) /
+            (lit(12.0) * nD * (nD - lit(1.0))))), 6))
+      .select("pa", "pb", "n1", "n2", "u1_x2", "tie_term", "z")
+      .orderBy("pa", "pb")
+  }
+
+  private val r101Sql =
+    """WITH cents AS (
+      |  SELECT o_orderpriority AS pri,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |hist AS (SELECT pri, cents, count(*) AS cnt FROM cents GROUP BY 1, 2),
+      |pris AS (SELECT DISTINCT pri FROM hist),
+      |pairs AS (SELECT a.pri AS pa, b.pri AS pb FROM pris a JOIN pris b ON a.pri < b.pri),
+      |tags AS (
+      |  SELECT pa AS pri, pa, pb, 'a' AS side FROM pairs
+      |  UNION ALL
+      |  SELECT pb AS pri, pa, pb, 'b' AS side FROM pairs),
+      |byval AS (
+      |  SELECT t.pa, t.pb, h.cents,
+      |         sum(CASE WHEN t.side = 'a' THEN h.cnt ELSE 0 END) AS ca,
+      |         sum(CASE WHEN t.side = 'b' THEN h.cnt ELSE 0 END) AS cb
+      |  FROM hist h JOIN tags t ON h.pri = t.pri
+      |  GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT pa, pb, cents, ca, cb,
+      |         sum(cb) OVER (PARTITION BY pa, pb ORDER BY cents
+      |                       ROWS UNBOUNDED PRECEDING) - cb AS cumb
+      |  FROM byval),
+      |agg AS (
+      |  SELECT pa, pb,
+      |         CAST(sum(ca) AS BIGINT) AS n1,
+      |         CAST(sum(cb) AS BIGINT) AS n2,
+      |         CAST(sum(ca * (2 * cumb + cb)) AS BIGINT) AS u1_x2,
+      |         CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie_term
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT pa, pb, n1, n2, u1_x2, tie_term,
+      |       round((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+      |             (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+      |               ((CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+      |                 - CAST(n1 + n2 AS DOUBLE)) - CAST(tie_term AS DOUBLE)) /
+      |               (12.0 * CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6) AS z
+      |FROM agg
+      |ORDER BY pa, pb""".stripMargin
+
+  // ---------------------------------------- r102 Kendall tau-b
+
+  /** r102: Kendall tau-b rank correlation between daily revenue and
+    * daily order count, per region — the robust monotone-association
+    * companion to r92's Spearman (tau is the pairwise-concordance view;
+    * Spearman is the rank-Pearson view — reporting both is standard
+    * because they disagree exactly when the association is non-uniform
+    * across the range). Computed from the definition: every day pair
+    * within a region is classified concordant / discordant / x-tied /
+    * y-tied by exact integer sign tests (no product — cents diffs can
+    * reach 1e9 and their product would overflow BIGINT).
+    *
+    * Exactness: revenue is exact cents, counts are integers; tau-b's
+    * single double division (nc−nd)/√((n0−tx)·(n0−ty)) is the one
+    * rounded cell, with the radicand assembled in BIGINT (≤1e13 here —
+    * exactly representable) and cast once.
+    * Scale shape: the corpus collapses to the day-grain aggregate FIRST
+    * (one keyed shuffle); the pair join is a region-keyed equi-join of
+    * that calendar-bounded relation with itself (days² per region, a
+    * size set by the calendar, not the corpus — the r62/r96 bounded-
+    * relation argument). At 100 TB the daily aggregate is identical;
+    * only the first shuffle grows. */
+  private val r102: Fn = (s, d) => {
+    val daily = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(money(col("o_totalprice")) * 100).cast(LongType).as("x"),
+        count(lit(1)).as("y"))
+    val d1 = daily.select(col("r_name"), col("day").as("day1"), col("x").as("x1"), col("y").as("y1"))
+    val d2 = daily.select(col("r_name").as("rn2"), col("day").as("day2"), col("x").as("x2"), col("y").as("y2"))
+    val dx = col("x2") - col("x1")
+    val dy = col("y2") - col("y1")
+    val pairsAgg = d1.join(d2, col("r_name") === col("rn2") && col("day1") < col("day2"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(dx > 0 && dy > 0 || dx < 0 && dy < 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(dx > 0 && dy < 0 || dx < 0 && dy > 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(dx === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(dy === 0, 1L).otherwise(0L)).as("ty"))
+    val nDays = daily.groupBy("r_name").agg(count(lit(1)).as("n_days"))
+    pairsAgg.join(broadcast(nDays), Seq("r_name"))
+      .withColumn("tau_b", round((col("nc") - col("nd")).cast(DoubleType) /
+        sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty"))).cast(DoubleType)), 6))
+      .select("r_name", "n_days", "n0", "nc", "nd", "tx", "ty", "tau_b")
+      .orderBy("r_name")
+  }
+
+  private val r102Sql =
+    """WITH daily AS (
+      |  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS x,
+      |         count(*) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.r_name,
+      |         b.x - a.x AS dx, b.y - a.y AS dy
+      |  FROM daily a JOIN daily b ON a.r_name = b.r_name AND a.day < b.day),
+      |agg AS (
+      |  SELECT r_name, count(*) AS n0,
+      |         CAST(sum(CASE WHEN dx > 0 AND dy > 0 OR dx < 0 AND dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |         CAST(sum(CASE WHEN dx > 0 AND dy < 0 OR dx < 0 AND dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      |  FROM pairs GROUP BY 1),
+      |nd AS (SELECT r_name, count(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT a.r_name, n.n_days, a.n0, a.nc, a.nd, a.tx, a.ty,
+      |       round(CAST(a.nc - a.nd AS DOUBLE) /
+      |             sqrt(CAST((a.n0 - a.tx) * (a.n0 - a.ty) AS DOUBLE)), 6) AS tau_b
+      |FROM agg a JOIN nd n ON a.r_name = n.r_name
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------- u21 zone-map pruning audit
+
+  /** Synthetic file size for the key-clustered layout (rows sharing
+    * l_orderkey div [[ZoneFileKeys]] land in one "file"). */
+  val ZoneFileKeys = 4096
+  val ZoneYear = 1997
+
+  /** u21: zone-map data-skipping audit — build per-file (min, max)
+    * zone maps for the ship-month column under TWO physical layouts of
+    * the same fact table (key-clustered: files cut along l_orderkey;
+    * time-clustered: files cut along ship month) and measure, for each
+    * monthly predicate of [[ZoneYear]], how many files a zone-map-aware
+    * scanner skips and how many rows it still has to read. This is the
+    * audit behind every "should we re-sort this table" decision: zone
+    * maps (parquet row-group stats, Delta/Iceberg file stats) only
+    * prune when the layout correlates with the predicate column, and
+    * the keyclust-vs-timeclust contrast quantifies exactly what
+    * `operators/Layout`'s clustering buys — timeclust scans precisely
+    * the matching rows (perfect pruning by construction), keyclust
+    * scans nearly everything (TPC-H-ish order keys are uncorrelated
+    * with dates).
+    *
+    * Exactness: months are integer ids (year·12+month), zone maps are
+    * integer min/max, all outputs are counts plus one rounded
+    * scan-efficiency ratio.
+    * Scale shape: the zone-map relation is metadata-sized (one row per
+    * file — millions of files at 100 TB, still tiny next to the data);
+    * the predicate set is a broadcast ≤12-row relation, so the audit
+    * joins metadata × predicates without touching the fact table beyond
+    * the two grouping scans that build the maps and the exact
+    * per-month match counts. */
+  private val u21: Fn = (s, d) => {
+    val li = lineitem(s, d).select(col("l_orderkey"),
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast(LongType).as("mid"))
+    val tagged = li.select(lit("keyclust").as("layout"),
+        expr(s"CAST(l_orderkey DIV $ZoneFileKeys AS BIGINT)").as("file_id"), col("mid"))
+      .unionByName(li.select(lit("timeclust").as("layout"), col("mid").as("file_id"), col("mid")))
+    val zones = tagged.groupBy("layout", "file_id")
+      .agg(min(col("mid")).as("zmin"), max(col("mid")).as("zmax"),
+        count(lit(1)).as("nrows"))
+    val months = li.select(col("mid")).distinct()
+      .filter(col("mid") >= ZoneYear * 12 + 1 && col("mid") <= ZoneYear * 12 + 12)
+      .select(col("mid").as("qmid"))
+    val matched = li.groupBy(col("mid").as("qmid")).agg(count(lit(1)).as("rows_matched"))
+    // every (file, predicate) cell is audited: cross of the metadata
+    // relation with the broadcast ≤12-row predicate set
+    zones.crossJoin(broadcast(months))
+      .withColumn("scanned", col("zmin") <= col("qmid") && col("qmid") <= col("zmax"))
+      .groupBy("layout", "qmid")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).cast(LongType).as("files_scanned"),
+        sum(when(col("scanned"), col("nrows")).otherwise(0L)).cast(LongType).as("rows_scanned"))
+      .join(broadcast(matched), Seq("qmid"))
+      .withColumn("scan_efficiency", round(col("rows_matched").cast(DoubleType) /
+        col("rows_scanned").cast(DoubleType), 6))
+      .select(col("layout"), col("qmid").as("month_id"), col("n_files"),
+        col("files_scanned"), col("rows_scanned"), col("rows_matched"),
+        col("scan_efficiency"))
+      .orderBy("layout", "month_id")
+  }
+
+  private val u21Sql =
+    s"""WITH li AS (
+       |  SELECT l_orderkey,
+       |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mid
+       |  FROM lineitem),
+       |tagged AS (
+       |  SELECT 'keyclust' AS layout, l_orderkey // $ZoneFileKeys AS file_id, mid FROM li
+       |  UNION ALL
+       |  SELECT 'timeclust' AS layout, mid AS file_id, mid FROM li),
+       |zones AS (
+       |  SELECT layout, file_id, min(mid) AS zmin, max(mid) AS zmax, count(*) AS nrows
+       |  FROM tagged GROUP BY 1, 2),
+       |months AS (
+       |  SELECT DISTINCT mid AS qmid FROM li
+       |  WHERE mid BETWEEN ${ZoneYear * 12 + 1} AND ${ZoneYear * 12 + 12}),
+       |matched AS (SELECT mid AS qmid, count(*) AS rows_matched FROM li GROUP BY 1),
+       |audit AS (
+       |  SELECT z.layout, m.qmid, count(*) AS n_files,
+       |         CAST(sum(CASE WHEN z.zmin <= m.qmid AND m.qmid <= z.zmax THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |         CAST(sum(CASE WHEN z.zmin <= m.qmid AND m.qmid <= z.zmax THEN z.nrows ELSE 0 END) AS BIGINT) AS rows_scanned
+       |  FROM zones z CROSS JOIN months m
+       |  GROUP BY 1, 2)
+       |SELECT a.layout, a.qmid AS month_id, a.n_files, a.files_scanned,
+       |       a.rows_scanned, x.rows_matched,
+       |       round(CAST(x.rows_matched AS DOUBLE) / CAST(a.rows_scanned AS DOUBLE), 6) AS scan_efficiency
+       |FROM audit a JOIN matched x ON a.qmid = x.qmid
+       |ORDER BY layout, month_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("r100_join_ivm", r100, Some(r100Sql)),
+    Q("r101_mannwhitney", r101, Some(r101Sql)),
+    Q("r102_kendall_tau", r102, Some(r102Sql)),
+    Q("u21_zonemap_pruning", u21, Some(u21Sql)))
+}

@@ -1830,7 +1830,97 @@ object SimilarityQueries {
        |WHERE rk <= $BeamOut ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---------------------------- s27 harmonic centrality ----------------
+
+  val HarmonicRadius = 3
+
+  /** s27: bounded-radius harmonic centrality over the MUTUAL-kNN graph —
+    * H(v) = Σ_{u≠v, d(u,v)≤R} 1/d(u,v) by multi-source BFS, the standard
+    * "which documents sit in locally dense, well-connected neighborhood"
+    * signal (harmonic, not closeness, because the mutual graph is
+    * disconnected and harmonic handles unreachable pairs by definition).
+    * Complements the spectral view (s12 PageRank ranks by stationary
+    * visit mass; harmonic ranks by distance-discounted reach) — curation
+    * pipelines report both because they disagree on hub-adjacent
+    * leaves.
+    *
+    * Exactness: distances are BFS hop counts (integers); the harmonic
+    * sum is carried ×6 (the lcm of 1..3) so every 1/d term is integral —
+    * h6 = 6·n1 + 3·n2 + 2·n3, no division anywhere.
+    * Scale shape: per round ONE keyed join of the frontier against the
+    * edge list and ONE (src, node) min-aggregation; the state relation
+    * is bounded by n·(1+k+k²+k³) on a k-bounded mutual graph, never n².
+    * Like s26, the state is referenced twice per round (frontier filter
+    * + union), so each round is lineage-truncated via localCheckpoint —
+    * the local-mode form of checkpoint-to-DFS. At 100 TB the radius
+    * bound IS the scale control (state linear in n for bounded k), and
+    * the unbounded-radius variant swaps the exact per-source set for
+    * r28-style HLL counters per node (HyperBall) with the same loop
+    * shape. The DuckDB twin is a recursive CTE bounded by the same
+    * radius, min-dist-reduced per (src, node). */
+  private val s27: Fn = (s, d) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val knn = knnPool(s, d).select("a_id", "b_id")
+    val mut = knn.join(
+        knn.select(col("b_id").as("ra"), col("a_id").as("rb")),
+        col("a_id") === col("ra") && col("b_id") === col("rb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val dir = mut.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(mut.select(col("v").as("a"), col("u").as("b")))
+      .persist(lvl)
+    var best = dir.select(col("a").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    (1 to HarmonicRadius).foreach { r =>
+      val grown = best.filter(col("dist") === r - 1)
+        .join(dir, col("node") === col("a"))
+        .select(col("src"), col("b").as("node"), lit(r).as("dist"))
+      val next = best.unionAll(grown)
+        .groupBy("src", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      best.unpersist()
+      best = next
+    }
+    val out = best.filter(col("dist") >= 1)
+      .groupBy(col("src").as("vec_id"))
+      .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).cast(LongType).as("n1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).cast(LongType).as("n2"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).cast(LongType).as("n3"))
+      .withColumn("h6", (col("n1") * 6 + col("n2") * 3 + col("n3") * 2).cast(LongType))
+      .orderBy(desc("h6"), col("vec_id"))
+    dir.unpersist()
+    out
+  }
+
+  private def s27Sql: String =
+    s"""WITH RECURSIVE knn AS ($s10Sql),
+       |mut AS (
+       |  SELECT k1.a_id AS u, k1.b_id AS v FROM knn k1 JOIN knn k2
+       |    ON k1.a_id = k2.b_id AND k1.b_id = k2.a_id
+       |  WHERE k1.a_id < k1.b_id),
+       |kdir AS (
+       |  SELECT u AS a, v AS b FROM mut
+       |  UNION ALL
+       |  SELECT v AS a, u AS b FROM mut),
+       |walk(src, node, dist) AS (
+       |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM kdir) t
+       |  UNION
+       |  SELECT w.src, e.b, w.dist + 1
+       |  FROM walk w JOIN kdir e ON e.a = w.node
+       |  WHERE w.dist < $HarmonicRadius),
+       |best AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+       |SELECT src AS vec_id,
+       |       CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |       CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |       CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |       CAST(sum(CASE WHEN dist = 1 THEN 6 WHEN dist = 2 THEN 3
+       |                     WHEN dist = 3 THEN 2 ELSE 0 END) AS BIGINT) AS h6
+       |FROM best WHERE dist >= 1
+       |GROUP BY src ORDER BY h6 DESC, vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s27_harmonic_centrality", s27, Some(s27Sql)),
     Q("s25_filtered_ann", s25, Some(s25Sql)),
     Q("s24_personalized_pr", s24, Some(s24Sql)),
     Q("s26_kcore", s26, Some(s26Sql)),
