@@ -382,26 +382,50 @@ object ExtraQueries10 {
     * per-partition lateness dashboard shows), then one keyed
     * aggregation to (type, day) grain. Nothing global, nothing
     * collected. */
-  private val st6: Fn = (s, d) => {
-    val arr = events(s, d)
-      .select(col("event_id"), col("event_type"), col("ts"),
+  /** The simulated bounded-reorder arrival stream — shared by the st6
+    * batch query and [[graft.streaming.StreamingOps]]'s incremental
+    * watermark monitor so both classify exactly the same replay. */
+  private[graft] def wmArrivals(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("event_type"), col("ts"),
         unix_micros(col("ts")).as("mts"))
       .withColumn("arrival_seq", col("event_id") + expr(
         s"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $WmJitter"))
+
+  /** Classify every arrival against the running-max watermark,
+    * optionally seeded with a prior per-type high-water mark (the
+    * streaming twin's carried state; `None` = cold start, the batch
+    * query's case — no extra join in the registered plan). */
+  private[graft] def wmClassify(arr: DataFrame, priorHi: Option[DataFrame]): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("arrival_seq", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    arr.withColumn("hi", max(col("mts")).over(w))
-      .withColumn("status",
-        when(col("hi").isNull || col("mts") >= col("hi"), "on_time")
-          .when(col("mts") >= col("hi") - WmDelayUs, "late_accepted")
-          .otherwise("dropped"))
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+    val withBatchHi = arr.withColumn("bhi", max(col("mts")).over(w))
+    val withHi = priorHi match {
+      case None => withBatchHi.withColumn("hi", col("bhi"))
+      case Some(ph) => withBatchHi
+        .join(broadcast(ph), Seq("event_type"), "left")
+        .withColumn("hi", greatest(
+          coalesce(col("bhi"), lit(Long.MinValue)),
+          coalesce(col("state_hi"), lit(Long.MinValue))))
+        .withColumn("hi", when(col("hi") === Long.MinValue, lit(null)).otherwise(col("hi")))
+    }
+    withHi.withColumn("status",
+      when(col("hi").isNull || col("mts") >= col("hi"), "on_time")
+        .when(col("mts") >= col("hi") - WmDelayUs, "late_accepted")
+        .otherwise("dropped"))
+  }
+
+  /** Collapse classified arrivals to the (type, day) accounting grain —
+    * additive, so the streaming twin merges batch counts by plain sum. */
+  private[graft] def wmCounts(classified: DataFrame): DataFrame =
+    classified.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("status") === "on_time", 1L).otherwise(0L)).cast(LongType).as("on_time"),
         sum(when(col("status") === "late_accepted", 1L).otherwise(0L)).cast(LongType).as("late_accepted"),
         sum(when(col("status") === "dropped", 1L).otherwise(0L)).cast(LongType).as("dropped"))
+
+  private val st6: Fn = (s, d) =>
+    wmCounts(wmClassify(wmArrivals(events(s, d)), None))
       .orderBy("event_type", "day")
-  }
 
   private val st6Sql =
     s"""WITH arr AS (

@@ -595,6 +595,65 @@ object StreamingOps {
     java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
   }
 
+  // ---- incremental watermark/late-data monitor (st6 twin) ----
+
+  /** st6's always-on twin: watermark lateness accounting maintained
+    * incrementally. State is TWO relations: the per-type high-water
+    * mark (merged by max — idempotent, commutative) and the (type, day)
+    * classification counts (merged by plain addition). UNLIKE the
+    * additive twins above, the watermark kernel is order-sensitive BY
+    * DEFINITION — an event's on-time/late/dropped verdict depends on
+    * what arrived before it — so the merge contract is that waves
+    * PARTITION the arrival order (each micro-batch is a contiguous
+    * arrival-sequence range, exactly how a log-offset source delivers).
+    * Under that contract the per-batch classification seeded with the
+    * carried high-water mark reproduces the batch st6 verdicts row for
+    * row. Versioned-state replay discipline identical to
+    * [[decayedAggStream]]: a re-delivered batch rebuilds from the
+    * pre-batch base and rewrites the same version. */
+  def watermarkStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => watermarkStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental classify-and-merge (exposed for specs + replay). */
+  def watermarkStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val E10 = graft.queries.ExtraQueries10
+    val spark = batch.sparkSession
+    val baseHi = decayedState(spark, s"$tableDir/wm_hi", beforeBatch = Some(batchId))
+    val baseCounts = decayedState(spark, s"$tableDir/wm_counts", beforeBatch = Some(batchId))
+    val arr = E10.wmArrivals(batch)
+    val counts = E10.wmCounts(E10.wmClassify(arr, baseHi))
+    val mergedCounts = baseCounts match {
+      case None => counts
+      case Some(b) => b.unionByName(counts)
+        .groupBy("event_type", "day")
+        .agg(sum(col("n_events")).cast(org.apache.spark.sql.types.LongType).as("n_events"),
+          sum(col("on_time")).cast(org.apache.spark.sql.types.LongType).as("on_time"),
+          sum(col("late_accepted")).cast(org.apache.spark.sql.types.LongType).as("late_accepted"),
+          sum(col("dropped")).cast(org.apache.spark.sql.types.LongType).as("dropped"))
+    }
+    val batchHi = arr.groupBy("event_type").agg(max(col("mts")).as("state_hi"))
+    val mergedHi = baseHi match {
+      case None => batchHi
+      case Some(b) => b.unionByName(batchHi)
+        .groupBy("event_type").agg(max(col("state_hi")).as("state_hi"))
+    }
+    writeVersion(mergedCounts, s"$tableDir/wm_counts", batchId)
+    writeVersion(mergedHi, s"$tableDir/wm_hi", batchId)
+  }
+
+  /** Published accounting from the standing state — st6's exact shape. */
+  def watermarkReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    decayedState(spark, s"$tableDir/wm_counts").getOrElse(
+      spark.emptyDataFrame
+        .select(lit("").as("event_type"),
+          lit(java.sql.Date.valueOf("1970-01-01")).as("day"),
+          lit(0L).as("n_events"), lit(0L).as("on_time"),
+          lit(0L).as("late_accepted"), lit(0L).as("dropped"))
+        .limit(0))
+      .orderBy("event_type", "day")
+
   // ---- custom state: cross-batch inference batch packer (p18 twin) ----
 
   case class PackIn(bucket: Long, doc_id: Long, n_tok: Long)

@@ -505,6 +505,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch double-counted into additive daily state")
   }
 
+  test("incremental watermark monitor: state after N arrival-ordered waves equals batch st6, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString
+    // the watermark kernel is order-sensitive by definition, so waves
+    // must PARTITION the arrival order (the log-offset-source contract
+    // documented on watermarkStream) — split on the jittered sequence
+    val ordered = graft.queries.ExtraQueries10.wmArrivals(eventsBatch)
+      .orderBy("arrival_seq", "event_id").select("event_id").collect().map(_.getLong(0))
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[E].collect().map(e => e.event_id -> e).toMap
+    val waves = ordered.map(rows).grouped(math.max(1, ordered.length / 3 + 1)).toSeq
+    val stream = MemoryStream[E]
+    val q = StreamingOps.watermarkStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      waves.foreach { wv => stream.addData(wv.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("st6_watermark_audit")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.watermarkReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental watermark state diverged from the oracled batch st6")
+    // replay idempotency: re-running the LAST step (same batch id, same
+    // rows) must rebuild from the pre-batch base and leave state unchanged
+    StreamingOps.watermarkStep(spark.createDataFrame(waves.last.toIndexedSeq),
+      dir, (waves.length - 1).toLong)
+    val replayed = StreamingOps.watermarkReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch double-counted into watermark state")
+  }
+
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
