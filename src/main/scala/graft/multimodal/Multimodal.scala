@@ -240,6 +240,18 @@ object Multimodal {
       Seq[Any](s, end - start)
     }
 
+  /** Per-frame unsigned-byte sum for an arbitrary mime/frame size —
+    * [[frameEnergy]]'s kernel generalized so video ops (m16 keyframe
+    * selection) can rank frames by the same exact integer energy the
+    * audio ops use, over the same [[frameRows]] chunk contract. */
+  def frameByteSum(withPayload: DataFrame, mime: String, frameBytes: Int): DataFrame =
+    frameRows(withPayload, mime, frameBytes, energySchema) { (bytes, start, end) =>
+      var s = 0L
+      var i = start
+      while (i < end) { s += (bytes(i) & 0xFF); i += 1 }
+      Seq[Any](s, end - start)
+    }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (explode-shaped; a real impl samples
     * decoded frames the same way). */

@@ -678,6 +678,10 @@ object CoverageQueries {
     * Float-parity with the oracle: frame features divide in double then
     * narrow to float exactly as the SQL replay's CAST, and the L1 sums
     * use the m04 scaled-long fixed-point trick. */
+  /** m07 exposed for composition (m16 keyframe selection ranks frames
+    * within the scene structure this query detects). */
+  private[queries] def sceneCutsFn: Fn = m07
+
   private val m07: Fn = (s, d) => {
     val frames = graft.multimodal.Multimodal.frameFeatures(
       graft.multimodal.Multimodal.attachPayload(
@@ -696,7 +700,7 @@ object CoverageQueries {
       .select(col("doc_id"), col("frame_no"), col("l1"))
       .orderBy("doc_id", "frame_no")
   }
-  private val m07Sql =
+  private[queries] val m07Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents
       |              WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL),
       |frames AS (
