@@ -743,8 +743,11 @@ object DedupQueries {
 
   private val d08: Fn = (s, d) => clusterPool(s, d).orderBy("cluster")
 
-  private val d08Sql =
-    """WITH RECURSIVE sh AS (
+  /** The shingle → exact-Jaccard-pair → closure CTE chain, factored so
+    * d08's cluster oracle and d24's dilution oracle replay the SAME
+    * graph construction (ends at `comp(id, cluster)`). */
+  private val closureCtes =
+    """sh AS (
       |  SELECT doc_id,
       |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
       |                i -> array_to_string(w[i:i+4], ' ')))) AS s
@@ -766,10 +769,66 @@ object DedupQueries {
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       |comp AS (
-      |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
-      |SELECT cluster, count(*) AS n_docs,
-      |       array_to_string(list_sort(list(id)), ',') AS members
-      |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
+      |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
+
+  private val d08Sql =
+    s"""WITH RECURSIVE $closureCtes
+       |SELECT cluster, count(*) AS n_docs,
+       |       array_to_string(list_sort(list(id)), ',') AS members
+       |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ------------------- d24 closure-dilution audit ------------------------
+
+  /** d24: transitive-closure dilution audit — for every d08 cluster,
+    * compare the number of MEASURED near-dup edges (the exact-Jaccard
+    * pairs the graph was built from) against the number of member pairs
+    * the cluster IMPLIES (k·(k−1)/2). A closure keeps only one doc per
+    * component, so a chain A≈B≈C quietly asserts A≈C without ever
+    * measuring it; clusters whose measured-edge fraction is low are
+    * chain-shaped and the risky ones to collapse (the known failure
+    * mode of connected-component dedup — one borderline pair bridges
+    * two genuinely distinct groups). This is the audit a curation
+    * pipeline reads before trusting d08's keep-one-per-cluster verdict.
+    *
+    * Exactness: integer pair counting on both sides; one rounded
+    * fraction. Every pooled pair lies inside exactly one component by
+    * construction, so the per-cluster edge count is a plain keyed
+    * aggregation of the pair relation against the membership map.
+    * Scale shape: reuses BOTH SharedPools artifacts (the pair pool and
+    * the materialized cluster map — no fixpoint rerun, no pair
+    * recompute); membership comes from exploding the members CSV of
+    * the cluster relation (cluster-sized, tiny); one keyed join + two
+    * aggregations. */
+  private val d24: Fn = (s, d) => {
+    val clusters = clusterPool(s, d)
+    val member = clusters.select(col("cluster"),
+        explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster"), col("m").cast(LongType).as("d1"))
+    val edges = jaccardPool(s, d).select(col("d1"))
+    val measured = edges.join(member, Seq("d1"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_measured"))
+    clusters.join(measured, Seq("cluster"))
+      .withColumn("n_pairs", expr("CAST(n_docs * (n_docs - 1) DIV 2 AS BIGINT)"))
+      .withColumn("measured_frac", round(col("n_measured").cast(DoubleType) /
+        col("n_pairs").cast(DoubleType), 6))
+      .select("cluster", "n_docs", "n_pairs", "n_measured", "measured_frac")
+      .orderBy("cluster")
+  }
+
+  private val d24Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |csize AS (SELECT cluster, count(*) AS n_docs FROM comp GROUP BY 1),
+       |meas AS (
+       |  SELECT c.cluster, count(*) AS n_measured
+       |  FROM pairs p JOIN comp c ON p.d1 = c.id
+       |  GROUP BY 1)
+       |SELECT s.cluster, s.n_docs,
+       |       CAST(s.n_docs * (s.n_docs - 1) // 2 AS BIGINT) AS n_pairs,
+       |       CAST(m.n_measured AS BIGINT) AS n_measured,
+       |       round(CAST(m.n_measured AS DOUBLE) /
+       |             CAST(s.n_docs * (s.n_docs - 1) // 2 AS DOUBLE), 6) AS measured_frac
+       |FROM csize s JOIN meas m ON s.cluster = m.cluster
+       |ORDER BY 1""".stripMargin
 
   /** d10: span-level exact-substring dedup — the sequence-level variant
     * of dedup (d01/d03 are document-level): find every MAXIMAL run of
@@ -1361,5 +1420,6 @@ object DedupQueries {
     Q("u09_neardup_leakage", u09, Some(u09Sql)),
     Q("d06_embedding_neardup", d06, Some(d06Sql)),
     Q("d09_embedding_ivf_neardup", d09, Some(d09Sql)),
-    Q("d08_dedup_clusters", d08, Some(d08Sql)))
+    Q("d08_dedup_clusters", d08, Some(d08Sql)),
+    Q("d24_cluster_dilution", d24, Some(d24Sql)))
 }

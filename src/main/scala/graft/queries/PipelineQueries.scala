@@ -1260,7 +1260,80 @@ object PipelineQueries {
       |FROM quotas q JOIN kept k ON q.source = k.source
       |ORDER BY q.source""".stripMargin
 
+  // ------------------- p27 padding-waste audit ---------------------------
+
+  val PadBatch = 8
+
+  /** p27: padding-waste audit — the quantified case for length-sorted
+    * batching: assemble fixed-size inference batches of [[PadBatch]]
+    * docs per source under TWO orders (arrival = doc_id; length-sorted
+    * = tokens desc) and report the padding each policy wastes (every
+    * batch pads to its longest member). p18 packs batches, p03 packs
+    * sequences; p27 is the audit that justifies the sort stage in
+    * front of them — the padding gap IS the GPU-hours bill of skipping
+    * it.
+    *
+    * Exactness: token counts are integer split sizes; per-batch pad =
+    * max·count − sum is pure integer algebra; one rounded fraction per
+    * (policy, source).
+    * Scale shape: ranks are source-partitioned windows (batch assembly
+    * is per-source/per-shard in production for exactly this reason —
+    * a GLOBAL assembly order would be a single-reducer sort); two
+    * passes over a 3-column projection, aggregations keyed by
+    * (policy, source, batch). */
+  private val p27: Fn = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    def policy(name: String, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(order: _*)
+      base.withColumn("rk", row_number().over(w))
+        .withColumn("batch", expr(s"CAST((rk - 1) DIV $PadBatch AS BIGINT)"))
+        .groupBy("source", "batch")
+        .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("mx"),
+          sum(col("n_tok")).as("sm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("sm")).cast(LongType).as("total_tokens"),
+          sum(col("mx") * col("cnt") - col("sm")).cast(LongType).as("total_pad"))
+        .withColumn("policy", lit(name))
+    }
+    policy("arrival", Seq(col("doc_id")))
+      .unionByName(policy("sorted", Seq(col("n_tok").desc, col("doc_id"))))
+      .withColumn("pad_frac", round(col("total_pad").cast(DoubleType) /
+        (col("total_pad") + col("total_tokens")).cast(DoubleType), 6))
+      .select("policy", "source", "n_batches", "total_tokens", "total_pad", "pad_frac")
+      .orderBy("policy", "source")
+  }
+
+  private val p27Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT 'arrival' AS policy, source, n_tok,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 'sorted', source, n_tok,
+       |         row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rk
+       |  FROM base),
+       |batches AS (
+       |  SELECT policy, source, (rk - 1) // $PadBatch AS batch,
+       |         count(*) AS cnt, max(n_tok) AS mx, sum(n_tok) AS sm
+       |  FROM ranked GROUP BY 1, 2, 3)
+       |SELECT policy, source, count(*) AS n_batches,
+       |       CAST(sum(sm) AS BIGINT) AS total_tokens,
+       |       CAST(sum(mx * cnt - sm) AS BIGINT) AS total_pad,
+       |       round(CAST(sum(mx * cnt - sm) AS DOUBLE) /
+       |             CAST(sum(mx * cnt - sm) + sum(sm) AS DOUBLE), 6) AS pad_frac
+       |FROM batches
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("p27_padding_waste", p27, Some(p27Sql)),
     Q("p19_temperature_mixture", p19, Some(p19Sql)),
     Q("p18_inference_batches", p18, Some(p18Sql)),
     Q("p17_compaction_plan", p17, Some(p17Sql)),

@@ -155,7 +155,10 @@ object SimilarityQueries {
     * centroids order-independent and engine-portable, which is what
     * lets this approximate operator be fully ORACLED: DuckDB rebuilds
     * the identical cells, probes the same 2, ranks the same top-k. */
-  private val s03: Fn = (s, d) => {
+  /** The s03 IVF probe path with a parameterized probe count — s03
+    * registers nprobe=2; s28's sweep grades the whole recall-vs-nprobe
+    * curve of this same kernel. */
+  private def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = emb(s, d)
     val cells = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
@@ -167,7 +170,7 @@ object SimilarityQueries {
     val probed = q.crossJoin(broadcast(cells))
       .withColumn("csim", VectorOps.cosine(col("qv"), col("centroid")))
     val wq = Window.partitionBy(col("q_id")).orderBy(desc("csim"), col("cell"))
-    val probes = probed.withColumn("prk", row_number().over(wq)).filter(col("prk") <= 2)
+    val probes = probed.withColumn("prk", row_number().over(wq)).filter(col("prk") <= nprobe)
       .select(col("q_id"), col("qv"), col("cell"))
     val cand = emb(s, d).join(broadcast(probes),
         col("label") === col("cell") && col("vec_id") =!= col("q_id"))
@@ -178,6 +181,8 @@ object SimilarityQueries {
       .select("q_id", "rk", "vec_id", "sim")
       .orderBy("q_id", "rk")
   }
+
+  private val s03: Fn = (s, d) => ivfTopK(s, d, 2)
 
   /** Oracle for s02: the ±1 hyperplanes ride as a VALUES relation so
     * DuckDB recomputes the identical signatures (exact products summed
@@ -221,9 +226,12 @@ object SimilarityQueries {
   }
 
   /** Oracle for s03: rebuild the fixed-point per-label centroids, probe
-    * the 2 nearest by raw cosine (cell tiebreak), re-score candidates
-    * exactly, top-k window — every step engine-portable. */
-  private def s03Sql: String =
+    * the `nprobe` nearest by raw cosine (cell tiebreak), re-score
+    * candidates exactly, top-k window — every step engine-portable.
+    * Parameterized for the s28 sweep; s03 registers nprobe=2. */
+  private def s03Sql: String = ivfSqlFor(2)
+
+  private def ivfSqlFor(nprobe: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
        |cmeans AS (
        |  SELECT label, i AS pos,
@@ -242,7 +250,7 @@ object SimilarityQueries {
        |  SELECT q_id, cell FROM (
        |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS prk
        |    FROM probescore) t
-       |  WHERE prk <= 2),
+       |  WHERE prk <= $nprobe),
        |scored AS (
        |  SELECT p.q_id, e.vec_id,
        |    round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
@@ -1919,7 +1927,56 @@ object SimilarityQueries {
        |FROM best WHERE dist >= 1
        |GROUP BY src ORDER BY h6 DESC, vec_id""".stripMargin
 
+  // ---------------------------- s28 IVF nprobe sweep -------------------
+
+  val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** s28: IVF recall-vs-nprobe sweep — recall@K of the s03 IVF kernel
+    * at every probe count in [[IvfSweepProbes]] against the s01 exact
+    * ground truth, per query. The tuning harness an IVF deployment runs
+    * before fixing nprobe (the latency/recall dial): d19 sweeps the LSH
+    * band split, s11 grades the SHIPPED configs, s28 completes the
+    * family by sweeping the IVF dial itself — all three compose the
+    * registered kernels rather than reimplementations, so the curves
+    * describe exactly what ships.
+    *
+    * Exactness: membership counting on the s01/s03 outputs (both
+    * oracled), one rounded recall per row; monotonicity in nprobe is
+    * the spec's law (more probes can only add candidates).
+    * Scale shape: each sweep point is the s03 plan (broadcast probe
+    * sets, cell-keyed candidate join); the eval join runs on K·|Q|-row
+    * relations. At 100 TB the sweep runs on a sampled query set and
+    * its cost is the probes, not the comparison. */
+  private val s28: Fn = (s, d) => {
+    val exact = s01(s, d).select(col("q_id"), col("vec_id"))
+    IvfSweepProbes.map { np =>
+      val approx = ivfTopK(s, d, np).select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx, col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("av")).as("hits"))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_.unionByName(_))
+      .withColumn("recall", round(col("hits").cast(DoubleType) / lit(K), 4))
+      .select("nprobe", "q_id", "hits", "recall")
+      .orderBy("nprobe", "q_id")
+  }
+
+  private def s28Sql: String = {
+    val arms = IvfSweepProbes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, e.q_id,
+         |       count(a.vec_id) AS hits,
+         |       round(CAST(count(a.vec_id) AS DOUBLE) / $K, 4) AS recall
+         |FROM exact e LEFT JOIN (${ivfSqlFor(np)}) a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    }
+    s"""WITH exact AS ($s01Sql)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe, q_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("s28_ivf_sweep", s28, Some(s28Sql)),
     Q("s27_harmonic_centrality", s27, Some(s27Sql)),
     Q("s25_filtered_ann", s25, Some(s25Sql)),
     Q("s24_personalized_pr", s24, Some(s24Sql)),

@@ -1082,7 +1082,54 @@ object TextQueries {
        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
   }
 
+  // ------------------- t36 tokenizer fertility audit --------------------
+
+  /** t36: tokenizer fertility by language — tokens-per-word (fertility)
+    * and chars-per-token from the t17 BPE encode, aggregated per
+    * language. Fertility is THE per-language tokenizer-quality metric
+    * (a vocabulary mined mostly from one language fragments the others
+    * into more tokens per word, inflating their training cost and
+    * context usage), so every multilingual pipeline reports this table
+    * when it evaluates a tokenizer — t15 mines the vocab, t17 prices
+    * documents, t36 prices LANGUAGES.
+    *
+    * Exactness: per-doc word/char/token counts come from the oracled
+    * t17 kernel; the per-language rollup is integer sums with one
+    * rounded division per rate.
+    * Scale shape: t17's encode (map-only replace chain + one keyed agg)
+    * plus a broadcast doc→lang join and a |languages|-row aggregation. */
+  private val t36: Fn = (s, d) => {
+    val enc = bpeEncode(docs(s, d).select(col("doc_id"), col("text")), BpeRounds)
+    val langs = docs(s, d).select(col("doc_id"), col("lang"))
+    enc.join(broadcast(langs), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast(LongType).as("n_words"),
+        sum(col("n_chars")).cast(LongType).as("n_chars"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"))
+      .withColumn("fertility", round(col("n_tokens").cast(DoubleType) /
+        col("n_words").cast(DoubleType), 6))
+      .withColumn("chars_per_token", round(col("n_chars").cast(DoubleType) /
+        col("n_tokens").cast(DoubleType), 6))
+      .select("lang", "n_docs", "n_words", "n_chars", "n_tokens",
+        "fertility", "chars_per_token")
+      .orderBy("lang")
+  }
+
+  private def t36Sql: String =
+    s"""WITH enc AS (${t17Sql})
+       |SELECT d.lang, count(*) AS n_docs,
+       |       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum(e.n_words) AS DOUBLE), 6) AS fertility,
+       |       round(CAST(sum(e.n_chars) AS DOUBLE) / CAST(sum(e.n_tokens) AS DOUBLE), 6) AS chars_per_token
+       |FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+       |GROUP BY d.lang
+       |ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("t36_bpe_fertility", t36, Some(t36Sql)),
     Q("t29_textrank_keywords", t29, Some(t29Sql)),
     Q("t20_perplexity_tiers", t20, Some(t20Sql)),
     Q("t19_zipf_fit", t19, Some(t19Sql)),
