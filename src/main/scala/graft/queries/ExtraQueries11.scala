@@ -43,9 +43,15 @@ object ExtraQueries11 {
     * domain by a broadcast semi-join so trailing windows never invent
     * days. At 100 TB the expansion factor stays [[RollWindowDays]] —
     * linear, shuffle-friendly, and AQE-splittable. */
-  private val r105: Fn = (s, d) => {
-    val ud = events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+  private val r105: Fn = (s, d) =>
+    wauFromActivity(events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+
+  /** The r105 derivation over any (user_id, day) distinct-activity
+    * grain — factored so the streaming twin republishes from its
+    * standing state via the SAME oracled code (the growthFlows
+    * precedent). */
+  private[graft] def wauFromActivity(ud: DataFrame): DataFrame = {
     val days = ud.select(col("day").as("tday")).distinct()
     val expanded = ud
       .select(col("user_id"),

@@ -595,6 +595,45 @@ object StreamingOps {
     java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
   }
 
+  // ---- incremental rolling-distinct (WAU) monitor (r105 twin) ----
+
+  /** r105's always-on twin: the trailing-window distinct-user curve
+    * maintained incrementally. State is the (user_id, day)
+    * distinct-activity set — the SAME mergeable kernel as
+    * [[growthStream]] (set union: idempotent, commutative, any wave
+    * order), published through r105's oracled contribution-expansion
+    * derivation. One standing state, many reports — growthReport reads
+    * the flow decomposition, wauReport the engagement curve — which is
+    * exactly the lakehouse pattern of maintaining the grain once and
+    * deriving every dashboard from it. Versioned-state replay
+    * discipline identical to [[decayedAggStream]]. */
+  def wauStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) => wauStep(batch, tableDir, batchId)
+    }
+
+  /** One incremental set-union merge (exposed for specs + replay proof). */
+  def wauStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = decayedState(spark, s"$tableDir/active_days", beforeBatch = Some(batchId))
+    val batchActive = graft.queries.ExtraQueries6.activeDays(batch)
+    val merged = base match {
+      case None => batchActive
+      case Some(b) => b.unionByName(batchActive).distinct()
+    }
+    writeVersion(merged, s"$tableDir/active_days", batchId)
+  }
+
+  /** Published engagement curve from the standing state — r105's exact
+    * shape, via the same oracled batch derivation. */
+  def wauReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.queries.ExtraQueries11.wauFromActivity(
+      decayedState(spark, s"$tableDir/active_days").getOrElse(
+        spark.emptyDataFrame
+          .select(lit(0L).as("user_id"),
+            lit(java.sql.Date.valueOf("1970-01-01")).as("day"))
+          .limit(0)))
+
   // ---- incremental watermark/late-data monitor (st6 twin) ----
 
   /** st6's always-on twin: watermark lateness accounting maintained

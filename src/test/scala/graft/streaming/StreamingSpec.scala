@@ -505,6 +505,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch double-counted into additive daily state")
   }
 
+  test("incremental WAU monitor: state after N waves equals batch r105 exactly, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("wau").toString
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[E].collect()
+    // waves deliberately NOT in time order: the (user, day) activity
+    // set merges by union+distinct, so any wave order converges
+    val (b1, rest) = rows.reverse.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[E]
+    val q = StreamingOps.wauStream(stream.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.SparkEntry.queries("r105_rolling_distinct")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.wauReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want, "incremental WAU state diverged from the oracled batch r105")
+    StreamingOps.wauStep(spark.createDataFrame(b3.toIndexedSeq), dir, 2L)
+    val replayed = StreamingOps.wauReport(spark, dir).collect().map(_.toSeq).toSet
+    assert(replayed == want, "replayed batch corrupted the distinct-activity state")
+  }
+
   test("incremental watermark monitor: state after N arrival-ordered waves equals batch st6, replay-safe") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
