@@ -87,7 +87,12 @@ class PlanLintSpec extends AnyFunSuite {
     // t31: cumulative-count window over the distinct-MARGIN histogram
     // aggregate (decile cuts by the counting method) — input rows =
     // margin domain, never the documents table.
-    "t31_calibration" -> AggBounded)
+    "t31_calibration" -> AggBounded,
+    // p28: quartile-cut cumsum over the n_chars value HISTOGRAM (the
+    // p14/t31 counting-method idiom) — input rows = n_chars domain,
+    // never the documents table; the allocation windows are
+    // stage-partitioned.
+    "p28_curriculum_schedule" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
