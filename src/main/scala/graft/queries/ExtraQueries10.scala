@@ -391,14 +391,44 @@ object ExtraQueries10 {
       .withColumn("arrival_seq", col("event_id") + expr(
         s"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $WmJitter"))
 
+  /** Chunk width of the two-level prefix scan below. */
+  val WmChunk = 4096L
+
   /** Classify every arrival against the running-max watermark,
     * optionally seeded with a prior per-type high-water mark (the
     * streaming twin's carried state; `None` = cold start, the batch
-    * query's case — no extra join in the registered plan). */
+    * query's case — no extra join in the registered plan).
+    *
+    * The running max is a TWO-LEVEL parallel prefix scan, not one
+    * window per event_type: a type-partitioned window caps parallelism
+    * at |event types| (a handful of reducers no matter the corpus — the
+    * one single-reducer ceiling the first version of this kernel had).
+    * Instead: (1) a (type, chunk)-partitioned window computes the
+    * strictly-before running max WITHIN each [[WmChunk]]-wide
+    * arrival-sequence chunk; (2) chunk maxima collapse to a
+    * chunk-grain relation (metadata-sized) whose exclusive prefix max
+    * per type is one window over THAT bounded relation; (3) the real
+    * watermark is greatest(within-chunk, previous-chunks, carried
+    * state). Identical verdicts, parallelism = #chunks — the classic
+    * scan decomposition every parallel prefix uses. */
   private[graft] def wmClassify(arr: DataFrame, priorHi: Option[DataFrame]): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("arrival_seq", "event_id")
+    val chunked = arr.withColumn("chunk", expr(s"CAST(arrival_seq DIV $WmChunk AS BIGINT)"))
+    val wIn = Window.partitionBy("event_type", "chunk")
+      .orderBy("arrival_seq", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withBatchHi = arr.withColumn("bhi", max(col("mts")).over(w))
+    val wPre = Window.partitionBy("event_type").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = chunked.groupBy("event_type", "chunk")
+      .agg(max(col("mts")).as("chunk_max"))
+      .withColumn("prefix_hi", max(col("chunk_max")).over(wPre))
+      .select(col("event_type").as("pt"), col("chunk").as("pc"), col("prefix_hi"))
+    val withBatchHi = chunked
+      .withColumn("within_hi", max(col("mts")).over(wIn))
+      .join(prefix, col("event_type") === col("pt") && col("chunk") === col("pc"))
+      .withColumn("bhi", greatest(
+        coalesce(col("within_hi"), lit(Long.MinValue)),
+        coalesce(col("prefix_hi"), lit(Long.MinValue))))
+      .withColumn("bhi", when(col("bhi") === Long.MinValue, lit(null)).otherwise(col("bhi")))
     val withHi = priorHi match {
       case None => withBatchHi.withColumn("hi", col("bhi"))
       case Some(ph) => withBatchHi

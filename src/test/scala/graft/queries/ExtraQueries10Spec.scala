@@ -122,6 +122,27 @@ class ExtraQueries10Spec extends AnyFunSuite {
     assert(got("returnflag")._2 == runs, s"returnflag runs: ${got("returnflag")._2} vs $runs")
   }
 
+  test("st6: two-level prefix scan equals the naive per-type running max") {
+    import org.apache.spark.sql.expressions.Window
+    val arr = ExtraQueries10.wmArrivals(graft.Tables.events(spark, sf))
+    val w = Window.partitionBy("event_type").orderBy("arrival_seq", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = arr.withColumn("hi", max(col("mts")).over(w))
+      .withColumn("status",
+        when(col("hi").isNull || col("mts") >= col("hi"), "on_time")
+          .when(col("mts") >= col("hi") - ExtraQueries10.WmDelayUs, "late_accepted")
+          .otherwise("dropped"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("status") === "on_time", 1L).otherwise(0L)).as("on_time"),
+        sum(when(col("status") === "late_accepted", 1L).otherwise(0L)).as("late_accepted"),
+        sum(when(col("status") === "dropped", 1L).otherwise(0L)).as("dropped"))
+      .collect().map(_.toSeq).toSet
+    val got = graft.SparkEntry.queries("st6_watermark_audit")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got == naive, "chunked scan diverged from the naive single-window watermark")
+  }
+
   test("st6: watermark classification conserves counts and tightens with delay") {
     val rows = graft.SparkEntry.queries("st6_watermark_audit")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
