@@ -1108,7 +1108,137 @@ object CoverageQueries {
       |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------- m17 media-set manifest ---------------------
+
+  /** Minimum decodable frame count for a video asset to survive m17. */
+  val MinVideoFrames = 4
+
+  /** m17: media training-set manifest — the multimodal capstone (p06's
+    * counterpart for the media side): ONE composed verdict per asset,
+    * from the REGISTERED per-mime pipelines. Images keep one exemplar
+    * per m14 perceptual-hash cluster (the min-id keeper, duplicates
+    * dropped); audio keeps assets whose m15 voiced span covers at
+    * least half the frames (mostly-silence dropped); video keeps
+    * assets with at least [[MinVideoFrames]] decodable frames (the
+    * m16 scene/keyframe structure exists exactly for the survivors).
+    * Every asset appears with a verdict AND a machine-readable reason
+    * — the manifest is an audit artifact first (what was dropped and
+    * why), a file list second.
+    *
+    * Exactness: every rule is integer logic on already-oracled
+    * relations (cluster ids, frame counts, voiced spans); the
+    * half-coverage test is 2·retained ≥ n_frames — no division.
+    * Scale shape: three mime-filtered branches, each a keyed join of
+    * the asset list against a per-mime relation (cluster membership
+    * exploded from the cluster-grain relation; per-doc trim/frame
+    * aggregates); one union, no windows. */
+  private val m17: Fn = (s, d) => {
+    val dd = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // m14's pair stage plants probe payloads (ids offset by 1e9) to keep
+    // its recall graded — real assets only here. Cluster ids stay real
+    // (min label; probe offsets can never be the minimum).
+    val member = m14(s, d)
+      .select(col("cluster"), explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster"), col("m").cast(LongType).as("doc_id"))
+      .filter(col("doc_id") < 1000000000L)
+    val dup = col("cluster").isNotNull && col("cluster") =!= col("doc_id")
+    val base = dd.join(member, Seq("doc_id"), "left")
+    val img = base.filter(col("source") === "src0")
+      .select(col("doc_id"),
+        when(dup, "drop").otherwise("keep").as("verdict"),
+        when(dup, "phash_duplicate")
+          .when(col("cluster") === col("doc_id"), "cluster_keeper")
+          .otherwise("unique").as("reason"))
+    val trims = graft.queries.ExtraQueries12.silenceTrimFn(s, d)
+      .select(col("doc_id"), col("n_frames"), col("retained"))
+    val aud = base.filter(col("source") === "src1")
+      .join(trims, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(dup, "drop")
+          .when(col("retained").isNotNull && col("retained") * 2 >= col("n_frames"), "keep")
+          .otherwise("drop").as("verdict"),
+        when(dup, "phash_duplicate")
+          .when(col("retained").isNull, "undecodable")
+          .when(col("retained") * 2 >= col("n_frames"), "voiced")
+          .otherwise("mostly_silence").as("reason"))
+    val frames = graft.queries.ExtraQueries13.keyframesFn(s, d)
+      .groupBy("doc_id").agg(sum(col("n_frames")).as("tf"))
+    val vid = base.filter(!col("source").isin("src0", "src1"))
+      .join(frames, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(dup, "drop")
+          .when(col("tf").isNotNull && col("tf") >= MinVideoFrames, "keep")
+          .otherwise("drop").as("verdict"),
+        when(dup, "phash_duplicate")
+          .when(col("tf").isNull, "undecodable")
+          .when(col("tf") >= MinVideoFrames, "ok")
+          .otherwise("too_short").as("reason"))
+    img.unionByName(aud).unionByName(vid)
+      .join(dd, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("source") === "src0", "image/png")
+          .when(col("source") === "src1", "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        col("verdict"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  private def m17Sql: String =
+    s"""WITH cl AS (${m14Sql}),
+       |member AS (
+       |  SELECT cluster, CAST(unnest(string_split(members, ',')) AS BIGINT) AS doc_id
+       |  FROM cl),
+       |realm AS (SELECT * FROM member WHERE doc_id < 1000000000),
+       |img AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'drop'
+       |              ELSE 'keep' END AS verdict,
+       |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'phash_duplicate'
+       |              WHEN m.cluster = d.doc_id THEN 'cluster_keeper'
+       |              ELSE 'unique' END AS reason
+       |  FROM documents d LEFT JOIN realm m ON d.doc_id = m.doc_id
+       |  WHERE d.source = 'src0'),
+       |trims AS (${graft.queries.ExtraQueries12.m15Sql}),
+       |aud AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'drop'
+       |              WHEN t.retained IS NOT NULL AND t.retained * 2 >= t.n_frames
+       |              THEN 'keep' ELSE 'drop' END AS verdict,
+       |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'phash_duplicate'
+       |              WHEN t.retained IS NULL THEN 'undecodable'
+       |              WHEN t.retained * 2 >= t.n_frames THEN 'voiced'
+       |              ELSE 'mostly_silence' END AS reason
+       |  FROM documents d
+       |  LEFT JOIN realm m ON d.doc_id = m.doc_id
+       |  LEFT JOIN trims t ON d.doc_id = t.doc_id
+       |  WHERE d.source = 'src1'),
+       |scn AS (${graft.queries.ExtraQueries13.m16Sql}),
+       |frames AS (SELECT doc_id, sum(n_frames) AS tf FROM scn GROUP BY 1),
+       |vid AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'drop'
+       |              WHEN f.tf IS NOT NULL AND f.tf >= $MinVideoFrames
+       |              THEN 'keep' ELSE 'drop' END AS verdict,
+       |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'phash_duplicate'
+       |              WHEN f.tf IS NULL THEN 'undecodable'
+       |              WHEN f.tf >= $MinVideoFrames THEN 'ok'
+       |              ELSE 'too_short' END AS reason
+       |  FROM documents d
+       |  LEFT JOIN realm m ON d.doc_id = m.doc_id
+       |  LEFT JOIN frames f ON d.doc_id = f.doc_id
+       |  WHERE d.source NOT IN ('src0', 'src1')),
+       |unioned AS (
+       |  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+       |SELECT u.doc_id,
+       |       CASE WHEN d.source = 'src0' THEN 'image/png'
+       |            WHEN d.source = 'src1' THEN 'audio/wav'
+       |            ELSE 'video/mp4' END AS mime,
+       |       u.verdict, u.reason
+       |FROM unioned u JOIN documents d ON u.doc_id = d.doc_id
+       |ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("m17_media_manifest", m17, Some(m17Sql)),
     Q("m13_histogram_drift", m13, Some(m13Sql)),
     Q("m09_phash_signatures", m09, Some(m09Sql)),
     Q("m10_phash_pairs", m10, Some(m10Sql)),

@@ -191,6 +191,10 @@ object ExtraQueries12 {
     * must surface them, they are the rows a pipeline DROPS.
     * Scale shape: decode is map-side; one doc-keyed aggregation — no
     * windows at all (min/max over the voiced flag suffice). */
+  /** m15 exposed for composition (m17 media manifest applies its trim
+    * verdicts). */
+  private[queries] def silenceTrimFn: Fn = m15
+
   private val m15: Fn = (s, d) => {
     val frames = graft.multimodal.Multimodal.frameEnergy(
       graft.multimodal.Multimodal.attachPayload(
@@ -216,7 +220,7 @@ object ExtraQueries12 {
       .orderBy("doc_id")
   }
 
-  private val m15Sql =
+  private[queries] val m15Sql =
     s"""WITH docs AS (SELECT doc_id, text FROM documents
        |              WHERE source = 'src1' AND text IS NOT NULL),
        |frames AS (

@@ -200,6 +200,10 @@ object ExtraQueries13 {
     * Scale shape: decode is map-side; the cut relation is tiny (one row
     * per detected cut), joined doc-keyed onto frames; the argmax is a
     * (doc, scene)-partitioned window. */
+  /** m16 exposed for composition (m17 media manifest counts frames and
+    * scenes through it). */
+  private[queries] def keyframesFn: Fn = m16
+
   private val m16: Fn = (s, d) => {
     val cuts = CoverageQueries.sceneCutsFn(s, d)
       .select(col("doc_id").as("c_doc"), col("frame_no").as("cut_fno"))
@@ -220,7 +224,7 @@ object ExtraQueries13 {
       .orderBy("doc_id", "scene_id")
   }
 
-  private def m16Sql: String =
+  private[queries] def m16Sql: String =
     s"""WITH cuts0 AS (${CoverageQueries.m07Sql}),
        |cuts AS (SELECT doc_id AS c_doc, frame_no AS cut_fno FROM cuts0),
        |docs AS (SELECT doc_id, text FROM documents

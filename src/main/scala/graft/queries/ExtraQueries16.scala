@@ -98,6 +98,108 @@ object ExtraQueries16 {
        |FROM ranked WHERE rk <= $CfTopK
        |ORDER BY item, rk""".stripMargin
 
+  // ---------------------------------------- r113 cross-correlation
+
+  val CcfMaxLag = 3
+
+  /** r113: lead–lag cross-correlation — Pearson correlation between
+    * every region pair's daily revenue series at lags −[[CcfMaxLag]]
+    * … +[[CcfMaxLag]], on the dense zero-filled calendar. The CCF is
+    * how analysts find which segment LEADS a movement (r96's ACF is
+    * the self-lag special case; r67 is the lag-0 matrix) — a peak off
+    * lag 0 says one region's demand front-runs another's.
+    *
+    * Exactness: the series is exact cents on a dense day grid
+    * (zero-filled — gaps are real zero-revenue days, not missing
+    * data); sufficient statistics accumulate in DECIMAL(38,0)
+    * (Σxy ≈ 2e21 overflows BIGINT at sf0.1 — the r67/r96 HUGEINT
+    * discipline), and each correlation is ONE mirrored double
+    * expression from decimals cast once.
+    * Scale shape: the corpus collapses to the (region, day) aggregate
+    * first; the dense grid is calendar × |regions| (bounded); each lag
+    * arm is a keyed equi-join on the shifted day — 2·[[CcfMaxLag]]+1
+    * bounded joins, no window over anything corpus-sized. */
+  private val r113: Fn = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+    val days = daily.select(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val regions = daily.select(col("r_name")).distinct()
+    val grid = days.crossJoin(broadcast(regions))
+      .join(daily, Seq("r_name", "day"), "left")
+      .select(col("r_name"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val g1 = grid.select(col("r_name").as("ra"), col("day"), col("x").as("xa"))
+    val g2 = grid.select(col("r_name").as("rb"), col("day").as("day2"), col("x").as("xb"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val arms = (-CcfMaxLag to CcfMaxLag).map { lag =>
+      g1.join(g2, col("ra") < col("rb") && col("day2") === date_add(col("day"), lag))
+        .groupBy(col("ra"), col("rb"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("xa"))).as("sx"), sum(dec(col("xb"))).as("sy"),
+          sum(dec(col("xa")) * dec(col("xb"))).as("sxy"),
+          sum(dec(col("xa")) * dec(col("xa"))).as("sxx"),
+          sum(dec(col("xb")) * dec(col("xb"))).as("syy"))
+        .withColumn("lag", lit(lag.toLong))
+    }
+    val num = (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val dx = (dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val dy = (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    arms.reduce(_ unionByName _)
+      .withColumn("ccf", when(dx === 0.0 || dy === 0.0, lit(0.0))
+        .otherwise(round(num / sqrt(dx * dy), 6)))
+      .select(col("ra"), col("rb"), col("lag"), col("n").cast(LongType).as("n"), col("ccf"))
+      .orderBy("ra", "rb", "lag")
+  }
+
+  private val r113Sql = {
+    val arms = (-CcfMaxLag to CcfMaxLag).map { lag =>
+      s"""SELECT a.ra, b.rb, CAST($lag AS BIGINT) AS lag, count(*) AS n,
+         |       sum(CAST(a.xa AS DECIMAL(38,0))) AS sx,
+         |       sum(CAST(b.xb AS DECIMAL(38,0))) AS sy,
+         |       sum(CAST(a.xa AS DECIMAL(38,0)) * CAST(b.xb AS DECIMAL(38,0))) AS sxy,
+         |       sum(CAST(a.xa AS DECIMAL(38,0)) * CAST(a.xa AS DECIMAL(38,0))) AS sxx,
+         |       sum(CAST(b.xb AS DECIMAL(38,0)) * CAST(b.xb AS DECIMAL(38,0))) AS syy
+         |FROM g a JOIN g2 b
+         |  ON a.ra < b.rb AND b.day2 = a.day + $lag
+         |GROUP BY 1, 2""".stripMargin
+    }
+    s"""WITH daily AS (
+       |  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS x
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2),
+       |days AS (
+       |  SELECT unnest(generate_series(
+       |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+       |    INTERVAL 1 DAY))::DATE AS day),
+       |grid AS (
+       |  SELECT r.r_name, d.day, COALESCE(x.x, 0) AS x
+       |  FROM days d
+       |  CROSS JOIN (SELECT DISTINCT r_name FROM daily) r
+       |  LEFT JOIN daily x ON x.r_name = r.r_name AND x.day = d.day),
+       |g AS (SELECT r_name AS ra, day, x AS xa FROM grid),
+       |g2 AS (SELECT r_name AS rb, day AS day2, x AS xb FROM grid),
+       |armed AS (
+       |${arms.mkString("\nUNION ALL\n")})
+       |SELECT ra, rb, lag, CAST(n AS BIGINT) AS n,
+       |       CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) = 0.0
+       |              OR CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) = 0.0 THEN 0.0
+       |            ELSE round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+       |                       sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) *
+       |                            CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 6) END AS ccf
+       |FROM armed
+       |ORDER BY ra, rb, lag""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("r112_item_cf", r112, Some(r112Sql)))
+    Q("r112_item_cf", r112, Some(r112Sql)),
+    Q("r113_crosscorr", r113, Some(r113Sql)))
 }
