@@ -49,12 +49,16 @@ object ExtraQueries9 {
     * identity IS the oracle (the DuckDB side computes γ(full) − γ(old)
     * and the hashes must match). Insert-only deltas make the output key
     * set well-defined: every key touched by a delta row has d_cnt > 0.
-    * Scale shape: the delta relations are one ingest batch — small by
-    * construction — so both cross terms broadcast the delta side and
-    * probe the old fact table map-side (explicit hints); ΔO⋈ΔL is
-    * delta-sized on both sides. Nothing ever shuffles the old base on
-    * its own: at 100 TB the three terms cost O(|Δ| + matched rows),
-    * which is the entire point of IVM over recompute. */
+    * Scale shape: in production the delta relations are one ingest
+    * batch — small by construction — and AQE picks broadcast for the
+    * cross terms at runtime from the deltas' ACTUAL sizes. The hints
+    * are deliberately NOT hard-coded: this fixture's "delta" is a
+    * date-cutoff slice that grows with the corpus, and an unconditional
+    * broadcast of a corpus-proportional relation OOMs executors at
+    * larger SFs instead of degrading to a shuffle join. The small-delta
+    * assumption stays advisory (the docstring), never load-bearing
+    * (the plan). At 100 TB with true batch-sized deltas the three
+    * terms still cost O(|Δ| + matched rows) — AQE broadcasts them. */
   private val r100: Fn = (s, d) => {
     val oc = lit(IvmOrderCutoff).cast("timestamp")
     val sc = lit(IvmShipCutoff).cast("timestamp")
@@ -66,9 +70,9 @@ object ExtraQueries9 {
     val oldL = l.filter(col("l_shipdate") < sc)
     val dL = l.filter(col("l_shipdate") >= sc)
     val terms = Seq(
-      broadcast(dO).join(oldL, col("o_orderkey") === col("l_orderkey")),
-      oldO.join(broadcast(dL), col("o_orderkey") === col("l_orderkey")),
-      broadcast(dO).join(dL, col("o_orderkey") === col("l_orderkey")))
+      dO.join(oldL, col("o_orderkey") === col("l_orderkey")),
+      oldO.join(dL, col("o_orderkey") === col("l_orderkey")),
+      dO.join(dL, col("o_orderkey") === col("l_orderkey")))
     terms.reduce(_ unionByName _)
       .groupBy(col("o_orderpriority"),
         to_date(date_trunc("month", col("l_shipdate"))).as("ship_month"))

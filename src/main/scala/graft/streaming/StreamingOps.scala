@@ -647,7 +647,10 @@ object StreamingOps {
     * arrival-sequence range, exactly how a log-offset source delivers).
     * Under that contract the per-batch classification seeded with the
     * carried high-water mark reproduces the batch st6 verdicts row for
-    * row. Versioned-state replay discipline identical to
+    * row — and the contract is ENFORCED, not just documented: the state
+    * carries the max processed arrival_seq per type, and a batch that
+    * does not start strictly past it is rejected loudly (see
+    * [[watermarkStep]]). Versioned-state replay discipline identical to
     * [[decayedAggStream]]: a re-delivered batch rebuilds from the
     * pre-batch base and rewrites the same version. */
   def watermarkStream(events: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -662,7 +665,26 @@ object StreamingOps {
     val baseHi = decayedState(spark, s"$tableDir/wm_hi", beforeBatch = Some(batchId))
     val baseCounts = decayedState(spark, s"$tableDir/wm_counts", beforeBatch = Some(batchId))
     val arr = E10.wmArrivals(batch)
-    val counts = E10.wmCounts(E10.wmClassify(arr, baseHi))
+    // ENFORCE the partition-the-arrival-order contract instead of
+    // documenting it: the state carries the max processed arrival_seq
+    // per type (state_seq); a batch whose min arrival_seq is not
+    // strictly greater has crossed a wave boundary (e.g. a source
+    // delivering in event_id order under the ≤WmJitter jitter), and its
+    // on_time/late/dropped split would silently diverge from batch st6
+    // — fail loudly. Bounded driver data: ≤ |event types| rows.
+    baseHi.foreach { b =>
+      val viol = arr.groupBy("event_type").agg(min(col("arrival_seq")).as("batch_lo"))
+        .join(b.select(col("event_type"), col("state_seq")), Seq("event_type"))
+        .filter(col("batch_lo") <= col("state_seq"))
+        .collect()
+      require(viol.isEmpty,
+        s"watermarkStep: batch $batchId violates the arrival-order contract " +
+          s"(micro-batches must partition the arrival_seq order): " +
+          viol.map(r => s"${r.getString(0)} batch_lo=${r.getLong(1)} <= state_seq=${r.getLong(2)}")
+            .mkString("; "))
+    }
+    val counts = E10.wmCounts(
+      E10.wmClassify(arr, baseHi.map(_.select("event_type", "state_hi"))))
     val mergedCounts = baseCounts match {
       case None => counts
       case Some(b) => b.unionByName(counts)
@@ -672,11 +694,13 @@ object StreamingOps {
           sum(col("late_accepted")).cast(org.apache.spark.sql.types.LongType).as("late_accepted"),
           sum(col("dropped")).cast(org.apache.spark.sql.types.LongType).as("dropped"))
     }
-    val batchHi = arr.groupBy("event_type").agg(max(col("mts")).as("state_hi"))
+    val batchHi = arr.groupBy("event_type")
+      .agg(max(col("mts")).as("state_hi"), max(col("arrival_seq")).as("state_seq"))
     val mergedHi = baseHi match {
       case None => batchHi
       case Some(b) => b.unionByName(batchHi)
-        .groupBy("event_type").agg(max(col("state_hi")).as("state_hi"))
+        .groupBy("event_type")
+        .agg(max(col("state_hi")).as("state_hi"), max(col("state_seq")).as("state_seq"))
     }
     writeVersion(mergedCounts, s"$tableDir/wm_counts", batchId)
     writeVersion(mergedHi, s"$tableDir/wm_hi", batchId)

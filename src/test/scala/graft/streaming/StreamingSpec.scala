@@ -564,6 +564,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == want, "replayed batch double-counted into watermark state")
   }
 
+  test("incremental watermark monitor: arrival-order contract violations fail loudly") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("wmv").toString
+    // Natural event_id order is the obvious-but-WRONG way to stream the
+    // fixture: the ≤WmJitter jitter makes event_id waves overlap in
+    // arrival_seq, so the split would silently diverge from batch st6.
+    // The step must reject it instead of skewing the accounting.
+    import scala.jdk.CollectionConverters._
+    val slim = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val byId = slim.orderBy("event_id").collect()
+    val half = byId.length / 2
+    StreamingOps.watermarkStep(
+      spark.createDataFrame(byId.take(half).toList.asJava, slim.schema), dir, 0L)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.watermarkStep(
+        spark.createDataFrame(byId.drop(half).toList.asJava, slim.schema), dir, 1L)
+    }
+    assert(ex.getMessage.contains("arrival-order contract"))
+  }
+
   test("streaming drift monitor: per-batch PSI reports equal the batch computation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
