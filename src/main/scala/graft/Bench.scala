@@ -102,7 +102,9 @@ object Bench {
         java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
           try {
             val node = om.readTree(line)
-            if (node.path("sf").asText() == sfDir) {
+            // Floors from green-gated runs only (r7 verdict item 6); legacy
+            // lines without a gate field predate the gate and are kept.
+            if (node.path("sf").asText() == sfDir && node.path("gate").asText("") != "red") {
               val qn = node.path("queries")
               qn.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toSeq
             } else Seq.empty

@@ -1221,6 +1221,11 @@ object DedupQueries {
        |FROM totals t LEFT JOIN removed r ON t.source = r.source
        |ORDER BY t.source""".stripMargin
 
+  // --------------------- d20: RETIRED, never assigned ------------------
+  // The id jumped d19 → d21 in round 7; d20 was not reserved for
+  // anything (no SURVEY row, no spec). Retired to keep the registry's
+  // numbering audit trail airtight rather than renumbering d21+.
+
   // --------------------- d21 winnowing fingerprints --------------------
 
   val WinnowK = 8 // character k-gram width

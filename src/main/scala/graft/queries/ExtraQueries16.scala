@@ -118,7 +118,19 @@ object ExtraQueries16 {
     * Scale shape: the corpus collapses to the (region, day) aggregate
     * first; the dense grid is calendar × |regions| (bounded); each lag
     * arm is a keyed equi-join on the shifted day — 2·[[CcfMaxLag]]+1
-    * bounded joins, no window over anything corpus-sized. */
+    * bounded joins, no window over anything corpus-sized.
+    *
+    * SCALE BOUND (explicit, enforced): the pair count is C(series, 2),
+    * so join rows = C(series,2) · |calendar| · (2·[[CcfMaxLag]]+1) —
+    * fine for a region-like dimension (C(5,2)=10 pairs × ~2.4k days),
+    * QUADRATIC for a 1000-source dimension (≈500k pairs × days × lags).
+    * [[CcfMaxSeries]] caps the series dimension and the plan REFUSES
+    * (fails loudly) past it rather than silently planning the
+    * quadratic grid; pointing this at a wide dimension means
+    * pre-selecting the series of interest first (top-N by volume, an
+    * explicit list), not raising the cap. */
+  val CcfMaxSeries = 64L
+
   private val r113: Fn = (s, d) => {
     import org.apache.spark.sql.types.DecimalType
     val daily = Tables.orders(s, d)
@@ -130,6 +142,11 @@ object ExtraQueries16 {
     val days = daily.select(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val regions = daily.select(col("r_name")).distinct()
+    // Bounded driver scalar (1 row): the C(series,2) refusal gate.
+    val nSeries = regions.count()
+    require(nSeries <= CcfMaxSeries,
+      s"r113: $nSeries series would plan C(n,2)=${nSeries * (nSeries - 1) / 2} " +
+        s"dense pair grids (cap $CcfMaxSeries) — pre-select the series first")
     val grid = days.crossJoin(broadcast(regions))
       .join(daily, Seq("r_name", "day"), "left")
       .select(col("r_name"), col("day"), coalesce(col("x"), lit(0L)).as("x"))

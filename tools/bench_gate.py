@@ -50,6 +50,12 @@ def load_history(path, sf, exclude_queries):
             d = json.loads(line)
             if d.get("sf") != sf or d.get("queries") == exclude_queries:
                 continue
+            # Floors come from GREEN-gated runs only (r7 verdict item 6):
+            # a red run's retries ran under the same load that made it red,
+            # and its noisy minima must not tighten any floor. Legacy lines
+            # without a gate field predate the gate and are kept.
+            if d.get("gate") == "red":
+                continue
             for q, t in d["queries"].items():
                 if q not in best or t < best[q]:
                     best[q] = t

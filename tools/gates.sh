@@ -3,8 +3,14 @@
 # scale factors in BOTH modes (arrow-exact + driver-equivalent repr),
 # strict row order, ANSI mode, smoke, bench line.
 #
-# Usage: tools/gates.sh [quick]
+# Usage: tools/gates.sh [quick|close]
 #   quick = sf0.01 both-modes + tests only (the inner dev loop)
+#   close = full matrix PLUS the sf0.1 per-query bench (the committed
+#           bench_queries.json) and an all-registry coverage check —
+#           the ATOMIC round close (r7 verdict item 4): one invocation
+#           whose exit 0 certifies green suite + green gate + full-
+#           registry bench + synced docs, so the snapshot commit either
+#           contains all of them or doesn't happen.
 #
 # NOTE: never run sbt compile while a background Verify/Bench JVM is
 # running — it clobbers classfiles mid-run.
@@ -60,6 +66,24 @@ if [ "${1:-full}" != "quick" ]; then
   echo "== bench (sf0.001 line)"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
     java -Xmx8g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | grep '"metric"'
+  if [ "${1:-full}" = "close" ]; then
+    echo "== closing sf0.1 per-query bench (writes bench_queries.json if green)"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+      java -Xmx20g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | tail -3
+    echo "== all-registry bench coverage (committed snapshot vs live registry)"
+    python3 - <<'EOF'
+import json, os
+# registry size = one dump dir per SparkEntry.queries entry (incl. no-oracle)
+reg = sum(1 for e in os.scandir('/tmp/gates_sf001') if e.is_dir())
+run = json.load(open('bench_total.json'))          # the run that JUST finished
+assert run.get('gate') == 'green', \
+    f"closing bench is {run.get('gate')} ({run.get('gate_failures')}) — triage before snapshotting"
+snap = json.load(open('bench_queries.json'))       # the committed artifact
+n = len(snap['queries'])
+assert n == reg, f"committed bench covers {n} queries but the registry has {reg}"
+print(f"[close] committed green bench covers all {n} registry queries")
+EOF
+  fi
   echo "== per-query bench regression gate (vs bench_history.jsonl minima)"
   # --selftest also plants a 3x-slowed query and requires the gate to
   # trip on it, so a vacuous gate (bad sf match, empty history) fails loud
