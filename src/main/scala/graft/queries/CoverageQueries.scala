@@ -1188,6 +1188,11 @@ object CoverageQueries {
       .orderBy("doc_id")
   }
 
+  /** m17's manifest + oracle, exposed for composition (m18 consumes the
+    * capstone the way m17 consumes m14/m15/m16 — the p06 precedent). */
+  private[queries] def mediaManifestFn(s: SparkSession, d: String): DataFrame = m17(s, d)
+  private[queries] def mediaManifestSql: String = m17Sql
+
   private def m17Sql: String =
     s"""WITH RECURSIVE rp AS (
        |  SELECT a_id AS d1, b_id AS d2 FROM ($m10Sql) t

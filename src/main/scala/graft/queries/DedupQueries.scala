@@ -607,7 +607,13 @@ object DedupQueries {
     * every within-cell pair still meets exactly once, on (cell, salt),
     * and pair generation + scoring spreads across C*S cores. Replication
     * multiplies the small side's shuffle by S — at corpus scale keep
-    * S * |postings| * dim * 4B per executor in mind (S=8 here). */
+    * S * |postings| * dim * 4B per executor in mind (S=8 here).
+    *
+    * Empirical scale check (BENCH_sf1.json, round 8): at 10× data with
+    * C held at 8, wall-clock grew 3.69× — the largest ratio in the
+    * top-cost set, and exactly the predicted fixed-codebook effect
+    * (within-cell candidates grow when C doesn't): confirmation that C
+    * must scale ~√n with the corpus, not a plan defect. */
   private val d09: Fn = (s, d) => {
     val e = Tables.embeddings(s, d)
     val seeds = e.orderBy("vec_id").limit(8)

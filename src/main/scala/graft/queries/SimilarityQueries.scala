@@ -878,7 +878,7 @@ object SimilarityQueries {
     * per dir, exactly the index-build-then-read split a production
     * graph-ANN deployment uses. Exact types (longs + the 4dp-grid sim
     * double, which parquet round-trips bitwise). */
-  private def knnPool(s: SparkSession, d: String): DataFrame =
+  private[queries] def knnPool(s: SparkSession, d: String): DataFrame =
     SharedPools.materialized(s, d, "knn_graph")(knnBuilt(s, d))
 
   private val s10: Fn = (s, d) => knnPool(s, d).orderBy("a_id", "rk")
@@ -910,7 +910,7 @@ object SimilarityQueries {
       .select("a_id", "rk", "b_id", "sim")
       .orderBy("a_id", "rk")
   }
-  private val s10Sql =
+  private[queries] val s10Sql =
     s"""WITH seeds AS (
        |  SELECT vec_id AS seed_id, embedding AS sv
        |  FROM embeddings ORDER BY vec_id LIMIT 8),
