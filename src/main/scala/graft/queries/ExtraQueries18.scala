@@ -249,6 +249,7 @@ object ExtraQueries18 {
       .filter(col("verdict") === "keep")
       .select(col("doc_id"), col("mime"))
     val avail = kept.groupBy("mime").agg(count(lit(1)).cast(LongType).as("avail"))
+    import s.implicits._
     val weights = MixWeights.toDF("mime", "wt")
     val totals = avail.agg(sum(col("avail")).cast(LongType).as("k_total"))
     val planned = avail.join(broadcast(weights), Seq("mime"))

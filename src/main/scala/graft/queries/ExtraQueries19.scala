@@ -53,7 +53,7 @@ object ExtraQueries19 {
       .withColumn("age_days",
         ((secs(col("p_ts")) - secs(col("t_ts"))) / 86400).cast(LongType))
       .filter(col("t_ts") <= col("p_ts") && col("age_days") < AttribWindowDays)
-      .withColumn("w", shiftleft(lit(1L), (lit(AttribWindowDays - 1) - col("age_days")).cast("int")).cast(LongType))
+      .withColumn("w", expr(s"CAST(shiftleft(1L, CAST(${AttribWindowDays - 1} - age_days AS INT)) AS BIGINT)"))
     val byType = pairs.groupBy(col("p_id"), col("cents"), col("touch_type"))
       .agg(sum(col("w")).cast(LongType).as("w_type"), count(lit(1)).as("n_touches"))
     val byPurchase = pairs.groupBy(col("p_id")).agg(sum(col("w")).cast(LongType).as("w_total"))
