@@ -1227,6 +1227,98 @@ object DedupQueries {
        |FROM totals t LEFT JOIN removed r ON t.source = r.source
        |ORDER BY t.source""".stripMargin
 
+  // --------------------- d25 b-bit minhash estimate grading ------------
+
+  /** d25: b-bit MinHash (Li & König 2010, b = 1) graded against exact
+    * Jaccard — each 64-perm signature compresses 64× by keeping ONE bit
+    * per permutation (sv mod 2), and similarity is estimated from the
+    * bit-agreement rate: for b=1, E[agree/k] = J + (1−J)/2, so
+    * Ĵ = 2·(agree/k) − 1 (clamped at 0). This is the storage/bandwidth
+    * trick production dedup fleets run when the signature table itself
+    * is the bottleneck (64 bits/doc instead of 512 bytes/doc); the
+    * query grades the estimator on the REGISTERED d04 candidate pairs
+    * — which span the similarity range — so the error profile
+    * describes exactly the pipeline that would ship.
+    *
+    * Exactness: bits pack into two exact 32-bit halves (a single
+    * 64-term pack would need bit 63 — signed-overflow territory in
+    * both engines); agreement is integer popcount algebra; exact
+    * Jaccard is the d03/d04 set arithmetic; the estimate and error are
+    * one rounded expression each from integers.
+    * Scale shape: the signature table is ONE map pass over the
+    * registered signatures; candidates are the capped d04 bucket join;
+    * everything downstream is pair-relation-sized. */
+  private val d25: Fn = (s, d) => {
+    val bands = capBuckets(lshBands(s, d), Seq("band", "bucket"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    def half(lo: Int): org.apache.spark.sql.Column =
+      (lo until lo + 32).map(j => (col("sig")(j) % 2) * (1L << (j - lo))).reduce(_ + _)
+        .cast(LongType)
+    val bits = minhashSignatures(s, d)
+      .select(col("doc_id"), half(0).as("bv0"), half(32).as("bv1"))
+    val sh = shingled(s, d)
+    cand
+      .join(bits.select(col("doc_id").as("d1"), col("bv0").as("a0"), col("bv1").as("a1")), "d1")
+      .join(bits.select(col("doc_id").as("d2"), col("bv0").as("c0"), col("bv1").as("c1")), "d2")
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
+      .withColumn("agree", (lit(MinhashPerms.toLong) -
+        bit_count(col("a0").bitwiseXOR(col("c0"))) -
+        bit_count(col("a1").bitwiseXOR(col("c1")))).cast(LongType))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(DoubleType))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")).cast(DoubleType), 6))
+      .withColumn("est", round(greatest(lit(0.0),
+        col("agree").cast(DoubleType) * 2.0 / MinhashPerms - 1.0), 4))
+      .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
+      .select("d1", "d2", "jaccard", "agree", "est", "abs_err")
+      .orderBy("d1", "d2")
+  }
+
+  private def d25Sql: String =
+    s"""WITH ${lshCoreSql},
+       |bits AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN j < 32 THEN (sv % 2) * (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bv0,
+       |         CAST(sum(CASE WHEN j >= 32 THEN (sv % 2) * (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS bv1
+       |  FROM sig GROUP BY doc_id),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |    FROM bands) t WHERE rn <= $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  -- LEFT join, unlike the shared verify tail: a bucket collision
+       |  -- with ZERO shared shingles must still be graded (jaccard 0),
+       |  -- not silently dropped from the estimator's low-J regime
+       |  SELECT c.d1, c.d2, count(s2.s) AS inter
+       |  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+       |              LEFT JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT i.d1, i.d2,
+       |         round(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter), 6) AS jaccard,
+       |         CAST($MinhashPerms - bit_count(xor(x.bv0, y.bv0))
+       |                            - bit_count(xor(x.bv1, y.bv1)) AS BIGINT) AS agree
+       |  FROM inter i
+       |  JOIN sizes s1 ON s1.doc_id = i.d1 JOIN sizes s2 ON s2.doc_id = i.d2
+       |  JOIN bits x ON x.doc_id = i.d1 JOIN bits y ON y.doc_id = i.d2)
+       |SELECT d1, d2, jaccard, agree,
+       |       round(greatest(0.0, CAST(agree AS DOUBLE) * 2.0 / $MinhashPerms - 1.0), 4) AS est,
+       |       round(abs(round(greatest(0.0, CAST(agree AS DOUBLE) * 2.0 / $MinhashPerms - 1.0), 4)
+       |                 - jaccard), 6) AS abs_err
+       |FROM scored
+       |ORDER BY d1, d2""".stripMargin
+
   // --------------------- d20: RETIRED, never assigned ------------------
   // The id jumped d19 → d21 in round 7; d20 was not reserved for
   // anything (no SURVEY row, no spec). Retired to keep the registry's
@@ -1416,6 +1508,7 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     Q("d22_bloom_gate", d22, Some(d22Sql)),
     Q("d21_winnowing", d21, Some(d21Sql)),
+    Q("d25_bbit_minhash", d25, Some(d25Sql)),
     Q("p22_dedup_savings", p22, Some(p22Sql)),
     Q("d19_lsh_sweep", d19, Some(d19Sql)),
     Q("d18_crosssource_matrix", d18, Some(d18Sql)),
