@@ -760,35 +760,56 @@ object StreamingOps {
   case class SessionState(sessionId: Long, lastTs: Long, count: Long, startTs: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Long)
 
-  /** Custom stateful sessionizer (the `mapGroupsWithState` surface): same
-    * 30-minute-gap semantics as the batch gaps-and-islands query (q23),
-    * emitting completed sessions per update. Batch mode emits every
-    * session (state finalizes at end of group). */
+  /** Custom stateful sessionizer (the `flatMapGroupsWithState` surface):
+    * same 30-minute-gap semantics as the batch gaps-and-islands query
+    * (q23). TRULY incremental across micro-batches (round 8): the open
+    * session carries in state, so a session split across waves continues
+    * instead of restarting — the previous version rebuilt sessions from
+    * each batch's rows alone, which silently renumbered and double-
+    * counted any session spanning a batch boundary. Emission is UPSERT
+    * keyed by (user_id, session_id): a session still open at the end of
+    * a batch is emitted with its current counts and re-emitted updated
+    * if a later wave extends it; readers keep the latest row per key.
+    * Batch mode (one group call, empty state) emits every session once
+    * — identical to the old behavior.
+    *
+    * Cross-batch contract (enforced, the watermarkStep discipline):
+    * waves must not deliver a user's events before its open session's
+    * last seen second — out-of-order delivery would silently corrupt
+    * the gap accounting, so it fails loudly instead. */
   def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          // batch path: all rows for the user arrive sorted here explicitly
+          // rows within one batch arrive unordered: sort here; ACROSS
+          // batches ordering is the enforced contract below
           val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var sessions = List.empty[SessionState]
-          var cur: Option[SessionState] = None
+          val prior = state.getOption.getOrElse(Nil)
+          var cur: Option[SessionState] = prior.headOption // open session
+          val priorClosed = if (prior.isEmpty) Nil else prior.tail
+          for (st <- cur; e <- sorted.headOption) {
+            val sec = e.ts.getTime / 1000
+            require(sec >= st.lastTs,
+              s"sessionize: user $user batch delivers t=$sec before the open " +
+                s"session's last=${st.lastTs} — waves must partition event time")
+          }
+          var closedNow = List.empty[SessionState]
           sorted.foreach { e =>
             val sec = e.ts.getTime / 1000
             cur = cur match {
               case Some(st) if sec - st.lastTs <= gapSeconds =>
                 Some(st.copy(lastTs = sec, count = st.count + 1))
               case Some(st) =>
-                sessions = st :: sessions
+                closedNow = st :: closedNow
                 Some(SessionState(st.sessionId + 1, sec, 1, sec))
               case None =>
                 Some(SessionState(1, sec, 1, sec))
             }
           }
-          cur.foreach(st => sessions = st :: sessions)
-          state.update(sessions)
-          sessions.reverseIterator.map(st =>
+          state.update(cur.toList ++ closedNow ++ priorClosed)
+          (closedNow.reverse ++ cur.toList).iterator.map(st =>
             SessionOut(user, st.sessionId, st.count, st.lastTs - st.startTs))
       }
   }

@@ -134,6 +134,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sessionizer: sessions spanning micro-batch boundaries continue instead of restarting") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // split on GLOBAL event time so per-user order is preserved across
+    // waves (the enforced cross-batch contract); boundary sessions are
+    // guaranteed to exist at thirds of a 30-day log
+    val rows = eventsBatch.select(col("user_id"), col("ts"))
+      .orderBy("ts").as[StreamingOps.Ev].collect()
+    val waves = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val stream = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.sessionize(stream.toDS()).writeStream
+      .format("memory").queryName("sess_inc_out").outputMode("append").start()
+    try {
+      waves.foreach { wv => stream.addData(wv.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // upsert semantics: keep the LAST emitted row per (user, session)
+    val got = spark.table("sess_inc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .foldLeft(Map.empty[(Long, Long), (Long, Long)])(_ + _)
+    val want = graft.SparkEntry.queries("q23_sessionization")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got == want && got.nonEmpty,
+      "incremental sessions diverged from the oracled batch q23")
+  }
+
   test("streaming ingest: cross-batch dedup keeps first arrival; verdicts match batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
