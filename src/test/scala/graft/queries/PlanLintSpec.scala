@@ -92,7 +92,11 @@ class PlanLintSpec extends AnyFunSuite {
     // p14/t31 counting-method idiom) — input rows = n_chars domain,
     // never the documents table; the allocation windows are
     // stage-partitioned.
-    "p28_curriculum_schedule" -> AggBounded)
+    "p28_curriculum_schedule" -> AggBounded,
+    // m18: largest-remainder quota windows over the per-MIME aggregate —
+    // input rows = modality domain (3), never the documents table; the
+    // selection rank window is mime-partitioned.
+    "m18_modality_balance" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
