@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+import graft.queries.Relational.{Fn, Q}
+
+/** Round-8 batch 23: robust trend estimation and the late-data impact
+  * audit. Same determinism discipline as ExtraQueries3–20.
+  */
+object ExtraQueries21 {
+
+  // --------------------- r119 Theil–Sen robust trend
+
+  /** r119: Theil–Sen robust slope per priority — the median of all
+    * pairwise day-slopes of the daily-revenue series, next to the OLS
+    * slope (r97's fit) so the divergence IS the outlier signal: one
+    * flash-sale day drags OLS but moves the median of C(n,2) slopes
+    * almost nowhere. The standard robust trend for dashboards where a
+    * single anomalous day must not flip the narrative (29% breakdown
+    * point vs OLS's zero).
+    *
+    * Exactness: the series is exact cents on the (priority, day)
+    * aggregate; each pairwise slope is ONE double division of exact
+    * integers (identical IEEE operation in both engines, so ordering
+    * parity holds even where distinct rationals collide in double);
+    * the median is the counting method — row_number over (slope, day
+    * pair) with the lower-median index, no percentile function; the
+    * OLS comparison slope comes from exact DECIMAL sufficient
+    * statistics with one rounded division.
+    * Scale shape: the corpus collapses to the (priority, day) grain
+    * first; the pair relation is C(|days|,2) per priority —
+    * SERIES-sized squared, never corpus-sized (×~250k rows per
+    * priority on a 2-year calendar — bounded and documented); the
+    * median window partitions by priority. */
+  private val r119: Fn = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("y"))
+      .withColumn("x", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType))
+    val a = daily.select(col("prio"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("prio").as("p2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, col("prio") === col("p2") && col("x1") < col("x2"))
+      .withColumn("slope", (col("y2") - col("y1")).cast(DoubleType) / (col("x2") - col("x1")))
+    val wRank = Window.partitionBy("prio").orderBy(col("slope"), col("x1"), col("x2"))
+    val nPairs = pairs.groupBy("prio").agg(count(lit(1)).cast(LongType).as("n_pairs"))
+    val median = pairs.withColumn("rn", row_number().over(wRank))
+      .join(broadcast(nPairs), Seq("prio"))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("prio"), col("n_pairs"), round(col("slope"), 6).as("slope_theil_sen"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val ols = daily.groupBy("prio")
+      .agg(count(lit(1)).cast(LongType).as("n_days"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .withColumn("slope_ols", round(
+        (dec(col("n_days")) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (dec(col("n_days")) * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6))
+      .select("prio", "n_days", "slope_ols")
+    median.join(ols, Seq("prio"))
+      .select(col("prio").as("o_orderpriority"), col("n_days"), col("n_pairs"),
+        col("slope_theil_sen"), col("slope_ols"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val r119Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS y,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.prio, a.x AS x1, b.x AS x2,
+      |         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      |  FROM daily a JOIN daily b ON a.prio = b.prio AND a.x < b.x),
+      |np AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1),
+      |med AS (
+      |  SELECT p.prio, n.n_pairs, round(p.slope, 6) AS slope_theil_sen
+      |  FROM (SELECT prio, slope,
+      |               row_number() OVER (PARTITION BY prio ORDER BY slope, x1, x2) AS rn
+      |        FROM pairs) p
+      |  JOIN np n ON n.prio = p.prio
+      |  WHERE p.rn = (n.n_pairs + 1) // 2),
+      |ols AS (
+      |  SELECT prio, CAST(count(*) AS BIGINT) AS n_days,
+      |         round(CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)) * y)
+      |                    - sum(CAST(x AS DECIMAL(38,0))) * sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+      |               / CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)) * x)
+      |                      - sum(CAST(x AS DECIMAL(38,0))) * sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE),
+      |               6) AS slope_ols
+      |  FROM daily GROUP BY 1)
+      |SELECT m.prio AS o_orderpriority, o.n_days, m.n_pairs, m.slope_theil_sen, o.slope_ols
+      |FROM med m JOIN ols o ON o.prio = m.prio
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------- u27 late-data impact audit
+
+  /** u27: late-data impact audit — for every (event_type, day) cell,
+    * the value-weighted distortion a pipeline inflicts by its lateness
+    * policy: a STRICT pipeline (drop everything behind the watermark)
+    * loses `strict_loss_pct` of the cell's value; the st6 policy
+    * (accept within the delay allowance, drop beyond) loses
+    * `dropped_pct`. The companion u13/u10 monitors flag THAT something
+    * moved; u27 prices the lateness policy itself — the number that
+    * decides a pipeline's allowed-lateness setting. Composes the
+    * registered st6 classification kernel verbatim (value rides
+    * through the same two-level prefix scan).
+    *
+    * Exactness: values ride as exact DECIMAL cents per status bucket;
+    * each pct is one rounded division of exact integers.
+    * Scale shape: identical to st6 (the classification is st6's plan
+    * with one extra carried column) plus one (type, day) aggregate. */
+  private val u27: Fn = (s, d) => {
+    val arr = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .withColumn("mts", unix_micros(col("ts")))
+      .withColumn("arrival_seq", col("event_id") + expr(
+        s"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+          s" % ${ExtraQueries10.WmJitter}"))
+    val cls = ExtraQueries10.wmClassify(arr, None)
+    cls.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast(LongType).as("cents_all"),
+        sum(when(col("status") === "on_time", col("cents")).otherwise(0L))
+          .cast(LongType).as("cents_ontime"),
+        sum(when(col("status") =!= "dropped", col("cents")).otherwise(0L))
+          .cast(LongType).as("cents_accepted"))
+      .withColumn("strict_loss_pct", round(
+        (col("cents_all") - col("cents_ontime")).cast(DoubleType) * 100 /
+          col("cents_all"), 4))
+      .withColumn("dropped_pct", round(
+        (col("cents_all") - col("cents_accepted")).cast(DoubleType) * 100 /
+          col("cents_all"), 4))
+      .orderBy("event_type", "day")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("r119_theil_sen", r119, Some(r119Sql)),
+    Q("u27_late_impact", u27, Some(u27Sql)))
+
+  private def u27Sql: String =
+    s"""WITH arr AS (
+       |  SELECT event_id, event_type, ts, epoch_us(ts) AS mts,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |         event_id + CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |           % ${ExtraQueries10.WmJitter} AS arrival_seq
+       |  FROM events),
+       |wm AS (
+       |  SELECT event_type, ts, mts, cents,
+       |         max(mts) OVER (PARTITION BY event_type ORDER BY arrival_seq, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+       |  FROM arr),
+       |cls AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, cents,
+       |         CASE WHEN hi IS NULL OR mts >= hi THEN 'on_time'
+       |              WHEN mts >= hi - ${ExtraQueries10.WmDelayUs} THEN 'late_accepted'
+       |              ELSE 'dropped' END AS status
+       |  FROM wm)
+       |SELECT event_type, day, count(*) AS n_events,
+       |       CAST(sum(cents) AS BIGINT) AS cents_all,
+       |       CAST(sum(CASE WHEN status = 'on_time' THEN cents ELSE 0 END) AS BIGINT) AS cents_ontime,
+       |       CAST(sum(CASE WHEN status <> 'dropped' THEN cents ELSE 0 END) AS BIGINT) AS cents_accepted,
+       |       round(CAST(sum(cents) - sum(CASE WHEN status = 'on_time' THEN cents ELSE 0 END) AS DOUBLE)
+       |             * 100 / sum(cents), 4) AS strict_loss_pct,
+       |       round(CAST(sum(cents) - sum(CASE WHEN status <> 'dropped' THEN cents ELSE 0 END) AS DOUBLE)
+       |             * 100 / sum(cents), 4) AS dropped_pct
+       |FROM cls
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+}
