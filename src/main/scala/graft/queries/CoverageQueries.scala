@@ -1132,7 +1132,14 @@ object CoverageQueries {
     * the asset list against a per-mime relation (cluster membership
     * exploded from the cluster-grain relation; per-doc trim/frame
     * aggregates); one union, no windows. */
-  private val m17: Fn = (s, d) => {
+  /** The manifest build, materialized once per JVM per fixture through
+    * [[SharedPools]] (the s10-graph precedent): m17 itself and every
+    * composition consumer (m18's balance plan) share one build — the
+    * first caller pays it, everyone else parquet-scans. */
+  private val m17: Fn = (s, d) =>
+    SharedPools.materialized(s, d, "media_manifest")(m17Built(s, d)).orderBy("doc_id")
+
+  private def m17Built(s: SparkSession, d: String): DataFrame = {
     val dd = Tables.documents(s, d).select(col("doc_id"), col("source"))
     // m14's pair stage plants probe payloads (ids offset by 1e9) to keep
     // its recall graded — the manifest must reflect REAL duplicate
@@ -1185,7 +1192,6 @@ object CoverageQueries {
           .when(col("source") === "src1", "audio/wav")
           .otherwise("video/mp4").as("mime"),
         col("verdict"), col("reason"))
-      .orderBy("doc_id")
   }
 
   /** m17's manifest + oracle, exposed for composition (m18 consumes the
