@@ -1227,6 +1227,76 @@ object DedupQueries {
        |FROM totals t LEFT JOIN removed r ON t.source = r.source
        |ORDER BY t.source""".stripMargin
 
+  // --------------------- p30 group-aware CV fold assignment ------------
+
+  /** Cross-validation fold count. */
+  val FoldK = 5
+
+  /** p30: group-aware cross-validation folds — fold assignment keyed by
+    * the d08 near-dup CLUSTER (singletons key by themselves), so a
+    * document and its near-copies can never straddle a train/eval
+    * fold. u08/u09 AUDIT leakage after the fact; p30 is the assignment
+    * that makes it impossible by construction (sklearn's GroupKFold,
+    * done relationally) — and the output carries the receipts: the
+    * grouped assignment's spanning-cluster count (0, the guarantee)
+    * next to the naive per-doc assignment's (how many clusters a
+    * doc-keyed split WOULD have torn across folds). Composes the
+    * registered cluster pool (p22/d24 precedent).
+    *
+    * Exactness: folds are the portable md5-bucket discipline (p01);
+    * spanning counts are exact distinct aggregation.
+    * Scale shape: one left join of the corpus against the
+    * cluster-member relation, map-side fold assignment, two bounded
+    * aggregates. */
+  private val p30: Fn = (s, d) => {
+    val member = clusterPool(s, d)
+      .select(col("cluster"), explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster"), col("m").cast(LongType).as("doc_id"))
+    val grouped = docs(s, d).select(col("doc_id"))
+      .join(member, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("fold", graft.functions.DetHash.mdBucket(col("grp"), "fold:", FoldK))
+      .withColumn("naive_fold",
+        graft.functions.DetHash.mdBucket(col("doc_id"), "fold:", FoldK))
+    val span = grouped.filter(col("cluster").isNotNull)
+      .groupBy("cluster")
+      .agg(countDistinct(col("fold")).as("nf"), countDistinct(col("naive_fold")).as("nnf"))
+      .agg(coalesce(sum(when(col("nf") > 1, 1L).otherwise(0L)), lit(0L))
+          .cast(LongType).as("grouped_spanning"),
+        coalesce(sum(when(col("nnf") > 1, 1L).otherwise(0L)), lit(0L))
+          .cast(LongType).as("naive_spanning"))
+    grouped.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+      .crossJoin(broadcast(span))
+      .orderBy("fold")
+  }
+
+  private def p30Sql: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |cl AS (SELECT id AS doc_id, cluster FROM comp),
+       |base AS (
+       |  SELECT d.doc_id, c.cluster, COALESCE(c.cluster, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id),
+       |folded AS (
+       |  SELECT *,
+       |         ${graft.functions.DetHash.mdBucketSql("grp", "fold:", FoldK)} AS fold,
+       |         ${graft.functions.DetHash.mdBucketSql("doc_id", "fold:", FoldK)} AS naive_fold
+       |  FROM base),
+       |span AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS grouped_spanning,
+       |         CAST(COALESCE(sum(CASE WHEN nnf > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |           AS naive_spanning
+       |  FROM (SELECT cluster, count(DISTINCT fold) AS nf,
+       |               count(DISTINCT naive_fold) AS nnf
+       |        FROM folded WHERE cluster IS NOT NULL GROUP BY 1) t)
+       |SELECT f.fold, count(*) AS n_docs,
+       |       CAST(count(DISTINCT f.grp) AS BIGINT) AS n_groups,
+       |       s.grouped_spanning, s.naive_spanning
+       |FROM folded f CROSS JOIN span s
+       |GROUP BY f.fold, s.grouped_spanning, s.naive_spanning
+       |ORDER BY f.fold""".stripMargin
+
   // --------------------- d25 b-bit minhash estimate grading ------------
 
   /** d25: b-bit MinHash (Li & König 2010, b = 1) graded against exact
@@ -1510,6 +1580,7 @@ object DedupQueries {
     Q("d21_winnowing", d21, Some(d21Sql)),
     Q("d25_bbit_minhash", d25, Some(d25Sql)),
     Q("p22_dedup_savings", p22, Some(p22Sql)),
+    Q("p30_group_folds", p30, Some(p30Sql)),
     Q("d19_lsh_sweep", d19, Some(d19Sql)),
     Q("d18_crosssource_matrix", d18, Some(d18Sql)),
     Q("d13_containment_dedup", d13, Some(d13Sql)),

@@ -157,8 +157,84 @@ object ExtraQueries21 {
       .orderBy("event_type", "day")
   }
 
+  // --------------------- r120 debounce (keep-best within burst)
+
+  /** Burst gap: events within this many seconds merge into one burst. */
+  val DebounceGapS = 60L
+
+  /** r120: debounce / keep-best-within-burst — retries, double-clicks
+    * and duplicate deliveries arrive as BURSTS: per (user, type),
+    * events within [[DebounceGapS]] of their predecessor collapse into
+    * one burst (the q23 gaps-and-islands kernel at a finer grain), and
+    * each burst keeps its best event (max value, min event_id on
+    * ties). The throttle/debounce primitive every ingest front-end
+    * runs before counting anything — d01 dedups identical CONTENT;
+    * r120 dedups repeated INTENT.
+    *
+    * Exactness: gaps are integer seconds; cents are exact; keep-best
+    * resolves by (max cents, then min event_id) via one burst-grain
+    * aggregate joined back on the exact-cents match — integer
+    * comparisons everywhere.
+    * Scale shape: ONE (user, type)-keyed window shuffle builds bursts;
+    * the keep-best is a burst-grain aggregate + an equi-join back on
+    * (burst, cents) — no second corpus window, no self-join beyond
+    * the keyed probe. */
+  private val r120: Fn = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val wU = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    val secs = unix_timestamp(col("ts"))
+    val marked = ev
+      .withColumn("gap", secs - lag(secs, 1).over(wU))
+      .withColumn("nb", when(col("gap").isNull || col("gap") > DebounceGapS, 1L).otherwise(0L))
+      .withColumn("burst", sum(col("nb")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+    val bursts = marked.groupBy("user_id", "event_type", "burst")
+      .agg(count(lit(1)).as("n_events"), max(col("cents")).as("best_cents"))
+    bursts.join(marked.select(col("user_id"), col("event_type"), col("burst"),
+        col("cents").as("best_cents"), col("event_id")),
+        Seq("user_id", "event_type", "burst", "best_cents"))
+      .groupBy(col("user_id"), col("event_type"), col("burst"),
+        col("n_events"), col("best_cents"))
+      .agg(min(col("event_id")).as("kept_event_id"))
+      .select("user_id", "event_type", "burst", "n_events", "kept_event_id", "best_cents")
+      .orderBy("user_id", "event_type", "burst")
+  }
+
+  private val r120Sql =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |marked AS (
+       |  SELECT *,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+       |                   - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT)
+       |                   > $DebounceGapS
+       |              THEN 1 ELSE 0 END AS nb
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+       |bursted AS (
+       |  SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst
+       |  FROM marked),
+       |bursts AS (
+       |  SELECT user_id, event_type, burst,
+       |         count(*) AS n_events, CAST(max(cents) AS BIGINT) AS best_cents
+       |  FROM bursted GROUP BY 1, 2, 3)
+       |SELECT b.user_id, b.event_type, b.burst, b.n_events,
+       |       CAST(min(m.event_id) AS BIGINT) AS kept_event_id, b.best_cents
+       |FROM bursts b
+       |JOIN bursted m ON m.user_id = b.user_id AND m.event_type = b.event_type
+       |              AND m.burst = b.burst AND m.cents = b.best_cents
+       |GROUP BY 1, 2, 3, 4, 6
+       |ORDER BY 1, 2, 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r119_theil_sen", r119, Some(r119Sql)),
+    Q("r120_debounce", r120, Some(r120Sql)),
     Q("u27_late_impact", u27, Some(u27Sql)))
 
   private def u27Sql: String =

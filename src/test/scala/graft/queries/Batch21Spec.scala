@@ -47,4 +47,48 @@ class Batch21Spec extends AnyFunSuite {
       assert(n == st6(k), s"cell $k event count matches st6")
     }
   }
+
+  test("p30: group-aware folds never split a cluster; naive split would") {
+    val out = graft.SparkEntry.queries("p30_group_folds")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_._2).sum == nDocs, "folds partition the corpus")
+    assert(out.forall(_._4 == 0L), "the grouped assignment is the zero-leakage guarantee")
+    // driver replay of the naive spanning count from the registered clusters
+    val clusters = graft.SparkEntry.queries("d08_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getString(2).split(",").map(_.toLong))
+    def bucket(key: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fold:$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(6), 16) % DedupQueries.FoldK).toInt
+    }
+    val naiveSpanning = clusters.count(ms => ms.map(bucket).distinct.length > 1)
+    assert(out.head._5 == naiveSpanning.toLong, "naive spanning replay")
+  }
+
+  test("r120: bursts partition the event log and keep-best is the max-cents min-id event") {
+    val out = graft.SparkEntry.queries("r120_debounce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._4).sum == ev.length.toLong, "bursts partition the log")
+    // driver replay on the busiest (user, type) slice
+    val (bu, bt) = ev.groupBy(e => (e._2, e._3)).maxBy(_._2.size)._1
+    val slice = ev.filter(e => e._2 == bu && e._3 == bt).sortBy(e => (e._4, e._1))
+    var burst = 0L; var prev = Long.MinValue
+    val assigned = slice.map { e =>
+      if (prev == Long.MinValue || e._4 - prev > ExtraQueries21.DebounceGapS) burst += 1
+      prev = e._4
+      (burst, e)
+    }
+    assigned.groupBy(_._1).foreach { case (b, es) =>
+      val best = es.map(_._2).minBy(e => (-e._5, e._1))
+      val got = out.find(t => t._1 == bu && t._2 == bt && t._3 == b).get
+      assert(got._4 == es.size.toLong && got._5 == best._1 && got._6 == best._5,
+        s"burst ($bu,$bt,$b)")
+    }
+  }
 }
