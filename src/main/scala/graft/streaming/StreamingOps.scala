@@ -813,4 +813,57 @@ object StreamingOps {
             SessionOut(user, st.sessionId, st.count, st.lastTs - st.startTs))
       }
   }
+
+  // ---- custom state: debounce keep-best (r120 twin) ----
+
+  case class DbEv(user_id: Long, event_type: String, event_id: Long,
+                  sec: Long, cents: Long)
+  case class DbState(burst: Long, lastSec: Long, n: Long,
+                     bestCents: Long, bestId: Long)
+  case class DbOut(user_id: Long, event_type: String, burst: Long,
+                   n_events: Long, kept_event_id: Long, best_cents: Long)
+
+  /** r120's always-on twin: bursts carry across micro-batches in O(1)
+    * per-(user, type) state (open burst number, last second, count,
+    * best cents, best id), so a retry storm straddling a batch boundary
+    * stays ONE burst. Emission is UPSERT keyed by (user, type, burst)
+    * — an open burst re-emits updated as later waves extend it; readers
+    * keep the latest row per key, and the final resolved set equals
+    * batch r120 exactly when waves respect per-key time order (the
+    * sessionize contract, enforced the same way: out-of-order delivery
+    * fails loudly instead of silently splitting bursts). */
+  def debounceStream(ev: Dataset[DbEv], gapS: Long = 60L): Dataset[DbOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DbState, DbOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[DbEv], state: GroupState[DbState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.sec, e.event_id))
+          var cur = state.getOption
+          for (st <- cur; e <- sorted.headOption) {
+            require(e.sec >= st.lastSec,
+              s"debounceStream: key $key delivers t=${e.sec} before the open " +
+                s"burst's last=${st.lastSec} — waves must partition event time")
+          }
+          var out = List.empty[DbOut]
+          sorted.foreach { e =>
+            cur = cur match {
+              case Some(st) if e.sec - st.lastSec <= gapS =>
+                val better = e.cents > st.bestCents ||
+                  (e.cents == st.bestCents && e.event_id < st.bestId)
+                Some(DbState(st.burst, e.sec, st.n + 1,
+                  if (better) e.cents else st.bestCents,
+                  if (better) e.event_id else st.bestId))
+              case Some(st) =>
+                out = DbOut(key._1, key._2, st.burst, st.n, st.bestId, st.bestCents) :: out
+                Some(DbState(st.burst + 1, e.sec, 1, e.cents, e.event_id))
+              case None =>
+                Some(DbState(1L, e.sec, 1, e.cents, e.event_id))
+            }
+          }
+          cur.foreach(state.update)
+          (out.reverse ++ cur.map(st =>
+            DbOut(key._1, key._2, st.burst, st.n, st.bestId, st.bestCents)).toList).iterator
+      }
+  }
 }

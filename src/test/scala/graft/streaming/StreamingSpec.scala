@@ -159,6 +159,33 @@ class StreamingSpec extends AnyFunSuite {
       "incremental sessions diverged from the oracled batch q23")
   }
 
+  test("debounce stream: bursts spanning micro-batch boundaries equal batch r120") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .orderBy("sec", "event_id")
+      .as[StreamingOps.DbEv].collect()
+    val waves = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val stream = MemoryStream[StreamingOps.DbEv]
+    val q = StreamingOps.debounceStream(stream.toDS()).writeStream
+      .format("memory").queryName("debounce_out").outputMode("append").start()
+    try {
+      waves.foreach { wv => stream.addData(wv.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("debounce_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .foldLeft(Map.empty[(Long, String, Long), (Long, Long, Long)])(_ + _)
+    val want = graft.SparkEntry.queries("r120_debounce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want && got.nonEmpty,
+      "incremental bursts diverged from the oracled batch r120")
+  }
+
   test("streaming ingest: cross-batch dedup keeps first arrival; verdicts match batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
