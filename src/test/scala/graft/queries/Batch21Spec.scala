@@ -91,4 +91,19 @@ class Batch21Spec extends AnyFunSuite {
         s"burst ($bu,$bt,$b)")
     }
   }
+
+  test("s30: dominance flags replay from the table; every method keeps a frontier") {
+    val t = graft.SparkEntry.queries("s30_index_advisor")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(t.nonEmpty)
+    t.foreach { case (m, c, q, cost, dom) =>
+      val want = t.exists { case (m2, c2, q2, cost2, _) =>
+        m2 == m && c2 != c && q2 >= q && cost2 <= cost && (q2 > q || cost2 < cost)
+      }
+      assert(dom == want, s"dominance flag for ($m,$c)")
+    }
+    t.groupBy(_._1).foreach { case (m, xs) =>
+      assert(xs.exists(!_._5), s"method $m must have a non-dominated config")
+    }
+  }
 }
