@@ -68,8 +68,11 @@ if [ "${1:-full}" != "quick" ]; then
     java -Xmx8g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | grep '"metric"'
   if [ "${1:-full}" = "close" ]; then
     echo "== closing sf0.1 per-query bench (writes bench_queries.json if green)"
-    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-      java -Xmx20g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | tail -3
+    # 32 threads, NOT the gate matrix's 16: every bench_history floor was
+    # recorded at local[32], and a half-width closing run would trip the
+    # per-query gate on timing alone.
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      java -Xmx24g -cp "$CP" "${JAVA_FLAGS[@]}" graft.Bench 2>&1 | tail -3
     echo "== all-registry bench coverage (committed snapshot vs live registry)"
     python3 - <<'EOF'
 import json, os
