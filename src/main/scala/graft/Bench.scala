@@ -102,9 +102,11 @@ object Bench {
         java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
           try {
             val node = om.readTree(line)
-            // Floors from green-gated runs only (r7 verdict item 6); legacy
-            // lines without a gate field predate the gate and are kept.
-            if (node.path("sf").asText() == sfDir && node.path("gate").asText("") != "red") {
+            // Floors from green-gated runs ONLY (r7 verdict item 6, strict
+            // option): legacy pre-gate lines were recorded under much
+            // smaller registries and are not comparable run contexts —
+            // see tools/bench_gate.py for the r61 case study.
+            if (node.path("sf").asText() == sfDir && node.path("gate").asText("") == "green") {
               val qn = node.path("queries")
               qn.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toSeq
             } else Seq.empty

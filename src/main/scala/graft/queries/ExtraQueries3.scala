@@ -92,27 +92,33 @@ object ExtraQueries3 {
       |FROM g ORDER BY event_type""".stripMargin
 
   /** r61: market-basket association — brand pairs co-ordered in the
-    * same order, with support and lift. The self-join on l_orderkey is
-    * bounded by the max items-per-order (≤7 in TPC-H-shaped data), so
-    * the pair blowup per key is ≤ 7·6/2 = 21 rows — a constant factor,
-    * not a skew risk, at any corpus size. The part dim joins broadcast.
-    * Lift is computed from exact integer counts; the only double math
-    * is the final 3-operation scalar per surviving pair. */
+    * same order, with support and lift. Pair generation is map-side
+    * from each order's SORTED BRAND SET (one `collect_set` shuffle on
+    * l_orderkey, then an index-lambda pair explode) — the round-8
+    * rewrite of the original distinct + okey-self-join form, which
+    * paid three corpus shuffles (distinct on (okey, brand), re-hash of
+    * both join sides, pair aggregation) where one suffices. The pair
+    * blowup per order is bounded by items-per-order (≤ 7·6/2 = 21
+    * rows) — a constant factor, not a skew risk, at any corpus size.
+    * The part dim joins broadcast. Lift is computed from exact integer
+    * counts; the only double math is the final 3-operation scalar per
+    * surviving pair. Persisted: three consumers (order count, brand
+    * marginals, pairs) share the one aggregated relation. */
   private val r61: Fn = (s, d) => {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
-    // distinct brands per order (a brand twice in one order counts once).
-    // Persisted: FOUR consumers (order count, brand marginals, both pair
-    // sides) would otherwise each re-scan lineitem and re-run the
-    // broadcast join + distinct — the p06 eligible-pool precedent.
-    val ob = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand")).distinct()
+    val sets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = ob.select(countDistinct(col("okey")).as("n_orders"))
-    val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("c"))
-    val a = ob.select(col("okey"), col("brand").as("brand_a"))
-    val b = ob.select(col("okey"), col("brand").as("brand_b"))
-    val pairs = a.join(b, Seq("okey")).filter(col("brand_a") < col("brand_b"))
+    val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+    val brandCnt = sets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("c"))
+    val pairs = sets.select(expr(
+        "explode(flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), " +
+          "y -> struct(x AS brand_a, y AS brand_b))))) AS pr"))
+      .select(col("pr.brand_a").as("brand_a"), col("pr.brand_b").as("brand_b"))
       .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= 5)
     pairs

@@ -50,11 +50,14 @@ def load_history(path, sf, exclude_queries):
             d = json.loads(line)
             if d.get("sf") != sf or d.get("queries") == exclude_queries:
                 continue
-            # Floors come from GREEN-gated runs only (r7 verdict item 6):
-            # a red run's retries ran under the same load that made it red,
-            # and its noisy minima must not tighten any floor. Legacy lines
-            # without a gate field predate the gate and are kept.
-            if d.get("gate") == "red":
+            # Floors come from GREEN-gated runs ONLY (r7 verdict item 6,
+            # strict option): a red run's retries ran under the same load
+            # that made it red, and legacy pre-gate lines were recorded
+            # under much smaller registries (r61's 2.13 s floor came from
+            # a 171-query JVM; the same plan in a 296-query run context
+            # times 2.5-3.3 s with no plan change) — cross-era floors are
+            # not comparable, so only gate-green runs set them.
+            if d.get("gate") != "green":
                 continue
             for q, t in d["queries"].items():
                 if q not in best or t < best[q]:
