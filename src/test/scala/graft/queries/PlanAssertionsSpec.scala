@@ -58,6 +58,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("s24: the PPR loop state carries no dense seed x node scaffold") {
+    // r8 verdict item 3: the state used to start from seeds CROSS JOIN
+    // nodes and union a |Q|.|V| zero relation every round. The sparse
+    // rewrite must keep ALL cross-join shapes out of the loop lineage —
+    // the final DataFrame's plan chains every round, so one unkeyed
+    // join anywhere in the iteration would surface here.
+    val p = planOf("s24_personalized_pr")
+    assert(!p.contains("CartesianProduct"), "dense scaffold: cartesian in s24 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "dense scaffold: unkeyed join in s24 plan")
+  }
+
   test("etl flatten plan is a single projection over the scan (no shuffle)") {
     val p = planOf("etl_classify_all")
     assert(!p.contains("hashpartitioning"))
