@@ -64,7 +64,16 @@ object ExtraQueries17 {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grain
       .withColumn("n_risk", sum(col("d_events") + col("c_censored")).over(wSuffix))
-      .withColumn("lnfp", when(col("d_events") > 0,
+      // d_events == n_risk (every remaining at-risk user events at the
+      // longest duration — possible only on a type's terminal row) makes
+      // the KM factor (n-d)/n = 0: survival must hit EXACTLY 0 from here
+      // on. In ln-space that's -inf, where Spark's log(0) returns NULL
+      // (the window sum would silently skip the term and leave survival
+      // > 0) while DuckDB's ln(0) errors — so both sides emit the same
+      // finite sentinel (-1e15 fixed-point = ln ~ -1e6), which exp()
+      // underflows to exactly 0.0 in both engines (r8 advice).
+      .withColumn("lnfp", when(col("d_events") === col("n_risk"), lit(-1000000000000000L))
+        .when(col("d_events") > 0,
           round(log((col("n_risk") - col("d_events")).cast(DoubleType) /
             col("n_risk").cast(DoubleType)) * 1e9).cast(LongType))
         .otherwise(lit(0L)))
@@ -99,7 +108,8 @@ object ExtraQueries17 {
        |  FROM grain),
        |terms AS (
        |  SELECT *,
-       |         CASE WHEN d_events > 0
+       |         CASE WHEN d_events = n_risk THEN -1000000000000000
+       |              WHEN d_events > 0
        |              THEN CAST(round(ln(CAST(n_risk - d_events AS DOUBLE) /
        |                                 CAST(n_risk AS DOUBLE)) * 1e9, 0) AS BIGINT)
        |              ELSE 0 END AS lnfp

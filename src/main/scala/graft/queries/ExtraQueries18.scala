@@ -234,7 +234,12 @@ object ExtraQueries18 {
     * minima already). Modalities short of their quota keep everything
     * they have — the shortfall is REPORTED, not silently reallocated
     * (reallocation is p16's waterfill; a selection plan must show the
-    * gap so the mix decision is explicit).
+    * gap so the mix decision is explicit). A configured modality with
+    * ZERO kept assets still gets its quota row (weights-side outer
+    * join, r8 advice) and surfaces in the output as a null-rk/null-doc
+    * row with shortfall = quota — previously it vanished from the join
+    * while its weight still counted in w_total, silently
+    * under-allocating Σquota < budget.
     *
     * Exactness: quotas are BIGINT div/mod largest-remainder (r88/r94
     * discipline); selection is an integer rank comparison.
@@ -248,9 +253,16 @@ object ExtraQueries18 {
     val kept = CoverageQueries.mediaManifestFn(s, d)
       .filter(col("verdict") === "keep")
       .select(col("doc_id"), col("mime"))
-    val avail = kept.groupBy("mime").agg(count(lit(1)).cast(LongType).as("avail"))
+    val avail0 = kept.groupBy("mime").agg(count(lit(1)).cast(LongType).as("avail"))
     import s.implicits._
     val weights = MixWeights.toDF("mime", "wt")
+    // every configured modality keeps its row even with ZERO kept assets
+    // (r8 advice): the old inner join dropped empty modalities while
+    // their weight still counted in w_total, so largest-remainder
+    // under-allocated (Σquota < budget) and the gap was never reported —
+    // contradicting the 'shortfall is REPORTED' contract
+    val avail = weights.select("mime").join(avail0, Seq("mime"), "left")
+      .select(col("mime"), coalesce(col("avail"), lit(0L)).as("avail"))
     val totals = avail.agg(sum(col("avail")).cast(LongType).as("k_total"))
     val planned = avail.join(broadcast(weights), Seq("mime"))
       .crossJoin(broadcast(totals))
@@ -268,9 +280,20 @@ object ExtraQueries18 {
           .cast(LongType))
       .select(col("mime"), col("avail"), col("quota"))
     val wMime = Window.partitionBy("mime").orderBy("doc_id")
-    kept.withColumn("rk", row_number().over(wMime).cast(LongType))
+    val selected = kept.withColumn("rk", row_number().over(wMime).cast(LongType))
       .join(broadcast(quota), Seq("mime"))
       .filter(col("rk") <= col("quota"))
+      .select("mime", "rk", "doc_id", "avail", "quota")
+    // an empty modality has no ranked rows to select, so it surfaces as
+    // one null-rk/null-doc row carrying its quota and (fully unmet)
+    // shortfall — reported, not silently dropped. The union side is a
+    // ≤|modalities|-row anti-join, so the hot selection path keeps its
+    // broadcast inner join (an outer join from the big preserved side
+    // could not broadcast the quota relation).
+    val unmet = quota.join(avail0, Seq("mime"), "left_anti")
+      .select(col("mime"), lit(null).cast(LongType).as("rk"),
+        lit(null).cast(LongType).as("doc_id"), col("avail"), col("quota"))
+    selected.unionByName(unmet)
       .withColumn("shortfall", greatest(col("quota") - col("avail"), lit(0L)))
       .select("mime", "rk", "doc_id", "avail", "quota", "shortfall")
       .orderBy("mime", "rk")
@@ -282,8 +305,12 @@ object ExtraQueries18 {
     s"""WITH manifest AS (${CoverageQueries.mediaManifestSql}),
        |kept AS (
        |  SELECT doc_id, mime FROM manifest WHERE verdict = 'keep'),
-       |avail AS (SELECT mime, CAST(count(*) AS BIGINT) AS avail FROM kept GROUP BY 1),
        |weights(mime, wt) AS (VALUES $weights),
+       |avail AS (
+       |  SELECT w.mime, CAST(COALESCE(k.avail, 0) AS BIGINT) AS avail
+       |  FROM weights w LEFT JOIN
+       |    (SELECT mime, count(*) AS avail FROM kept GROUP BY 1) k
+       |    ON w.mime = k.mime),
        |totals AS (SELECT CAST(sum(avail) AS BIGINT) AS k_total FROM avail),
        |planned AS (
        |  SELECT a.mime, a.avail, w.wt,
@@ -300,12 +327,18 @@ object ExtraQueries18 {
        |ranked AS (
        |  SELECT mime, doc_id,
        |         CAST(row_number() OVER (PARTITION BY mime ORDER BY doc_id) AS BIGINT) AS rk
-       |  FROM kept)
-       |SELECT r.mime, r.rk, r.doc_id, q.avail, q.quota,
-       |       greatest(q.quota - q.avail, 0) AS shortfall
-       |FROM ranked r JOIN quota q ON r.mime = q.mime
-       |WHERE r.rk <= q.quota
-       |ORDER BY r.mime, r.rk""".stripMargin
+       |  FROM kept),
+       |sel AS (
+       |  SELECT r.mime, r.rk, r.doc_id, q.avail, q.quota
+       |  FROM ranked r JOIN quota q ON r.mime = q.mime
+       |  WHERE r.rk <= q.quota
+       |  UNION ALL
+       |  SELECT q.mime, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), q.avail, q.quota
+       |  FROM quota q WHERE q.avail = 0)
+       |SELECT mime, rk, doc_id, avail, quota,
+       |       greatest(quota - avail, 0) AS shortfall
+       |FROM sel
+       |ORDER BY mime, rk NULLS FIRST""".stripMargin
   }
 
   val all: Seq[Q] = Seq(

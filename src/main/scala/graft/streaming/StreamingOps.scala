@@ -673,6 +673,17 @@ object StreamingOps {
     // on_time/late/dropped split would silently diverge from batch st6
     // — fail loudly. Bounded driver data: ≤ |event types| rows.
     baseHi.foreach { b =>
+      // state written before the round-8 format carries no state_seq
+      // column; selecting it below would surface as a raw
+      // AnalysisException instead of a contract-style error (r8 advice).
+      // The old format cannot prove the arrival-order contract held for
+      // the rows it already merged, so refuse it explicitly rather than
+      // backfill a fake seq and vouch for unverifiable history.
+      require(b.columns.contains("state_seq"),
+        s"watermarkStep: incompatible wm_hi state format at $tableDir/wm_hi " +
+          s"(columns ${b.columns.mkString(", ")} lack state_seq — state written " +
+          "by a pre-arrival-seq build; rebuild the state by replaying the log " +
+          "from batch 0, or start a fresh state dir)")
       val viol = arr.groupBy("event_type").agg(min(col("arrival_seq")).as("batch_lo"))
         .join(b.select(col("event_type"), col("state_seq")), Seq("event_type"))
         .filter(col("batch_lo") <= col("state_seq"))
@@ -788,7 +799,6 @@ object StreamingOps {
           val sorted = rows.toSeq.sortBy(_.ts.getTime)
           val prior = state.getOption.getOrElse(Nil)
           var cur: Option[SessionState] = prior.headOption // open session
-          val priorClosed = if (prior.isEmpty) Nil else prior.tail
           for (st <- cur; e <- sorted.headOption) {
             val sec = e.ts.getTime / 1000
             require(sec >= st.lastTs,
@@ -808,7 +818,12 @@ object StreamingOps {
                 Some(SessionState(1, sec, 1, sec))
             }
           }
-          state.update(cur.toList ++ closedNow ++ priorClosed)
+          // state carries ONLY the open session (r8 advice): closed
+          // sessions are already emitted and never read again, and
+          // session-number continuity needs just the open sessionId —
+          // keeping them would grow per-user state and checkpoint size
+          // without bound in an always-on stream
+          state.update(cur.toList)
           (closedNow.reverse ++ cur.toList).iterator.map(st =>
             SessionOut(user, st.sessionId, st.count, st.lastTs - st.startTs))
       }

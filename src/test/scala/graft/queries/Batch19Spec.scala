@@ -48,6 +48,33 @@ class Batch19Spec extends AnyFunSuite {
     }
   }
 
+  test("r114: survival drops to exactly 0 when the terminal row has d_events == n_risk") {
+    // r8 advice: every at-risk user eventing at the longest duration
+    // makes the KM factor 0 — Spark's log(0) used to return NULL, the
+    // window sum silently skipped the term, and survival stayed > 0.
+    // Type A: both users churn at duration 2 (d == n_risk on the
+    // terminal grain row); type B only exists to push the global max
+    // day out so A's users register as churned (gap >= 8 days).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("km_edge_").toString
+    Seq(
+      (1L, "A", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "A", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      (2L, "A", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "A", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      (99L, "B", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (99L, "B", java.sql.Timestamp.valueOf("2024-01-31 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // schema: event_type, t, n_risk, d_events, c_censored, cum_lnfp, survival
+    val full = graft.SparkEntry.queries("r114_kaplan_meier")(spark, tmp).collect()
+    val a2 = full.find(r => r.getString(0) == "A" && r.getLong(1) == 2L).get
+    assert(a2.getLong(2) == 2L && a2.getLong(3) == 2L, "A@2 must have n_risk=d_events=2")
+    assert(a2.getLong(5) <= -1000000000000000L, "sentinel ln term applied")
+    assert(a2.getDouble(6) == 0.0, s"survival must be exactly 0, got ${a2.getDouble(6)}")
+    assert(full.forall(r => !r.isNullAt(5)), "no NULL cum_lnfp anywhere")
+  }
+
   test("r115: the full-knowledge tx arm equals the single-axis valid-time as-of") {
     val out = graft.SparkEntry.queries("r115_bitemporal_asof")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)) -> r.getLong(4)).toMap
