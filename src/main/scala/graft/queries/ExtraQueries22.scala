@@ -20,9 +20,12 @@ object ExtraQueries22 {
     * cheap (strictly better on one axis). This is the table a vector
     * store's auto-tuner reads to pick its operating point — d19 and
     * s28 measure the dials; s30 is the decision surface. COMPOSES the
-    * registered sweeps (the s11/s28 precedent): both kernels run
-    * exactly as shipped, and the oracle embeds their oracle SQL as
-    * CTEs.
+    * registered sweeps through their [[SharedPools]] result pools (r8
+    * verdict item 6): the advisor reads the materialized sweep tables —
+    * the production shape, where the tuner consumes the sweeps' stored
+    * outputs rather than re-running the measurement pipelines — and the
+    * oracle embeds their oracle SQL as CTEs, so the pooled artifacts
+    * stay hash-pinned to a full recomputation.
     *
     * Exactness: LSH quality/cost are d19's rounded recall and integer
     * candidate count; IVF quality is Σhits/(|Q|·K) — integer
@@ -32,14 +35,12 @@ object ExtraQueries22 {
     * after runs on a ≤|configs|-row relation (the 6-row advisor
     * table), where the dominance self-join is trivially bounded. */
   private val s30: Fn = (s, d) => {
-    val d19 = DedupQueries.all.find(_.name == "d19_lsh_sweep").get.fn
-    val s28 = SimilarityQueries.all.find(_.name == "s28_ivf_sweep").get.fn
-    val lsh = d19(s, d).select(
+    val lsh = DedupQueries.lshSweepPool(s, d).select(
       lit("lsh").as("method"),
       concat(col("bands"), lit("x"), col("rows_per_band")).as("config"),
       coalesce(col("recall"), lit(0.0)).as("quality"),
       col("n_cand").cast(LongType).as("cost"))
-    val ivf = s28(s, d).groupBy(col("nprobe"))
+    val ivf = SimilarityQueries.ivfSweepPool(s, d).groupBy(col("nprobe"))
       .agg(sum(col("hits")).cast(LongType).as("sh"), count(lit(1)).cast(LongType).as("nq"))
       .select(lit("ivf").as("method"),
         concat(lit("nprobe="), col("nprobe")).as("config"),

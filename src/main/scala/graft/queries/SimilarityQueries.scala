@@ -1960,7 +1960,18 @@ object SimilarityQueries {
     * sets, cell-keyed candidate join); the eval join runs on K·|Q|-row
     * relations. At 100 TB the sweep runs on a sampled query set and
     * its cost is the probes, not the comparison. */
-  private val s28: Fn = (s, d) => {
+  /** s28's finished sweep table through [[SharedPools]] (r8 verdict
+    * item 6, the [[graft.queries.DedupQueries.lshSweepPool]] twin): the
+    * per-nprobe recall harness re-ran for every consumer — s28 itself
+    * plus s30's advisor — multiplying the IVF probe pipeline. The
+    * result is a |probes|·|Q|-row table of exact longs + one 4dp
+    * double. */
+  private[queries] def ivfSweepPool(s: SparkSession, d: String): DataFrame =
+    SharedPools.materialized(s, d, "ivf_sweep")(s28Built(s, d))
+
+  private val s28: Fn = (s, d) => ivfSweepPool(s, d).orderBy("nprobe", "q_id")
+
+  private def s28Built(s: SparkSession, d: String): DataFrame = {
     val exact = s01(s, d).select(col("q_id"), col("vec_id"))
     IvfSweepProbes.map { np =>
       val approx = ivfTopK(s, d, np).select(col("q_id").as("aq"), col("vec_id").as("av"))
@@ -1971,7 +1982,6 @@ object SimilarityQueries {
     }.reduce(_.unionByName(_))
       .withColumn("recall", round(col("hits").cast(DoubleType) / lit(K), 4))
       .select("nprobe", "q_id", "hits", "recall")
-      .orderBy("nprobe", "q_id")
   }
 
   private def s28Sql: String = {
