@@ -34,4 +34,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Cross-engine BAND oracles (r8 verdict stretch 7) for sketch queries
+    * whose internals are definitionally engine-specific: DuckDB's own
+    * approximator over the same data, plus a relative tolerance. No hash
+    * can match two different sketch implementations, but both estimates
+    * must sit within a band of each other because each is spec-bounded
+    * near the exact answer — `tools/check_oracle.py` enforces it. Value
+    * = (DuckDB SQL, rel_tol). r52 stays spec-bounded only: its OUTPUT
+    * columns are engine-private HLL sketch binaries, not estimates. */
+  def bandOracleSql: Map[String, (String, Double)] = CoverageQueries.bandOracles
 }

@@ -78,6 +78,15 @@ object Verify {
       .filter(kv => only.isEmpty || only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Band oracles for the estimate-valued sketch queries: DuckDB's own
+    // approximator + rel_tol, enforced by tools/check_oracle.py (no hash
+    // can match two sketch implementations, but the estimates must band).
+    val bands = SparkEntry.bandOracleSql
+      .filter(kv => only.isEmpty || only(kv._1))
+      .map { case (k, (sql, tol)) =>
+        s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("rel_tol")}: $tol}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/band_oracle.json"), bands)
     spark.stop()
   }
 }

@@ -1290,4 +1290,26 @@ object CoverageQueries {
     Q("m05_resize_thumb", m05, Some(m05Sql)),
     Q("m06_audio_resample", m06, Some(m06Sql)),
     Q("m03_frame_sample", m03, Some(m03Sql)))
+
+  /** Band oracles for the two estimate-valued sketch queries (r8 verdict
+    * stretch 7): DuckDB's OWN approximators (its HLL, its t-digest) over
+    * the same data, with a relative tolerance wide enough for two
+    * independent sketch implementations that are each spec-bounded near
+    * the exact answer, and far tighter than any wrong plan could pass
+    * (a dropped filter or doubled input moves an estimate by ~2x, not
+    * ~2%). CoverageSpec separately bounds both queries against EXACT
+    * ground truth at all three SFs — the band adds the cross-engine leg
+    * the hash oracle cannot provide for sketch internals. */
+  val bandOracles: Map[String, (String, Double)] = Map(
+    "r28_approx_distinct" -> (
+      """SELECT l_returnflag,
+        |       CAST(approx_count_distinct(l_partkey) AS BIGINT) AS approx_parts,
+        |       CAST(approx_count_distinct(l_orderkey) AS BIGINT) AS approx_orders
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin, 0.10),
+    "r47_approx_percentiles" -> (
+      """SELECT l_returnflag,
+        |       CAST(approx_quantile(l_quantity, 0.5) AS DOUBLE) AS p50_qty,
+        |       CAST(approx_quantile(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+        |       CAST(approx_quantile(l_extendedprice, 0.99) AS DOUBLE) AS p99_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin, 0.10))
 }

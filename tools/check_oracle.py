@@ -202,6 +202,60 @@ def main():
             continue
         print(f"PASS {name} ({nrows} rows){flag}")
         n_pass += 1
+
+    # Band oracles (r8 verdict stretch 7): the estimate-valued sketch
+    # queries (approx distinct, approx percentiles) can never hash-match
+    # a different engine's sketch, but DuckDB's own approximators over
+    # the same data must land within rel_tol of Spark's — both are
+    # spec-bounded near the exact answer, while any wrong plan (dropped
+    # filter, doubled input) moves an estimate by ~2x. Keys (non-float
+    # columns) must match exactly; numeric estimate columns band-match.
+    import os.path
+    band_path = f"{out}/band_oracle.json"
+    if os.path.exists(band_path):
+        with open(band_path) as f:
+            bands = json.load(f)
+        for name in sorted(bands):
+            spec = bands[name]
+            files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+            if not files:
+                print(f"FAIL {name}: band oracle but no spark output")
+                n_fail += 1
+                continue
+            try:
+                got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+                want = con.sql(spec["sql"]).df()
+                got = got[sorted(got.columns)]
+                want = want[sorted(want.columns)]
+                # rows align on the KEY (non-numeric) columns — sorting by
+                # an estimate column would misalign rows whenever the two
+                # engines' estimates order differently
+                keys = [c for c in got.columns
+                        if not np.issubdtype(got[c].dtype, np.number)] or list(got.columns)
+                got = got.sort_values(keys).reset_index(drop=True)
+                want = want.sort_values(keys).reset_index(drop=True)
+                assert list(got.columns) == list(want.columns), \
+                    f"columns {list(got.columns)} vs {list(want.columns)}"
+                assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+                tol = float(spec["rel_tol"])
+                worst = 0.0
+                for c in got.columns:
+                    if np.issubdtype(got[c].dtype, np.number):
+                        g = got[c].astype(float).to_numpy()
+                        w = want[c].astype(float).to_numpy()
+                        rel = np.abs(g - w) / np.maximum(np.abs(w), 1.0)
+                        worst = max(worst, float(rel.max()))
+                        assert rel.max() <= tol, \
+                            f"col {c}: rel diff {rel.max():.4f} > {tol} (spark={g[rel.argmax()]}, duckdb={w[rel.argmax()]})"
+                    else:
+                        assert (got[c].astype(str) == want[c].astype(str)).all(), \
+                            f"key col {c} mismatch"
+                print(f"BAND-PASS {name} (worst rel diff {worst:.4f} <= {tol})")
+                n_pass += 1
+            except Exception as e:
+                print(f"FAIL {name}: band: {e}")
+                n_fail += 1
+
     print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} oracled")
     sys.exit(1 if n_fail else 0)
 
