@@ -83,28 +83,51 @@ object Enrich {
     *   - a per-partition token bucket so aggregate QPS is bounded by
     *     `partitions × perPartitionQps` (tune partition count to the
     *     provider quota),
-    *   - failure → None → 'N/A' fill, matching `etl.py:400-407`.
+    *   - transient failures retry up to `maxRetries` times with
+    *     exponential backoff, THEN fall to 'N/A' (the reference swallows
+    *     every exception into the default fill, `etl.py:400-407`; a
+    *     production transport retries first — bounded, so one poisoned
+    *     row can never wedge a partition). Every retry attempt is one
+    *     more remote call against the same provider quota, so the token
+    *     bucket paces ATTEMPTS, not rows: backoff widens the bucket gap
+    *     by 2^attempt and the row after a retried row still waits the
+    *     full interval behind the last real call.
     * Called with [[RuleRowClassifier]] in tests; a real LLM impl plugs in
-    * without touching the operator. */
+    * without touching the operator. Retries preserve the oracled output
+    * (`etl_enrich_seam`): seam failures are deterministic per row
+    * content, so exhaustion lands in the same 'N/A' the no-retry form
+    * produced. */
   def mapPartitionsEnrich(
       flat: DataFrame,
       classifier: RowClassifier,
       aiColumn: String = "ai_determined_value",
-      perPartitionQps: Double = 2.0): DataFrame = {
+      perPartitionQps: Double = 2.0,
+      maxRetries: Int = 2): DataFrame = {
     val schema = StructType(flat.schema.fields :+ StructField(aiColumn, StringType, nullable = false))
     val criteriaIdx = flat.schema.fieldIndex("criteria")
     val minIntervalNanos = (1e9 / perPartitionQps).toLong
     val enriched = flat.rdd.mapPartitions { iter =>
       // client-per-partition seam: a remote impl opens its connection here
       var lastCall = 0L
-      iter.map { row =>
-        val criteria = if (row.isNullAt(criteriaIdx)) "N/A" else row.getString(criteriaIdx)
-        val now = System.nanoTime()
-        val wait = lastCall + minIntervalNanos - now
+      def throttle(backoffExp: Int): Unit = {
+        val gap = minIntervalNanos << math.min(backoffExp, 20)
+        val wait = lastCall + gap - System.nanoTime()
         if (lastCall != 0L && wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
         lastCall = System.nanoTime()
-        val label = try classifier.classify(criteria).getOrElse("N/A")
-        catch { case _: Exception => "N/A" } // error-to-default fill, etl.py:400-407
+      }
+      iter.map { row =>
+        val criteria = if (row.isNullAt(criteriaIdx)) "N/A" else row.getString(criteriaIdx)
+        var label = "N/A"
+        var attempt = 0
+        var done = false
+        while (!done) {
+          throttle(attempt) // attempt 0 waits 1 interval, retry k waits 2^k
+          try { label = classifier.classify(criteria).getOrElse("N/A"); done = true }
+          catch { case _: Exception => // error-to-default fill, etl.py:400-407
+            attempt += 1
+            if (attempt > maxRetries) done = true // bounded: exhausted -> 'N/A'
+          }
+        }
         Row.fromSeq(row.toSeq :+ label)
       }
     }

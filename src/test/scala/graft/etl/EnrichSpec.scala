@@ -79,4 +79,77 @@ class EnrichSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert((m - "NCT00000009").forall { case (k, v) => viaCol(k) == v })
   }
+
+  test("seam retry: exhaustion after exactly 1 + maxRetries attempts, then 'N/A'") {
+    // production-shaped twin of etl.py:276-302's exception swallow (r8
+    // verdict stretch 8): a permanently-failing transport is retried a
+    // BOUNDED number of times, every attempt is a real paced call, and
+    // exhaustion lands in the same 'N/A' fill — one poisoned row can
+    // never wedge the partition.
+    FlakyCounters.reset()
+    val one = flat.coalesce(1)
+    val rows = Enrich.mapPartitionsEnrich(one, new AlwaysFailClassifier,
+        perPartitionQps = 1000.0, maxRetries = 2)
+      .select("nct_id", "ai_determined_value").collect()
+    assert(rows.length == 14)
+    assert(rows.forall(_.getString(1) == "N/A"), "exhaustion must fill N/A")
+    assert(FlakyCounters.calls.get == 14 * 3,
+      s"expected 14 rows x (1 + 2 retries) attempts, got ${FlakyCounters.calls.get}")
+  }
+
+  test("seam retry: mid-partition recovery — transient rows heal, later rows unaffected") {
+    // rows whose criteria hash is 'unlucky' fail on the first attempt
+    // only (deterministic per row, transient per attempt): the retry
+    // must recover the REAL label, and rows after a retried row must
+    // still classify normally (the bucket state survives the retry loop).
+    FlakyCounters.reset()
+    val one = flat.coalesce(1)
+    val rows = Enrich.mapPartitionsEnrich(one, new FirstAttemptFailsClassifier,
+        perPartitionQps = 1000.0, maxRetries = 2)
+      .select("nct_id", "ai_determined_value").collect()
+    val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaCol = Enrich.enrichAll(flat).select("nct_id", "ai_determined_value")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // NCT00000009 has no criteria: the classifier throws on EVERY attempt
+    // for it (content-deterministic), so it exhausts to N/A; everything
+    // else must carry the recovered real label.
+    assert(m("NCT00000009") == "N/A")
+    assert((m - "NCT00000009").forall { case (k, v) => viaCol(k) == v },
+      "retried rows must recover the true label")
+    // every row paid exactly one extra attempt except the poisoned row,
+    // which paid the full retry budget
+    assert(FlakyCounters.calls.get == 13 * 2 + 3,
+      s"expected 13 x 2 + 3 attempts, got ${FlakyCounters.calls.get}")
+  }
+}
+
+/** Attempt counters shared across executor threads (local mode = one
+  * JVM, so a static AtomicInteger observes every serialized-closure
+  * classifier instance). */
+private object FlakyCounters {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = calls.set(0)
+}
+
+/** Permanently-down transport: every attempt fails. */
+private class AlwaysFailClassifier extends RowClassifier {
+  def classify(criteria: String): Option[String] = {
+    FlakyCounters.calls.incrementAndGet()
+    throw new RuntimeException("remote classifier: permanently down")
+  }
+}
+
+/** Transient-failure transport: the FIRST attempt for each row fails,
+  * the retry succeeds (criteria-keyed, so it is deterministic per row
+  * while still being attempt-transient). The 'N/A' sentinel row fails
+  * every attempt, like [[SlowRowClassifier]]. */
+private class FirstAttemptFailsClassifier extends RowClassifier {
+  private val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  def classify(criteria: String): Option[String] = {
+    FlakyCounters.calls.incrementAndGet()
+    if (criteria == "N/A") throw new RuntimeException("remote classifier: empty criteria")
+    if (seen.putIfAbsent(criteria, true) == null)
+      throw new RuntimeException("remote classifier: transient 503")
+    Some(RuleClassifier.classify(criteria))
+  }
 }
