@@ -720,7 +720,7 @@ object DedupQueries {
     * pipeline would write between clustering and its readers. Exact
     * types only (longs + the members CSV string), so the parquet
     * round-trip is bitwise. */
-  private def clusterPool(s: SparkSession, d: String): DataFrame =
+  private[queries] def clusterPool(s: SparkSession, d: String): DataFrame =
     SharedPools.materialized(s, d, "dedup_clusters")(clustersBuilt(s, d))
 
   private def clustersBuilt(s: SparkSession, d: String): DataFrame = {
@@ -786,7 +786,7 @@ object DedupQueries {
   /** The shingle → exact-Jaccard-pair → closure CTE chain, factored so
     * d08's cluster oracle and d24's dilution oracle replay the SAME
     * graph construction (ends at `comp(id, cluster)`). */
-  private val closureCtes =
+  private[queries] val closureCtes =
     """sh AS (
       |  SELECT doc_id,
       |         unnest(list_distinct(list_transform(range(1, len(w) - 3),

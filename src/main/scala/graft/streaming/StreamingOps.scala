@@ -881,4 +881,52 @@ object StreamingOps {
             DbOut(key._1, key._2, st.burst, st.n, st.bestId, st.bestCents)).toList).iterator
       }
   }
+
+  // ---- custom state: horizon-bounded dedup (d26 twin) ----
+
+  case class DocSight(doc_id: Long, h: String)
+  case class DupDrop(doc_id: Long, first_seen: Long, gap: Long)
+
+  /** d26's always-on twin: horizon-bounded exact dedup with O(1) state
+    * per LIVE content hash — just the last-seen ingest id. This is the
+    * state-size answer the horizon semantics exists to permit: unbounded
+    * dedup state grows with every distinct payload forever, while here a
+    * hash whose last sighting has fallen more than `horizon` behind the
+    * ingest high-water mark can never cause another drop, so a
+    * maintenance pass may prune it from the store at will (the emitted
+    * rows are unaffected — pruning is an optimization, not a semantics
+    * change). Gap accounting matches batch d26's lag exactly: the gap is
+    * measured against the IMMEDIATELY PREVIOUS sighting, whether that
+    * sighting was itself kept or dropped.
+    *
+    * Cross-batch contract (enforced, the sessionize discipline): waves
+    * must partition the ingest order per hash — a batch delivering an id
+    * at or before the carried last-seen id would corrupt the gap
+    * accounting, so it fails loudly instead. */
+  def horizonDedupStream(docs: Dataset[DocSight], horizon: Long): Dataset[DupDrop] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, DupDrop](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[DocSight], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var last = state.getOption
+          for (l <- last; r <- sorted.headOption) {
+            require(r.doc_id > l,
+              s"horizonDedupStream: hash $h delivers id=${r.doc_id} not past the " +
+                s"carried last-seen=$l — waves must partition the ingest order")
+          }
+          val out = List.newBuilder[DupDrop]
+          sorted.foreach { r =>
+            last match {
+              case Some(l) if r.doc_id - l <= horizon =>
+                out += DupDrop(r.doc_id, l, r.doc_id - l)
+              case _ => ()
+            }
+            last = Some(r.doc_id)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -96,7 +96,11 @@ class PlanLintSpec extends AnyFunSuite {
     // m18: largest-remainder quota windows over the per-MIME aggregate —
     // input rows = modality domain (3), never the documents table; the
     // selection rank window is mime-partitioned.
-    "m18_modality_balance" -> AggBounded)
+    "m18_modality_balance" -> AggBounded,
+    // r121: total-revenue share window over the (region, nation)
+    // aggregate — input rows = nation domain (25), never orders; the
+    // region-share window is region-partitioned.
+    "r121_pct_of_parent" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {

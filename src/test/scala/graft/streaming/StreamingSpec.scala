@@ -186,6 +186,43 @@ class StreamingSpec extends AnyFunSuite {
       "incremental bursts diverged from the oracled batch r120")
   }
 
+  test("horizon dedup stream: drops spanning micro-batch boundaries equal batch d26") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sights = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 100)).as("h"))
+      .orderBy("doc_id")
+      .as[StreamingOps.DocSight].collect()
+    val waves = sights.grouped(math.max(1, sights.length / 3 + 1)).toSeq
+    val stream = MemoryStream[StreamingOps.DocSight]
+    val q = StreamingOps.horizonDedupStream(stream.toDS(),
+        graft.queries.ExtraQueries23.DedupHorizon).writeStream
+      .format("memory").queryName("horizon_out").outputMode("append").start()
+    try {
+      waves.foreach { wv => stream.addData(wv.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("horizon_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = graft.SparkEntry.queries("d26_horizon_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty,
+      "incremental horizon drops diverged from the oracled batch d26")
+    // a sighting at/behind the carried last-seen id must fail loudly
+    val bad = MemoryStream[StreamingOps.DocSight]
+    val qb = StreamingOps.horizonDedupStream(bad.toDS(), 10L).writeStream
+      .format("memory").queryName("horizon_bad").outputMode("append").start()
+    try {
+      bad.addData(StreamingOps.DocSight(100L, "hX"))
+      qb.processAllAvailable()
+      bad.addData(StreamingOps.DocSight(50L, "hX"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qb.processAllAvailable()
+      }
+      assert(e.getMessage.contains("waves must partition the ingest order") ||
+        Option(e.getCause).exists(_.getMessage.contains("waves must partition the ingest order")))
+    } finally qb.stop()
+  }
+
   test("streaming ingest: cross-batch dedup keeps first arrival; verdicts match batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
