@@ -100,7 +100,12 @@ class PlanLintSpec extends AnyFunSuite {
     // r121: total-revenue share window over the (region, nation)
     // aggregate — input rows = nation domain (25), never orders; the
     // region-share window is region-partitioned.
-    "r121_pct_of_parent" -> AggBounded)
+    "r121_pct_of_parent" -> AggBounded,
+    // p32: cumulative surplus/deficit interval windows over the
+    // per-SHARD size aggregate — input rows = shard domain (16), never
+    // the documents table; the r108 FIFO-interval kernel at the shard
+    // grain.
+    "p32_shard_rebalance" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
