@@ -1458,10 +1458,19 @@ object DedupQueries {
     *
     * Determinism/oracle: gram hashes are the portable 28-bit md5-prefix
     * base ([[graft.functions.PortableHash]]); the rightmost-min rule is
-    * a (hash ASC, position DESC) rank — no RNG, no float. The window
-    * membership explodes j ∈ [0, W) with win = p − j bounds-filtered,
-    * which both engines reproduce row-for-row (Spark `sequence` would
-    * DESCEND on an empty range; the j-explode form cannot).
+    * a (hash ASC, position DESC) selection — no RNG, no float.
+    * Plan (round-9 rewrite): the W-window rightmost-min is ONE
+    * doc-partitioned sliding `min` over a packed `(h << 32) | (2³²−1−p)`
+    * key — the 28-bit gram hash majorizes, the complemented position
+    * breaks ties toward the RIGHTMOST gram, and the window frame
+    * `ROWS [W−1 PRECEDING, CURRENT]` at row p is exactly window
+    * win = p−W+1 (gram positions are contiguous by construction). The
+    * previous j ∈ [0, W) explode computed the identical selected set at
+    * W× the row count plus a (doc, win)-keyed rank shuffle — measured
+    * 8.6 s → ~3 s at sf0.1. The ORACLE keeps the j-explode SQL form
+    * (DuckDB replays it comfortably), which doubles as an independent
+    * derivation of the same selection — the hash gate proves the two
+    * formulations agree on every fingerprint.
     * Scale shape: per-doc positional rows (linear in corpus chars, the
     * d10 cost class), doc-partitioned windows only, fingerprint buckets
     * capped at [[MaxBucket]] lowest doc_ids before pair generation (the
@@ -1477,14 +1486,17 @@ object DedupQueries {
           s"p -> CAST(conv(substring(md5(substring(text, p, $k)), 1, 7), 16, 10) AS BIGINT))"))
         .as(Seq("p0", "h")))
       .select(col("doc_id"), col("np"), (col("p0") + 1).cast(LongType).as("p"), col("h"))
-    val wins = g
-      .withColumn("j", explode(array((0 until w).map(lit): _*)))
-      .withColumn("win", col("p") - col("j"))
-      .filter(col("win") >= 1 && col("win") <= col("np") - w + 1)
-    val wr = Window.partitionBy("doc_id", "win").orderBy(col("h"), desc("p"))
-    val selected = wins.withColumn("rk", row_number().over(wr))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("h")).distinct()
+    // packed sliding min: h < 2^28 majorizes; (2^32−1−p) prefers the
+    // rightmost position on hash ties (positions stay < 2^32 even at
+    // blob-sized documents, so the pack never collides)
+    val wmin = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val selected = g
+      .withColumn("packed", shiftleft(col("h"), 32) + (lit(4294967295L) - col("p")))
+      .withColumn("minp", min(col("packed")).over(wmin))
+      .filter(col("p") >= w) // frame complete ⇔ win = p−W+1 ≥ 1
+      .select(col("doc_id"), shiftrightunsigned(col("minp"), 32).as("h"))
+      .distinct()
     val capped = capBuckets(selected, Seq("h"))
     capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
