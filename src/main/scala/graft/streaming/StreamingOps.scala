@@ -885,6 +885,58 @@ object StreamingOps {
   // ---- custom state: horizon-bounded dedup (d26 twin) ----
 
   case class DocSight(doc_id: Long, h: String)
+
+  /** One event for the streaming Poisson bootstrap: value carried as
+    * exact cents (DECIMAL(18,2) × 100) so the running sums are pure
+    * BIGINT — no float accumulates in checkpointed state. */
+  case class BootEvent(event_id: Long, event_type: String, cents: Long)
+
+  /** One replicate-accumulator upsert: `seq` increments per emission so
+    * consumers (and the spec) keep the latest row per (type, b). */
+  case class BootRep(event_type: String, b: Int, seq: Long, wsum_cents: Long, wn: Long)
+
+  /** Streaming twin of r123's Poisson bootstrap accumulation — the
+    * always-on form of the one-pass bootstrap: every arriving event
+    * contributes its Poisson(1) weight to all B replicate accumulators
+    * of its type, so the (type, replicate) running sums are always
+    * current and a serve-time pass (rank the B means, take the 5/95
+    * order statistics — exactly r123's close) prices a CI at any
+    * moment.
+    *
+    * Unlike the horizon/debounce twins this operator needs NO
+    * arrival-order contract: the weights are keyed to (replicate,
+    * event_id) by the same integer md5-threshold coins as the batch
+    * form, and BIGINT addition commutes — any wave partition of the
+    * input yields identical final state, which the spec asserts by
+    * replaying split waves against the batch coin chain. State is two
+    * BIGINTs + a seq per (type, replicate): |types|·B entries, O(1)
+    * each, checkpoint-stable. */
+  def bootstrapStream(events: Dataset[BootEvent], b: Int): Dataset[BootRep] = {
+    import events.sparkSession.implicits._
+    val thresholds = graft.queries.ExtraQueries26.PoisThresholds
+    events
+      .flatMap { e =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until b).iterator.map { rep =>
+          val hex = md.digest(s"boot:$rep:${e.event_id}".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 6)
+          md.reset()
+          val u = java.lang.Long.parseLong(hex, 16)
+          val w = thresholds.count(u >= _).toLong
+          (e.event_type, rep, w * e.cents, w)
+        }
+      }
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[(Long, Long, Long), BootRep](GroupStateTimeout.NoTimeout) {
+        case ((tpe, rep), rows, state) =>
+          var dw = 0L; var dn = 0L
+          rows.foreach { t => dw += t._3; dn += t._4 }
+          val (pw, pn, seq) = state.getOption.getOrElse((0L, 0L, 0L))
+          val next = (pw + dw, pn + dn, seq + 1)
+          state.update(next)
+          BootRep(tpe, rep, next._3, next._1, next._2)
+      }
+  }
   case class DupDrop(doc_id: Long, first_seen: Long, gap: Long)
 
   /** d26's always-on twin: horizon-bounded exact dedup with O(1) state

@@ -105,7 +105,11 @@ class PlanLintSpec extends AnyFunSuite {
     // per-SHARD size aggregate — input rows = shard domain (16), never
     // the documents table; the r108 FIFO-interval kernel at the shard
     // grain.
-    "p32_shard_rebalance" -> AggBounded)
+    "p32_shard_rebalance" -> AggBounded,
+    // p35: largest-remainder rank window over the per-SOURCE count
+    // aggregate — input rows = source domain (20), never the documents
+    // table; the roster rank window is source-partitioned.
+    "p35_quota_eval_split" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {

@@ -858,4 +858,59 @@ class StreamingSpec extends AnyFunSuite {
       .exists(g => g.map(_._3).distinct.size >= 2)
     assert(straddles, "no batch straddled a micro-batch edge — carry untested")
   }
+
+  test("streaming bootstrap: wave-split state equals the batch coin chain; CI matches r123") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[StreamingOps.BootEvent].collect()
+    val B = graft.queries.ExtraQueries26.BootB
+    // three arbitrary waves — NO ordering contract: Poisson-weight sums
+    // commute, so any partition of the input must reach the same state
+    val waves = Seq(
+      events.filter(_.event_id % 3 == 1),
+      events.filter(_.event_id % 3 == 2),
+      events.filter(_.event_id % 3 == 0))
+    val stream = MemoryStream[StreamingOps.BootEvent]
+    val q = StreamingOps.bootstrapStream(stream.toDS(), B).writeStream
+      .format("memory").queryName("boot_out").outputMode("update").start()
+    try {
+      waves.foreach { wv => stream.addData(wv.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // latest row per (type, b) — the upsert contract (max seq wins)
+    val finals = spark.table("boot_out").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    // driver replay of the batch coin chain (the r123 discipline)
+    val md5 = (x: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = events.flatMap { e =>
+      (0 until B).map { b =>
+        val u = java.lang.Long.parseLong(md5(s"boot:$b:${e.event_id}").substring(0, 6), 16)
+        val w = graft.queries.ExtraQueries26.PoisThresholds.count(u >= _).toLong
+        ((e.event_type, b), (w * e.cents, w))
+      }
+    }.groupBy(_._1).map { case (k, rows) =>
+      k -> (rows.map(_._2._1).sum, rows.map(_._2._2).sum)
+    }
+    assert(finals.keySet == want.keySet)
+    finals.foreach { case (k, (_, ws, wn)) =>
+      assert((ws, wn) == want(k), s"$k accumulator diverges from the batch coin chain")
+    }
+    // serve-time close: rank the B means per type, take the 5/95 order
+    // statistics — must equal the oracled r123 CI exactly
+    val ci = finals.toSeq.map { case ((tpe, b), (_, ws, wn)) =>
+      (tpe, ws.toDouble / 100.0 / wn.toDouble, b)
+    }.groupBy(_._1).map { case (tpe, ms) =>
+      val sorted = ms.map(m => (m._2, m._3)).sorted
+      val lo = sorted(math.ceil(0.05 * B).toInt - 1)._1
+      val hi = sorted(math.ceil(0.95 * B).toInt - 1)._1
+      tpe -> (math.rint(lo * 1e4) / 1e4, math.rint(hi * 1e4) / 1e4)
+    }
+    val batch = graft.SparkEntry.queries("r123_poisson_bootstrap")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(ci == batch, "serve-time CI from streaming state diverges from the oracled r123")
+  }
 }
