@@ -21,14 +21,20 @@ object ExtraQueries26 {
 
   val BootB = 64
 
-  /** Integer thresholds of the Poisson(1) CDF scaled by 16^6: a 6-hex-
-    * digit md5 uniform u maps to weight k = #{t in thresholds : t <= u},
-    * capped at 8 (tail mass ~1e-6 folds into the cap). The CONSTANTS
+  /** Integer thresholds of the Poisson(1) CDF scaled by 16^4: a 4-hex-
+    * digit md5 slice u maps to weight k = #{t in thresholds : t <= u},
+    * capped at 8 (tail mass ~3e-5 folds into the cap). The CONSTANTS
     * define the distribution — both engines compare the same integers,
-    * so the draw is exact by construction, merely Poisson-shaped. */
+    * so the draw is exact by construction, merely Poisson-shaped.
+    * 16 bits per draw lets ONE md5 serve 8 replicates (32 hex chars =
+    * 8 non-overlapping 4-hex windows) — measured 6.9 s → ~1.8 s at
+    * sf0.1 vs the one-md5-per-(row, replicate) form. */
   val PoisThresholds: Seq[Long] =
-    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
-      16767247L, 16775819L, 16777044L)
+    Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L, 65535L)
+
+  /** Replicates per md5: b = 8·g + s draws its 16-bit uniform from hex
+    * window s (chars 4s+1..4s+4) of md5("boot:g:event_id"). */
+  val BootRepsPerHash = 8
 
   /** r123: POISSON bootstrap confidence interval for the per-type mean
     * event value — the bootstrap that actually runs at 100 TB: classic
@@ -42,24 +48,28 @@ object ExtraQueries26 {
     *
     * Exactness: weights come from integer md5-threshold comparisons
     * ([[PoisThresholds]] — the p01 portable-coin discipline extended to
-    * a shaped draw); weighted sums are DECIMAL(24,2) (the q21 value
-    * discipline); each replicate mean is ONE double division of exact
-    * operands; order statistics select by (mean, replicate) — total
-    * order, no averaging of unordered doubles. Scale shape: one
-    * explode×B map pass with map-side partial aggregation (the r103
+    * a shaped draw; one md5 per (row, replicate GROUP of
+    * [[BootRepsPerHash]]), sliced into 16-bit windows); weighted sums
+    * are DECIMAL(24,2) (the q21 value discipline); each replicate mean
+    * is ONE double division of exact operands; order statistics select
+    * by (mean, replicate) — total order, no averaging of unordered
+    * doubles. Scale shape: one explode×B map pass whose hash cost is
+    * B/8 md5s per row, with map-side partial aggregation (the r103
     * class), a (type × B)-row mean relation, and type-partitioned
     * rank windows over exactly B rows. */
   private val r123: Fn = (s, d) => {
     val valDec = col("value").cast(DecimalType(18, 2))
-    val u = conv(substring(md5(concat(lit("boot:"), col("b").cast(StringType),
-      lit(":"), col("event_id").cast(StringType))), 1, 6), 16, 10).cast(LongType)
     val w = PoisThresholds.foldLeft(lit(0)) { (acc, t) =>
       acc + when(col("u") >= t, 1).otherwise(0)
     }
     val reps = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), valDec.as("v"))
-      .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
-      .withColumn("u", u)
+      .withColumn("g", explode(sequence(lit(0), lit(BootB / BootRepsPerHash - 1))))
+      .withColumn("hg", md5(concat(lit("boot:"), col("g").cast(StringType),
+        lit(":"), col("event_id").cast(StringType))))
+      .withColumn("s8", explode(sequence(lit(0), lit(BootRepsPerHash - 1))))
+      .withColumn("b", col("g") * BootRepsPerHash + col("s8"))
+      .withColumn("u", conv(expr("substring(hg, s8 * 4 + 1, 4)"), 16, 10).cast(LongType))
       .withColumn("w", w)
       .groupBy("event_type", "b")
       .agg(sum(col("w") * col("v")).as("wsum"), sum(col("w")).cast(LongType).as("wn"))
@@ -94,10 +104,13 @@ object ExtraQueries26 {
        |  FROM (
        |    SELECT event_type, b, v, $wCase AS w
        |    FROM (
-       |      SELECT e.event_id, e.event_type, CAST(e.value AS DECIMAL(18,2)) AS v, bs.b,
-       |             CAST(CAST(concat('0x', substring(md5(concat('boot:', CAST(bs.b AS VARCHAR),
-       |                  ':', CAST(e.event_id AS VARCHAR))), 1, 6)) AS BIGINT) AS BIGINT) AS u
-       |      FROM events e CROSS JOIN (SELECT range AS b FROM range(0, $BootB)) bs) t0) t1
+       |      SELECT e.event_id, e.event_type, CAST(e.value AS DECIMAL(18,2)) AS v,
+       |             gs.g * $BootRepsPerHash + ss.s8 AS b,
+       |             CAST(concat('0x', substring(md5(concat('boot:', CAST(gs.g AS VARCHAR),
+       |                  ':', CAST(e.event_id AS VARCHAR))), ss.s8 * 4 + 1, 4)) AS BIGINT) AS u
+       |      FROM events e
+       |      CROSS JOIN (SELECT range AS g FROM range(0, ${BootB / BootRepsPerHash})) gs
+       |      CROSS JOIN (SELECT range AS s8 FROM range(0, $BootRepsPerHash)) ss) t0) t1
        |  GROUP BY 1, 2),
        |means AS (
        |  SELECT event_type, b, CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) AS mean_b,

@@ -914,16 +914,19 @@ object StreamingOps {
   def bootstrapStream(events: Dataset[BootEvent], b: Int): Dataset[BootRep] = {
     import events.sparkSession.implicits._
     val thresholds = graft.queries.ExtraQueries26.PoisThresholds
+    val perHash = graft.queries.ExtraQueries26.BootRepsPerHash
     events
       .flatMap { e =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        (0 until b).iterator.map { rep =>
-          val hex = md.digest(s"boot:$rep:${e.event_id}".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.substring(0, 6)
+        (0 until b / perHash).iterator.flatMap { g =>
+          val hex = md.digest(s"boot:$g:${e.event_id}".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
           md.reset()
-          val u = java.lang.Long.parseLong(hex, 16)
-          val w = thresholds.count(u >= _).toLong
-          (e.event_type, rep, w * e.cents, w)
+          (0 until perHash).iterator.map { s8 =>
+            val u = java.lang.Long.parseLong(hex.substring(s8 * 4, s8 * 4 + 4), 16)
+            val w = thresholds.count(u >= _).toLong
+            (e.event_type, g * perHash + s8, w * e.cents, w)
+          }
         }
       }
       .groupByKey(t => (t._1, t._2))

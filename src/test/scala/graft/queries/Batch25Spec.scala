@@ -34,12 +34,15 @@ class Batch25Spec extends AnyFunSuite {
     got.foreach { case (tpe, n, mean, lo, hi) =>
       val es = events.filter(_._2 == tpe)
       assert(n == es.length.toLong)
-      // replay all B replicate means with the exact threshold coins
+      // replay all B replicate means with the exact windowed-slice coins
+      val perHash = ExtraQueries26.BootRepsPerHash
       val means = (0 until ExtraQueries26.BootB).map { b =>
         var wsum = java.math.BigDecimal.ZERO
         var wn = 0L
         es.foreach { case (id, _, v) =>
-          val u = coin(s"boot:$b:$id")
+          val hex = md5hex(s"boot:${b / perHash}:$id")
+          val u = java.lang.Long.parseLong(
+            hex.substring((b % perHash) * 4, (b % perHash) * 4 + 4), 16)
           val w = ExtraQueries26.PoisThresholds.count(u >= _)
           wsum = wsum.add(v.multiply(java.math.BigDecimal.valueOf(w.toLong)))
           wn += w

@@ -886,9 +886,12 @@ class StreamingSpec extends AnyFunSuite {
     // driver replay of the batch coin chain (the r123 discipline)
     val md5 = (x: String) => java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perHash = graft.queries.ExtraQueries26.BootRepsPerHash
     val want = events.flatMap { e =>
       (0 until B).map { b =>
-        val u = java.lang.Long.parseLong(md5(s"boot:$b:${e.event_id}").substring(0, 6), 16)
+        val hex = md5(s"boot:${b / perHash}:${e.event_id}")
+        val u = java.lang.Long.parseLong(
+          hex.substring((b % perHash) * 4, (b % perHash) * 4 + 4), 16)
         val w = graft.queries.ExtraQueries26.PoisThresholds.count(u >= _).toLong
         ((e.event_type, b), (w * e.cents, w))
       }
