@@ -109,7 +109,19 @@ class PlanLintSpec extends AnyFunSuite {
     // p35: largest-remainder rank window over the per-SOURCE count
     // aggregate — input rows = source domain (20), never the documents
     // table; the roster rank window is source-partitioned.
-    "p35_quota_eval_split" -> AggBounded)
+    "p35_quota_eval_split" -> AggBounded,
+    // u32: cumulative-rank window over the distinct-VALUE aggregate
+    // (the 2dp-grid value domain, r62's class) — input rows = value
+    // domain, never the events table; the midrank AUC needs one total
+    // order over that bounded histogram.
+    // (t43's coverage rank looks like the same class, but the TopK
+    // rewrite turns its global rank window into the native operator —
+    // no logical Window survives, so no entry is needed.)
+    "u32_rank_auc" -> AggBounded,
+    // r129: CI rank window over the 64-row replicate-mean aggregate —
+    // the r123 class; input rows = B replicates, never the events
+    // table.
+    "r129_bootstrap_diff" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
