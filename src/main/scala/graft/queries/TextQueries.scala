@@ -178,7 +178,7 @@ object TextQueries {
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val langStops: Seq[(String, Seq[String])] = Seq(
+  private[queries] val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "und", "das", "ist"),

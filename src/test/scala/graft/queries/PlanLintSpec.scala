@@ -121,7 +121,11 @@ class PlanLintSpec extends AnyFunSuite {
     // r129: CI rank window over the 64-row replicate-mean aggregate —
     // the r123 class; input rows = B replicates, never the events
     // table.
-    "r129_bootstrap_diff" -> AggBounded)
+    "r129_bootstrap_diff" -> AggBounded,
+    // r133: cumulative likelihood walk over the per-DAY aggregate —
+    // input rows = #days in the event history (the r96 class), never
+    // the events table.
+    "r133_sprt" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
