@@ -125,7 +125,11 @@ class PlanLintSpec extends AnyFunSuite {
     // r133: cumulative likelihood walk over the per-DAY aggregate —
     // input rows = #days in the event history (the r96 class), never
     // the events table.
-    "r133_sprt" -> AggBounded)
+    "r133_sprt" -> AggBounded,
+    // m23: largest-remainder rank window over the per-SOURCE frame
+    // aggregate — the p35 class; input rows = video-source domain
+    // (18), never the documents table.
+    "m23_frame_budget" -> AggBounded)
 
   private def globalWindows(name: String): Seq[LWindow] =
     executions(name).optimizedPlan.collect {
