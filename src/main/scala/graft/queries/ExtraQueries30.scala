@@ -29,7 +29,14 @@ object ExtraQueries30 {
     * exponent bits ≪ 53), and the weighted sums are exact regardless
     * of addition order — the closed form l_τ = Σ_j 2^-(τ-j+1)·x_j
     * (j=1 keeps 2^-(τ-1)) replaces the recursion with a pair
-    * relation. One-step-ahead errors |x_t − l_(t−1)| are then exact
+    * relation. The weight itself is realized as 1/(1<<k) — an
+    * integer shift cast to double, the exact dyadic BY CONSTRUCTION —
+    * not libm pow(0.5,k), whose exactness rests on both libms
+    * happening to return the dyadic (typical, not IEEE-guaranteed);
+    * k > 62 truncates to exactly 0.0 on both engines (beyond any
+    * calendar this backtest meets, and those weights are below any
+    * 4dp-visible contribution anyway). One-step-ahead errors
+    * |x_t − l_(t−1)| are then exact
     * dyadics too; MAE is ONE division.
     *
     * Scale shape: the (τ, j≤τ) pair relation is the r119/r125 class —
@@ -44,9 +51,11 @@ object ExtraQueries30 {
     val j = daily.select(col("event_type").as("et_j"), col("t").as("jt"), col("x").as("xj"))
     val levels = daily.select(col("event_type"), col("t").as("tau"))
       .join(j, col("event_type") === col("et_j") && col("jt") <= col("tau"))
-      .withColumn("w",
-        when(col("jt") === 1, pow(lit(0.5), (col("tau") - 1).cast(DoubleType)))
-          .otherwise(pow(lit(0.5), (col("tau") - col("jt") + 1).cast(DoubleType))))
+      .withColumn("kexp",
+        when(col("jt") === 1, col("tau") - 1).otherwise(col("tau") - col("jt") + 1))
+      .withColumn("w", when(col("kexp") > 62, lit(0.0))
+        .otherwise(lit(1.0) /
+          expr("cast(shiftleft(cast(1 as bigint), cast(kexp as int)) as double)")))
       .groupBy(col("event_type"), col("tau"))
       .agg(sum(col("w") * col("x" + "j")).as("level"))
     val errs = daily.filter(col("t") > 1)
@@ -72,11 +81,14 @@ object ExtraQueries30 {
       |  FROM (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
       |        FROM events GROUP BY 1, 2) d0),
       |levels AS (
-      |  SELECT a.event_type, a.t AS tau,
-      |         sum(CASE WHEN b.t = 1 THEN power(0.5, a.t - 1)
-      |                  ELSE power(0.5, a.t - b.t + 1) END * b.x) AS level
-      |  FROM daily a JOIN daily b
-      |    ON a.event_type = b.event_type AND b.t <= a.t
+      |  SELECT event_type, tau,
+      |         sum(CASE WHEN kexp > 62 THEN 0.0
+      |                  ELSE 1.0 / CAST(CAST(1 AS BIGINT) << kexp AS DOUBLE) END * x) AS level
+      |  FROM (
+      |    SELECT a.event_type, a.t AS tau, b.x,
+      |           CASE WHEN b.t = 1 THEN a.t - 1 ELSE a.t - b.t + 1 END AS kexp
+      |    FROM daily a JOIN daily b
+      |      ON a.event_type = b.event_type AND b.t <= a.t) p
       |  GROUP BY 1, 2),
       |errs AS (
       |  SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_tests,

@@ -26,8 +26,9 @@ object ExtraQueries31 {
     * The same [[ExtraQueries26.PoisThresholds]] integer coins (fresh
     * 'bdiff:' salt) weight BOTH groups per replicate; each replicate
     * yields mean_A − mean_B, and the counting-method 4th/61st order
-    * statistics of the 64 diffs bound the 90% CI; the interval
-    * excluding zero is the decision.
+    * statistics of the 64 diffs bound the 90% CI (named lo90/hi90 —
+    * the 5th/95th percentile bounds); the interval excluding zero is
+    * the decision.
     *
     * Exactness: the full r123 discipline — integer md5-threshold
     * weights (8 replicates per hash), DECIMAL(18,2) weighted sums, one
@@ -66,8 +67,8 @@ object ExtraQueries31 {
     val loRk = 4L; val hiRk = 61L // ceil(.05*64), ceil(.95*64)
     val ci = reps.withColumn("rk", row_number().over(wrk))
       .filter(col("rk") === loRk || col("rk") === hiRk)
-      .agg(min(when(col("rk") === loRk, col("diff"))).as("lo95"),
-        min(when(col("rk") === hiRk, col("diff"))).as("hi95"))
+      .agg(min(when(col("rk") === loRk, col("diff"))).as("lo90"),
+        min(when(col("rk") === hiRk, col("diff"))).as("hi90"))
     val point = groups.agg(
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast(LongType).as("n_a"),
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).cast(LongType).as("n_b"),
@@ -78,8 +79,8 @@ object ExtraQueries31 {
         .as("point_diff"))
     point.crossJoin(ci)
       .select(col("n_a"), col("n_b"), round(col("point_diff"), 4).as("point_diff"),
-        round(col("lo95"), 4).as("lo95"), round(col("hi95"), 4).as("hi95"),
-        (col("lo95") > 0.0 || col("hi95") < 0.0).as("excludes_zero"))
+        round(col("lo90"), 4).as("lo90"), round(col("hi90"), 4).as("hi90"),
+        (col("lo90") > 0.0 || col("hi90") < 0.0).as("excludes_zero"))
   }
   private val r129Sql = {
     import ExtraQueries26.{BootB, BootRepsPerHash, PoisThresholds}
@@ -112,8 +113,8 @@ object ExtraQueries31 {
        |         row_number() OVER (ORDER BY mean_a - mean_b, b) AS rk
        |  FROM reps),
        |ci AS (
-       |  SELECT min(CASE WHEN rk = 4 THEN diff END) AS lo95,
-       |         min(CASE WHEN rk = 61 THEN diff END) AS hi95
+       |  SELECT min(CASE WHEN rk = 4 THEN diff END) AS lo90,
+       |         min(CASE WHEN rk = 61 THEN diff END) AS hi90
        |  FROM ranked WHERE rk = 4 OR rk = 61),
        |point AS (
        |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -125,8 +126,8 @@ object ExtraQueries31 {
        |           AS point_diff
        |  FROM groups)
        |SELECT p.n_a, p.n_b, round(p.point_diff, 4) AS point_diff,
-       |       round(c.lo95, 4) AS lo95, round(c.hi95, 4) AS hi95,
-       |       (c.lo95 > 0.0 OR c.hi95 < 0.0) AS excludes_zero
+       |       round(c.lo90, 4) AS lo90, round(c.hi90, 4) AS hi90,
+       |       (c.lo90 > 0.0 OR c.hi90 < 0.0) AS excludes_zero
        |FROM point p CROSS JOIN ci c""".stripMargin
   }
 
@@ -236,23 +237,38 @@ object ExtraQueries31 {
     * banding). Small k collides everything; large k only pays bytes —
     * the knee picks production k.
     *
-    * Exactness: pure BIGINT counting over doc-DISTINCT shingles
-    * (duplicates inside a doc can't inflate the pair bound). Scale
-    * shape: per k one map pass (array transform + distinct inside the
-    * doc — no pair relation is ever built; the bound is PRICED, not
-    * materialized), shingle-grain reduce, |k|-row close. */
+    * Exactness: pure BIGINT counting over doc-DISTINCT shingle KEYS —
+    * the type grain is the 60-bit md5-prefix of the shingle (the
+    * u36/coin hash idiom), computed identically on both engines, so a
+    * key collision (birthday-bounded ~n²/2⁶¹) folds the SAME two
+    * types on BOTH sides and parity is exact by construction;
+    * duplicates inside a doc can't inflate the pair bound
+    * (array_distinct runs on the packed keys). The pair-bound sum
+    * lifts each even product dn·(dn−1) to DECIMAL(38,0) BEFORE the
+    * sum and halves ONCE (the p38 lift) — a per-row DOUBLE division
+    * would be an unordered-FP accumulation past 2⁵³ (DuckDB's twin
+    * sums HUGEINTs). Scale shape: per k one map pass (transform →
+    * hash-pack → distinct inside the doc — no pair relation is ever
+    * built; the bound is PRICED, not materialized), and the
+    * shingle-grain reduce shuffles 8-BYTE keys, not multi-word
+    * strings — the k=5 grain is mostly unique, so map-side combining cannot
+    * shrink the shuffle and key WIDTH is what the wire and the
+    * reduce-side hash table actually pay (was the worst sf1 ratio in
+    * the round-9 proof at 5.49×). |k|-row close. */
   private val d32: Fn = (s, d) => {
     val perK = ShingleKs.map { k =>
-      val sh = expr(
-        s"CASE WHEN size(split(text, ' ')) >= $k THEN " +
-          s"array_distinct(transform(sequence(1, size(split(text, ' ')) - $k + 1), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i, $k)))) " +
+      val sk = expr(
+        s"CASE WHEN size(sp) >= $k THEN " +
+          s"array_distinct(transform(sequence(1, size(sp) - $k + 1), " +
+          s"i -> cast(conv(substring(md5(concat_ws(' ', slice(sp, i, $k))), 1, 15), 16, 10) as bigint))) " +
           "ELSE array() END")
-      docs(s, d).select(explode(sh).as("shingle"))
-        .groupBy("shingle").agg(count(lit(1)).as("dn"))
+      docs(s, d).select(split(col("text"), " ").as("sp"))
+        .select(explode(sk).as("sk"))
+        .groupBy("sk").agg(count(lit(1)).as("dn"))
         .agg(count(lit(1)).cast(LongType).as("n_types"),
           sum(col("dn")).cast(LongType).as("n_doc_shingles"),
-          sum(col("dn") * (col("dn") - 1) / 2).cast(LongType).as("pair_bound"))
+          (sum((col("dn") * (col("dn") - 1)).cast(DecimalType(38, 0))) / 2)
+            .cast(LongType).as("pair_bound"))
         .select(lit(k).as("k"), col("n_types"), col("n_doc_shingles"), col("pair_bound"))
     }
     perK.reduce(_.unionAll(_)).orderBy("k")
@@ -262,11 +278,12 @@ object ExtraQueries31 {
       val parts = (0 until k).map(j => s"sp[i + $j]").mkString(" || ' ' || ")
       s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_types,
          |       CAST(sum(dn) AS BIGINT) AS n_doc_shingles,
-         |       CAST(sum(dn * (dn - 1) // 2) AS BIGINT) AS pair_bound
+         |       CAST(sum(dn * (dn - 1)) // 2 AS BIGINT) AS pair_bound
          |FROM (
-         |  SELECT shingle, count(*) AS dn FROM (
+         |  SELECT sk, count(*) AS dn FROM (
          |    SELECT doc_id, unnest(list_distinct(list_transform(
-         |             range(1, len(sp) - $k + 2), i -> $parts))) AS shingle
+         |             range(1, len(sp) - $k + 2),
+         |             i -> CAST(concat('0x', substring(md5($parts), 1, 15)) AS BIGINT)))) AS sk
          |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t0) t1
          |  GROUP BY 1) t2""".stripMargin
     }

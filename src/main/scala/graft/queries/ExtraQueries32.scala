@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 import graft.Tables
 import graft.functions.VectorOps
 import graft.queries.Relational.{Fn, Q}
@@ -305,7 +305,10 @@ object ExtraQueries32 {
     *
     * Exactness: per-user rates lift to the 1e-6 micro grid (one
     * rounded division of BIGINTs each); the moment mean and the exact
-    * variance numerator N·Σr² − (Σr)² are BIGINT; the α/β/posterior
+    * variance numerator N·Σr² − (Σr)² lift every squared-micro
+    * product to DECIMAL(38,0) BEFORE multiplying (the p38 discipline
+    * — r² ≈ 10¹² per user, so Σr² wraps a silent non-ANSI BIGINT past
+    * ~10⁷ users while DuckDB promotes to HUGEINT); the α/β/posterior
     * chain is IEEE ops on identical doubles, rounded 4dp. Scale
     * shape: one user-grain conditional aggregate, a broadcast 1-row
     * prior join, user-grain close. */
@@ -316,13 +319,15 @@ object ExtraQueries32 {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast(LongType).as("x"))
       .withColumn("r_micro",
         round(col("x") * 1000000 / col("n").cast(DoubleType)).cast(LongType))
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
     val prior = per.agg(
       count(lit(1)).cast(LongType).as("nu"),
       sum(col("r_micro")).cast(LongType).as("sr"),
-      sum(col("r_micro") * col("r_micro")).cast(LongType).as("sr2"))
+      sum(dec(col("r_micro")) * dec(col("r_micro"))).as("sr2"))
       .withColumn("m", col("sr").cast(DoubleType) / col("nu").cast(DoubleType) / 1e6)
-      .withColumn("v", (col("nu") * col("sr2") - col("sr") * col("sr")).cast(DoubleType) /
-        (col("nu") * (col("nu") - 1)).cast(DoubleType) / 1e12)
+      .withColumn("v",
+        (dec(col("nu")) * col("sr2") - dec(col("sr")) * dec(col("sr"))).cast(DoubleType) /
+          (col("nu") * (col("nu") - 1)).cast(DoubleType) / 1e12)
       .withColumn("k", col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
       .select((col("m") * col("k")).as("alpha"),
         ((lit(1.0) - col("m")) * col("k")).as("beta"), col("m").as("prior_mean"))
@@ -345,7 +350,8 @@ object ExtraQueries32 {
       |  SELECT m * k AS alpha, (1.0 - m) * k AS beta, m AS prior_mean FROM (
       |    SELECT m, v, m * (1.0 - m) / v - 1.0 AS k FROM (
       |      SELECT CAST(sum(r_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 AS m,
-      |             CAST(count(*) * sum(r_micro * r_micro) - sum(r_micro) * sum(r_micro) AS DOUBLE)
+      |             CAST(count(*) * sum(CAST(r_micro AS HUGEINT) * CAST(r_micro AS HUGEINT))
+      |                  - sum(r_micro) * sum(r_micro) AS DOUBLE)
       |             / CAST(count(*) * (count(*) - 1) AS DOUBLE) / 1e12 AS v
       |      FROM micro) t0) t1)
       |SELECT user_id, n, x,

@@ -31,9 +31,13 @@ object ExtraQueries33 {
     *
     * Exactness: user totals are exact CENT integers (DECIMAL(18,2)
     * sums × 100); θ's covariance/variance use the integer moment
-    * forms N·Σxy − ΣxΣy over N·Σx² − (Σx)²; adjusted values are
-    * doubles ROUNDED BACK to cents (exact ints) before the adjusted
-    * variance, so no unordered double sum exists anywhere; the final
+    * forms N·Σxy − ΣxΣy over N·Σx² − (Σx)², with every squared-cents
+    * product (x·y, x², y², and the Σ·Σ cross terms) lifted to
+    * DECIMAL(38,0) BEFORE multiplying — the p38 discipline: at large
+    * SFs these approach 2⁶³ where non-ANSI Spark wraps silently while
+    * DuckDB promotes to HUGEINT; adjusted values are doubles ROUNDED
+    * BACK to cents (exact ints) before the adjusted variance, so no
+    * unordered double sum exists anywhere; the final
     * percentages are single divisions. Scale shape: one user-grain
     * conditional aggregate, 1-row moment close, a broadcast θ join,
     * user-grain re-aggregate. */
@@ -45,30 +49,32 @@ object ExtraQueries33 {
           col("value").cast(DecimalType(18, 2)))) * 100).cast(LongType), lit(0L)).as("pre_c"),
         coalesce((sum(when(col("ts") >= lit(CupedSplitDay).cast("timestamp"),
           col("value").cast(DecimalType(18, 2)))) * 100).cast(LongType), lit(0L)).as("post_c"))
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
     val mom = per.agg(
       count(lit(1)).cast(LongType).as("nu"),
       sum(col("pre_c")).cast(LongType).as("sx"),
       sum(col("post_c")).cast(LongType).as("sy"),
-      sum(col("pre_c") * col("pre_c")).cast(LongType).as("sxx"),
-      sum(col("pre_c") * col("post_c")).cast(LongType).as("sxy"),
-      sum(col("post_c") * col("post_c")).cast(LongType).as("syy"))
-      .withColumn("theta", (col("nu") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-        (col("nu") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+      sum(dec(col("pre_c")) * dec(col("pre_c"))).as("sxx"),
+      sum(dec(col("pre_c")) * dec(col("post_c"))).as("sxy"),
+      sum(dec(col("post_c")) * dec(col("post_c"))).as("syy"))
+      .withColumn("theta",
+        (dec(col("nu")) * col("sxy") - dec(col("sx")) * dec(col("sy"))).cast(DoubleType) /
+          (dec(col("nu")) * col("sxx") - dec(col("sx")) * dec(col("sx"))).cast(DoubleType))
       .withColumn("mean_pre", col("sx").cast(DoubleType) / col("nu").cast(DoubleType))
     val adj = per.crossJoin(broadcast(mom.select("nu", "theta", "mean_pre", "sy", "syy")))
       .withColumn("adj_c", round(col("post_c").cast(DoubleType) -
         col("theta") * (col("pre_c").cast(DoubleType) - col("mean_pre"))).cast(LongType))
     adj.groupBy("nu", "theta", "sy", "syy")
       .agg(sum(col("adj_c")).cast(LongType).as("sa"),
-        sum(col("adj_c") * col("adj_c")).cast(LongType).as("saa"))
+        sum(dec(col("adj_c")) * dec(col("adj_c"))).as("saa"))
       .select(col("nu").as("n_users"), round(col("theta"), 6).as("theta"),
-        round((col("nu") * col("syy") - col("sy") * col("sy")).cast(DoubleType) /
+        round((dec(col("nu")) * col("syy") - dec(col("sy")) * dec(col("sy"))).cast(DoubleType) /
           (col("nu") * (col("nu") - 1)).cast(DoubleType) / 1e4, 2).as("var_post"),
-        round((col("nu") * col("saa") - col("sa") * col("sa")).cast(DoubleType) /
+        round((dec(col("nu")) * col("saa") - dec(col("sa")) * dec(col("sa"))).cast(DoubleType) /
           (col("nu") * (col("nu") - 1)).cast(DoubleType) / 1e4, 2).as("var_adjusted"),
         round(lit(1.0) -
-          (col("nu") * col("saa") - col("sa") * col("sa")).cast(DoubleType) /
-            (col("nu") * col("syy") - col("sy") * col("sy")).cast(DoubleType), 4)
+          (dec(col("nu")) * col("saa") - dec(col("sa")) * dec(col("sa"))).cast(DoubleType) /
+            (dec(col("nu")) * col("syy") - dec(col("sy")) * dec(col("sy"))).cast(DoubleType), 4)
           .as("var_reduction"))
   }
   private val r132Sql =
@@ -82,12 +88,13 @@ object ExtraQueries33 {
        |mom AS (
        |  SELECT CAST(count(*) AS BIGINT) AS nu,
        |         CAST(sum(pre_c) AS BIGINT) AS sx, CAST(sum(post_c) AS BIGINT) AS sy,
-       |         CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
-       |         CAST(sum(pre_c * post_c) AS BIGINT) AS sxy,
-       |         CAST(sum(post_c * post_c) AS BIGINT) AS syy
+       |         sum(CAST(pre_c AS HUGEINT) * CAST(pre_c AS HUGEINT)) AS sxx,
+       |         sum(CAST(pre_c AS HUGEINT) * CAST(post_c AS HUGEINT)) AS sxy,
+       |         sum(CAST(post_c AS HUGEINT) * CAST(post_c AS HUGEINT)) AS syy
        |  FROM per),
        |theta AS (
-       |  SELECT *, CAST(nu * sxy - sx * sy AS DOUBLE) / CAST(nu * sxx - sx * sx AS DOUBLE) AS th,
+       |  SELECT *, CAST(nu * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+       |            CAST(nu * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS th,
        |         CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE) AS mean_pre
        |  FROM mom),
        |adj AS (
@@ -96,12 +103,16 @@ object ExtraQueries33 {
        |                    t.th * (CAST(p.pre_c AS DOUBLE) - t.mean_pre)) AS BIGINT) AS adj_c
        |  FROM per p CROSS JOIN theta t)
        |SELECT nu AS n_users, round(th, 6) AS theta,
-       |       round(CAST(nu * syy - sy * sy AS DOUBLE) / CAST(nu * (nu - 1) AS DOUBLE) / 1e4, 2)
+       |       round(CAST(nu * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+       |             / CAST(nu * (nu - 1) AS DOUBLE) / 1e4, 2)
        |         AS var_post,
-       |       round(CAST(nu * sum(adj_c * adj_c) - sum(adj_c) * sum(adj_c) AS DOUBLE) /
+       |       round(CAST(nu * sum(CAST(adj_c AS HUGEINT) * CAST(adj_c AS HUGEINT))
+       |                  - sum(adj_c) * sum(adj_c) AS DOUBLE) /
        |             CAST(nu * (nu - 1) AS DOUBLE) / 1e4, 2) AS var_adjusted,
-       |       round(1.0 - CAST(nu * sum(adj_c * adj_c) - sum(adj_c) * sum(adj_c) AS DOUBLE) /
-       |                   CAST(nu * syy - sy * sy AS DOUBLE), 4) AS var_reduction
+       |       round(1.0 - CAST(nu * sum(CAST(adj_c AS HUGEINT) * CAST(adj_c AS HUGEINT))
+       |                        - sum(adj_c) * sum(adj_c) AS DOUBLE) /
+       |                   CAST(nu * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE), 4)
+       |         AS var_reduction
        |FROM adj
        |GROUP BY nu, th, sy, syy""".stripMargin
 

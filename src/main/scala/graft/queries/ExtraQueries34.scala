@@ -31,7 +31,12 @@ object ExtraQueries34 {
     * Exactness: day sums are exact cents (DECIMAL×100 → BIGINT);
     * each leave-one-out mean is ONE double division, then ROUNDED to
     * the 1e-6 grid (exact longs) so the spread uses the integer
-    * moment form g·Σθ² − (Σθ)² — no unordered double sum; SE is one
+    * moment form g·Σθ² − (Σθ)² — no unordered double sum — with the
+    * squared-micro products lifted to DECIMAL(38,0) BEFORE
+    * multiplying (the p38 discipline: θ_fp² ≈ 10¹⁵ per day, so a
+    * calendar a few hundred days long puts Σθ² within reach of a
+    * silently-wrapping non-ANSI BIGINT while DuckDB promotes to
+    * HUGEINT); SE is one
     * sqrt. Scale shape: one day-grain aggregate, a broadcast 1-row
     * total join, a 30-row close. */
   private val r134: Fn = (s, d) => {
@@ -47,10 +52,13 @@ object ExtraQueries34 {
         (col("nn") - col("n")).cast(DoubleType) / 100.0 * 1e6).cast(LongType))
       .groupBy("nn", "ss", "g")
       .agg(sum(col("theta_fp")).cast(LongType).as("st"),
-        sum(col("theta_fp") * col("theta_fp")).cast(LongType).as("stt"))
+        sum(col("theta_fp").cast(DecimalType(38, 0)) *
+          col("theta_fp").cast(DecimalType(38, 0))).as("stt"))
       .withColumn("jvar",
         (col("g") - 1).cast(DoubleType) / col("g").cast(DoubleType) *
-          (col("g") * col("stt") - col("st") * col("st")).cast(DoubleType) /
+          (col("g").cast(DecimalType(38, 0)) * col("stt") -
+            col("st").cast(DecimalType(38, 0)) * col("st").cast(DecimalType(38, 0)))
+            .cast(DoubleType) /
           col("g").cast(DoubleType) / 1e12)
       .withColumn("point", col("ss").cast(DoubleType) / col("nn").cast(DoubleType) / 100.0)
       .select(col("g").as("n_days"), round(col("point"), 4).as("point_mean"),
@@ -74,20 +82,20 @@ object ExtraQueries34 {
       |  FROM daily d CROSS JOIN tot t),
       |mom AS (
       |  SELECT nn, ss, g, CAST(sum(theta_fp) AS BIGINT) AS st,
-      |         CAST(sum(theta_fp * theta_fp) AS BIGINT) AS stt
+      |         sum(CAST(theta_fp AS HUGEINT) * CAST(theta_fp AS HUGEINT)) AS stt
       |  FROM loo GROUP BY 1, 2, 3)
       |SELECT g AS n_days,
       |       round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0, 4) AS point_mean,
       |       round(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE) *
-      |                  CAST(g * stt - st * st AS DOUBLE) / CAST(g AS DOUBLE) / 1e12), 6)
+      |                  CAST(g * stt - CAST(st AS HUGEINT) * CAST(st AS HUGEINT) AS DOUBLE) / CAST(g AS DOUBLE) / 1e12), 6)
       |         AS jackknife_se,
       |       round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0 -
       |             1.96 * sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE) *
-      |                         CAST(g * stt - st * st AS DOUBLE) / CAST(g AS DOUBLE) / 1e12), 4)
+      |                         CAST(g * stt - CAST(st AS HUGEINT) * CAST(st AS HUGEINT) AS DOUBLE) / CAST(g AS DOUBLE) / 1e12), 4)
       |         AS lo95,
       |       round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0 +
       |             1.96 * sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE) *
-      |                         CAST(g * stt - st * st AS DOUBLE) / CAST(g AS DOUBLE) / 1e12), 4)
+      |                         CAST(g * stt - CAST(st AS HUGEINT) * CAST(st AS HUGEINT) AS DOUBLE) / CAST(g AS DOUBLE) / 1e12), 4)
       |         AS hi95
       |FROM mom""".stripMargin
 

@@ -54,8 +54,8 @@ class Batch30Spec extends AnyFunSuite {
       }
       (mean("purchase") - mean("view"), b)
     }.sortBy(identity)
-    assert(math.abs(lo - r4(diffs(3)._1)) < 1e-9, "lo95 diverges from the coin replay")
-    assert(math.abs(hi - r4(diffs(60)._1)) < 1e-9, "hi95 diverges from the coin replay")
+    assert(math.abs(lo - r4(diffs(3)._1)) < 1e-9, "lo90 diverges from the coin replay")
+    assert(math.abs(hi - r4(diffs(60)._1)) < 1e-9, "hi90 diverges from the coin replay")
     assert(lo < hi && lo <= point && point <= hi, "CI must bracket the point estimate")
     assert(excl == (diffs(3)._1 > 0 || diffs(60)._1 < 0))
   }
@@ -114,8 +114,12 @@ class Batch30Spec extends AnyFunSuite {
     val got = run("d32_shingle_sweep").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.map(_._1).toSeq == ExtraQueries31.ShingleKs)
+    // the type grain is the 60-bit md5-prefix KEY of the shingle (what
+    // both engines shuffle) — the replay hashes the same way, so even a
+    // birthday collision would fold identically here and in the engine
+    def key60(sh: String): Long = java.lang.Long.parseLong(md5hex(sh).substring(0, 15), 16)
     got.foreach { case (k, nTypes, nDocSh, bound) =>
-      val perDoc = texts.map(_.split(" ", -1).sliding(k).map(_.mkString(" ")).toSet)
+      val perDoc = texts.map(_.split(" ", -1).sliding(k).map(w => key60(w.mkString(" "))).toSet)
       val counts = perDoc.flatten.groupBy(identity).view.mapValues(_.length.toLong)
       assert(nTypes == counts.size.toLong, s"k=$k type count diverges")
       assert(nDocSh == counts.values.sum, s"k=$k doc-shingle mass diverges")
