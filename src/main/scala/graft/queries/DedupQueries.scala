@@ -740,27 +740,32 @@ object DedupQueries {
     * Returns (id, label); covers exactly the nodes that appear in a
     * pair (singletons are their own trivial cluster by omission). */
   private[queries] def minLabelComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
-    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Convergence witness: labels only ever decrease, so Σ label is a
-    // strictly decreasing monotone until the fixpoint — an unchanged sum
-    // IS convergence. One scalar aggregate per round replaces an
-    // old-vs-new join.
-    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var iter = 0
-    var converged = false
     // AQE's per-query re-optimization is pure overhead on the iteration
     // steps: every round is a pair of joins over small CACHED relations
     // (the label and edge sets), re-planned from scratch each time —
     // measured ~0.3 s/round at sf0.1. The heavy, skew-prone work (the
-    // pair stage above) already ran with AQE on; restore it after.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try while (!converged && iter < 64) {
+    // pair stage in `pairs`) still runs with AQE on — it is driven by
+    // actions on the CALLER's session; only the loop rounds below run on
+    // a private-conf clone (LoopSession), so a concurrent query on the
+    // caller's session never observes the loop tuning.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edgesC = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").persist(lvl)
+    val labels0 = edgesC.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    // Convergence witness: labels only ever decrease, so Σ label is a
+    // strictly decreasing monotone until the fixpoint — an unchanged sum
+    // IS convergence. One scalar aggregate per round replaces an
+    // old-vs-new join. This first aggregate also MATERIALIZES both caches
+    // on the caller's session (AQE on, skew handling live) before any
+    // loop round runs on the clone.
+    var prevSum = labels0.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    val ls = LoopSession.isolated(s, "spark.sql.adaptive.enabled" -> "false")
+    val edges = LoopSession.rebind(ls, edgesC)
+    var labels = LoopSession.rebind(ls, labels0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 64) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label").as("nlabel"))
       val next = labels.join(msgs, Seq("id"), "left")
@@ -773,12 +778,13 @@ object DedupQueries {
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
     if (!converged) System.err.println(
       s"[d08] label propagation stopped at $iter rounds before the fixpoint " +
         "(component diameter exceeds the bound); cluster ids may be non-minimal " +
         "and the output will diverge from the transitive-closure oracle")
-    labels
+    // hand the (cached) fixpoint back on the caller's session
+    LoopSession.rebind(s, labels)
   }
 
   private val d08: Fn = (s, d) => clusterPool(s, d).orderBy("cluster")

