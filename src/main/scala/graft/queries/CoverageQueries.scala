@@ -317,9 +317,12 @@ object CoverageQueries {
     * re-scanning the raw data (p10's incremental-maintenance story, for
     * a non-algebraic measure). Output: per-source estimates plus the
     * union-of-sketches estimate — computed FROM the sketch column, the
-    * raw table untouched after the first aggregation. No oracle (sketch
-    * binaries are engine-specific); CoverageSpec bounds every estimate
-    * against exact distinct counts.
+    * raw table untouched after the first aggregation. No hash oracle
+    * (sketch binaries are engine-specific), but the estimate-valued
+    * output columns band-match DuckDB's own HLL at rel_tol 0.10
+    * ([[bandOracles]], r9 verdict item 6 — measured worst 0.042);
+    * CoverageSpec separately bounds every estimate against exact
+    * distinct counts.
     *
     * DETERMINISM: DataSketches HLL_4 register compression is lossy in a
     * merge-order-dependent way (±1 on the estimate), and Spark's
@@ -1311,5 +1314,23 @@ object CoverageQueries {
         |       CAST(approx_quantile(l_quantity, 0.5) AS DOUBLE) AS p50_qty,
         |       CAST(approx_quantile(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
         |       CAST(approx_quantile(l_extendedprice, 0.99) AS DOUBLE) AS p99_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin, 0.10))
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin, 0.10),
+    // r52's REGISTERED columns are estimate-valued (per-source HLL
+    // estimates + the union-of-stored-sketches estimate) — only the
+    // sketch binaries themselves are engine-private, and they never
+    // leave the query. So the r28 treatment applies verbatim: DuckDB's
+    // own HLL over the same relation, per source and for the union row
+    // (r9 verdict item 6; CoverageSpec keeps the exact-ground-truth
+    // bound, this adds the cross-engine leg).
+    "r52_hll_sketch_columns" -> (
+      """SELECT source,
+        |       CAST(approx_count_distinct(doc_id) AS BIGINT) AS approx_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__union__' AS source,
+        |       CAST(approx_count_distinct(doc_id) AS BIGINT) AS approx_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |ORDER BY source""".stripMargin, 0.10))
 }
