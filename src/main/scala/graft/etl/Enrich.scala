@@ -91,7 +91,16 @@ object Enrich {
     *     more remote call against the same provider quota, so the token
     *     bucket paces ATTEMPTS, not rows: backoff widens the bucket gap
     *     by 2^attempt and the row after a retried row still waits the
-    *     full interval behind the last real call.
+    *     full interval behind the last real call,
+    *   - `globalQps`, when set, is the CLUSTER-level budget — the O14
+    *     semantics at scale (the provider quota is per API key, not per
+    *     executor): the per-partition rate derives as
+    *     `globalQps / plannedPartitions`, so aggregate attempt rate is
+    *     bounded by the budget REGARDLESS of parallelism — doubling the
+    *     partition count halves each partition's rate instead of
+    *     doubling the aggregate (r9 verdict item 7). The law this buys:
+    *     the wall-clock floor for N rows is N/globalQps whatever the
+    *     partitioning (EnrichSpec pins it at 2 and 4 partitions).
     * Called with [[RuleRowClassifier]] in tests; a real LLM impl plugs in
     * without touching the operator. Retries preserve the oracled output
     * (`etl_enrich_seam`): seam failures are deterministic per row
@@ -102,10 +111,17 @@ object Enrich {
       classifier: RowClassifier,
       aiColumn: String = "ai_determined_value",
       perPartitionQps: Double = 2.0,
-      maxRetries: Int = 2): DataFrame = {
+      maxRetries: Int = 2,
+      globalQps: Option[Double] = None): DataFrame = {
     val schema = StructType(flat.schema.fields :+ StructField(aiColumn, StringType, nullable = false))
     val criteriaIdx = flat.schema.fieldIndex("criteria")
-    val minIntervalNanos = (1e9 / perPartitionQps).toLong
+    // planned parallelism is known at plan time; deriving the rate here
+    // (not inside the task) keeps one source of truth per job even under
+    // speculative re-execution of individual partitions
+    val effectiveQps = globalQps
+      .map(q => q / math.max(1, flat.rdd.getNumPartitions))
+      .getOrElse(perPartitionQps)
+    val minIntervalNanos = (1e9 / effectiveQps).toLong
     val enriched = flat.rdd.mapPartitions { iter =>
       // client-per-partition seam: a remote impl opens its connection here
       var lastCall = 0L

@@ -121,6 +121,46 @@ class EnrichSpec extends AnyFunSuite {
     assert(FlakyCounters.calls.get == 13 * 2 + 3,
       s"expected 13 x 2 + 3 attempts, got ${FlakyCounters.calls.get}")
   }
+
+  test("global rate budget: aggregate attempt pacing holds regardless of parallelism") {
+    // O14 at cluster scale (r9 verdict item 7): the provider quota is
+    // per API key, not per executor — with globalQps set, each of P
+    // partitions paces at globalQps/P, so the AGGREGATE attempt rate is
+    // bounded by the budget whatever the partitioning, and the wall
+    // clock floor for N rows is ~N/globalQps invariant in P. Pinned at
+    // P = 2 and P = 4 with the same 40 qps budget: each partition must
+    // enforce (rows_in_partition - 1) gaps of P/Q seconds.
+    val q = 40.0
+    for (p <- Seq(2, 4)) {
+      FlakyCounters.reset()
+      val df = flat.repartition(p) // round-robin: 14 rows split evenly
+      val t0 = System.nanoTime()
+      val rows = Enrich.mapPartitionsEnrich(df, new CountingRuleClassifier,
+        globalQps = Some(q)).select("nct_id", "ai_determined_value").collect()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(rows.length == 14)
+      assert(FlakyCounters.calls.get == 14, "one attempt per row expected")
+      // pacing engaged: the fullest partition (ceil(14/p) rows) enforces
+      // at least floor(14/p)-1 inter-call gaps of p/q seconds each
+      val floorGaps = (14 / p - 1) * (p / q)
+      assert(elapsed >= floorGaps,
+        f"P=$p: elapsed $elapsed%.3f s < pacing floor $floorGaps%.3f s — budget not divided")
+      // aggregate law: beyond the P unthrottled first calls, attempts
+      // may not arrive faster than the global budget
+      val steadyRate = (FlakyCounters.calls.get - p) / elapsed
+      assert(steadyRate <= q * 1.05,
+        f"P=$p: aggregate attempt rate $steadyRate%.1f qps exceeds the $q qps budget")
+    }
+  }
+}
+
+/** Counts attempts and answers with the real rule label — for pacing
+  * tests where the labels still matter. */
+private class CountingRuleClassifier extends RowClassifier {
+  def classify(criteria: String): Option[String] = {
+    FlakyCounters.calls.incrementAndGet()
+    Some(RuleClassifier.classify(criteria))
+  }
 }
 
 /** Attempt counters shared across executor threads (local mode = one
