@@ -332,10 +332,23 @@ object StreamingOps {
       (batch: DataFrame, batchId: Long) => decayedAggStep(batch, tableDir, batchId)
     }
 
+  /** Per-kernel state-format ids (the `_state_format` header contract —
+    * see [[checkStateFormat]]). Bump a kernel's version whenever its
+    * state SCHEMA or merge semantics change; wm_hi is v2 because v1
+    * (round 8) lacked the arrival-order `state_seq` column. */
+  private val DecayedFmt = "decayed_partials:v1"
+  private val CusumFmt = "cusum_daily:v1"
+  private val RunsFmt = "runs_daily_rev:v1"
+  private val AdoptionFmt = "adoption_first_days:v1"
+  private val AcfFmt = "acf_daily_cents:v1"
+  private val ActivityFmt = "activity_days:v1" // shared: growthStream + wauStream
+  private val WmCountsFmt = "wm_counts:v1"
+  private val WmHiFmt = "wm_hi:v2"
+
   /** One incremental fold (exposed for specs + replay proof). */
   def decayedAggStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val basePartials = decayedState(spark, tableDir, beforeBatch = Some(batchId))
+    val basePartials = readState(spark, tableDir, DecayedFmt, beforeBatch = Some(batchId))
     val batchPartials = graft.queries.ExtraQueries3.decayedPartials(batch)
     val merged = basePartials match {
       case None => batchPartials
@@ -345,15 +358,7 @@ object StreamingOps {
           sum(col("wsum_fp")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("wsum_fp"),
           sum(col("vsum_fp")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("vsum_fp"))
     }
-    val tmpDir = s"$tableDir/_tmp_v$batchId"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-    val dest = java.nio.file.Paths.get(f"$tableDir/v$batchId%012d")
-    if (java.nio.file.Files.exists(dest)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
+    writeState(merged, tableDir, batchId, DecayedFmt)
   }
 
   /** Standing decayed partials: newest version, or newest strictly
@@ -398,7 +403,7 @@ object StreamingOps {
   /** One incremental fold (exposed for specs + replay proof). */
   def cusumStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = decayedState(spark, s"$tableDir/daily", beforeBatch = Some(batchId))
+    val base = readState(spark, s"$tableDir/daily", CusumFmt, beforeBatch = Some(batchId))
     val batchDaily = graft.queries.ExtraQueries5.dailyCounts(batch)
     val merged = base match {
       case None => batchDaily
@@ -406,14 +411,14 @@ object StreamingOps {
         .groupBy("event_type", "day")
         .agg(sum(col("cnt")).cast("long").as("cnt"))
     }
-    writeVersion(merged, s"$tableDir/daily", batchId)
+    writeState(merged, s"$tableDir/daily", batchId, CusumFmt)
   }
 
   /** Published changepoint report from the standing state — r81's
     * exact shape. */
   def cusumReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries5.cusumFromDaily(
-      decayedState(spark, s"$tableDir/daily").getOrElse(
+      readState(spark, s"$tableDir/daily", CusumFmt).getOrElse(
         spark.emptyDataFrame
           .select(lit("").as("event_type"),
             lit(java.sql.Date.valueOf("1970-01-01")).as("day"), lit(0L).as("cnt"))
@@ -441,7 +446,7 @@ object StreamingOps {
   /** One incremental fold (exposed for specs + replay proof). */
   def runsStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = decayedState(spark, s"$tableDir/daily_rev", beforeBatch = Some(batchId))
+    val base = readState(spark, s"$tableDir/daily_rev", RunsFmt, beforeBatch = Some(batchId))
     val batchDaily = graft.queries.ExtraQueries6.dailyRevenue(batch)
     val merged = base match {
       case None => batchDaily
@@ -449,14 +454,14 @@ object StreamingOps {
         .groupBy("grp", "day")
         .agg(sum(col("rev")).cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("rev"))
     }
-    writeVersion(merged, s"$tableDir/daily_rev", batchId)
+    writeState(merged, s"$tableDir/daily_rev", batchId, RunsFmt)
   }
 
   /** Published runs-test report from the standing state — r89's exact
     * shape. */
   def runsReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries6.runsFromDaily(
-      decayedState(spark, s"$tableDir/daily_rev").getOrElse(
+      readState(spark, s"$tableDir/daily_rev", RunsFmt).getOrElse(
         spark.emptyDataFrame
           .select(lit("").as("grp"),
             lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)).as("day"),
@@ -483,7 +488,7 @@ object StreamingOps {
   /** One incremental min-merge (exposed for specs + replay proof). */
   def adoptionStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = decayedState(spark, s"$tableDir/first_days", beforeBatch = Some(batchId))
+    val base = readState(spark, s"$tableDir/first_days", AdoptionFmt, beforeBatch = Some(batchId))
     val batchFirst = graft.queries.ExtraQueries4.firstDays(batch)
     val merged = base match {
       case None => batchFirst
@@ -491,13 +496,13 @@ object StreamingOps {
         .groupBy("event_type", "user_id")
         .agg(org.apache.spark.sql.functions.min(col("first_day")).as("first_day"))
     }
-    writeVersion(merged, s"$tableDir/first_days", batchId)
+    writeState(merged, s"$tableDir/first_days", batchId, AdoptionFmt)
   }
 
   /** Published curve from the standing state — r78's exact shape. */
   def adoptionReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries4.adoptionCurve(
-      decayedState(spark, s"$tableDir/first_days").getOrElse(
+      readState(spark, s"$tableDir/first_days", AdoptionFmt).getOrElse(
         spark.emptyDataFrame
           .select(lit("").as("event_type"), lit(0L).as("user_id"), lit(0).as("first_day"))
           .limit(0)))
@@ -522,7 +527,7 @@ object StreamingOps {
   /** One incremental additive fold (exposed for specs + replay proof). */
   def acfStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = decayedState(spark, s"$tableDir/daily_cents", beforeBatch = Some(batchId))
+    val base = readState(spark, s"$tableDir/daily_cents", AcfFmt, beforeBatch = Some(batchId))
     val batchDaily = graft.queries.ExtraQueries7.dailyCents(batch)
     val merged = base match {
       case None => batchDaily
@@ -530,13 +535,13 @@ object StreamingOps {
         .groupBy("day")
         .agg(sum(col("x")).cast(org.apache.spark.sql.types.LongType).as("x"))
     }
-    writeVersion(merged, s"$tableDir/daily_cents", batchId)
+    writeState(merged, s"$tableDir/daily_cents", batchId, AcfFmt)
   }
 
   /** Published ACF from the standing state — r96's exact shape. */
   def acfReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries7.acfFromDaily(
-      decayedState(spark, s"$tableDir/daily_cents").getOrElse(
+      readState(spark, s"$tableDir/daily_cents", AcfFmt).getOrElse(
         spark.emptyDataFrame
           .select(lit(java.sql.Date.valueOf("1970-01-01")).as("day"), lit(0L).as("x"))
           .limit(0)))
@@ -562,20 +567,20 @@ object StreamingOps {
   /** One incremental set-union merge (exposed for specs + replay proof). */
   def growthStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = decayedState(spark, s"$tableDir/active_days", beforeBatch = Some(batchId))
+    val base = readState(spark, s"$tableDir/active_days", ActivityFmt, beforeBatch = Some(batchId))
     val batchActive = graft.queries.ExtraQueries6.activeDays(batch)
     val merged = base match {
       case None => batchActive
       case Some(b) => b.unionByName(batchActive).distinct()
     }
-    writeVersion(merged, s"$tableDir/active_days", batchId)
+    writeState(merged, s"$tableDir/active_days", batchId, ActivityFmt)
   }
 
   /** Published decomposition from the standing state — r95's exact
     * shape, via the same oracled batch derivation. */
   def growthReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries6.growthFlows(
-      decayedState(spark, s"$tableDir/active_days").getOrElse(
+      readState(spark, s"$tableDir/active_days", ActivityFmt).getOrElse(
         spark.emptyDataFrame
           .select(lit(0L).as("user_id"),
             lit(java.sql.Date.valueOf("1970-01-01")).as("day"))
@@ -593,6 +598,54 @@ object StreamingOps {
         .iterator().asScala.foreach(java.nio.file.Files.delete)
     }
     java.nio.file.Files.move(java.nio.file.Paths.get(tmpDir), dest)
+  }
+
+  // ---- uniform versioned-state FORMAT contract (r9 verdict stretch 8) ----
+
+  /** Every foreachBatch state dir carries a `_state_format` header naming
+    * the kernel and its state-schema version (e.g. `wm_hi:v2`). The wm_hi
+    * guard from round 9 was the right pattern — round 10 makes it the
+    * ONLY pattern: one helper pair, one refusal shape. A dir with
+    * versioned parquet but NO header was written by a pre-header build;
+    * a dir with a DIFFERENT header was written by an incompatible kernel
+    * or schema generation. Neither can prove its merge history satisfies
+    * the current kernel's contract, so both are refused loudly with the
+    * same remedy — replay the log from batch 0, or start a fresh state
+    * dir — never silently reinterpreted. */
+  private def checkStateFormat(dir: String, format: String): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/_state_format")
+    if (java.nio.file.Files.exists(p)) {
+      val found = java.nio.file.Files.readString(p).trim
+      require(found == format,
+        s"versioned-state format mismatch at $dir: header '$found', this build " +
+          s"expects '$format'; replay the log from batch 0 or start a fresh state dir")
+    } else {
+      val hasVersions = Option(new java.io.File(dir).list())
+        .exists(_.exists(_.matches("v\\d{12}")))
+      require(!hasVersions,
+        s"unversioned state at $dir: versioned parquet present but no _state_format " +
+          s"header (expected '$format') — state written by a pre-header build cannot " +
+          "prove its merge history; replay the log from batch 0 or start a fresh state dir")
+    }
+  }
+
+  /** Header-checked versioned-state write: refuses alien/unversioned
+    * dirs, stamps the header on first write, then does the atomic
+    * [[writeVersion]] rename. */
+  private def writeState(df: DataFrame, dir: String, batchId: Long, format: String): Unit = {
+    checkStateFormat(dir, format)
+    writeVersion(df, dir, batchId)
+    val p = java.nio.file.Paths.get(s"$dir/_state_format")
+    if (!java.nio.file.Files.exists(p)) java.nio.file.Files.writeString(p, format)
+  }
+
+  /** Header-checked versioned-state read: same refusal contract as
+    * [[writeState]], then [[decayedState]]'s newest-version (or
+    * newest-before-batch) semantics. */
+  private def readState(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String, beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    checkStateFormat(dir, format)
+    decayedState(spark, dir, beforeBatch)
   }
 
   // ---- incremental rolling-distinct (WAU) monitor (r105 twin) ----
@@ -615,20 +668,20 @@ object StreamingOps {
   /** One incremental set-union merge (exposed for specs + replay proof). */
   def wauStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = decayedState(spark, s"$tableDir/active_days", beforeBatch = Some(batchId))
+    val base = readState(spark, s"$tableDir/active_days", ActivityFmt, beforeBatch = Some(batchId))
     val batchActive = graft.queries.ExtraQueries6.activeDays(batch)
     val merged = base match {
       case None => batchActive
       case Some(b) => b.unionByName(batchActive).distinct()
     }
-    writeVersion(merged, s"$tableDir/active_days", batchId)
+    writeState(merged, s"$tableDir/active_days", batchId, ActivityFmt)
   }
 
   /** Published engagement curve from the standing state — r105's exact
     * shape, via the same oracled batch derivation. */
   def wauReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries11.wauFromActivity(
-      decayedState(spark, s"$tableDir/active_days").getOrElse(
+      readState(spark, s"$tableDir/active_days", ActivityFmt).getOrElse(
         spark.emptyDataFrame
           .select(lit(0L).as("user_id"),
             lit(java.sql.Date.valueOf("1970-01-01")).as("day"))
@@ -662,8 +715,8 @@ object StreamingOps {
   def watermarkStep(batch: DataFrame, tableDir: String, batchId: Long): Unit = {
     val E10 = graft.queries.ExtraQueries10
     val spark = batch.sparkSession
-    val baseHi = decayedState(spark, s"$tableDir/wm_hi", beforeBatch = Some(batchId))
-    val baseCounts = decayedState(spark, s"$tableDir/wm_counts", beforeBatch = Some(batchId))
+    val baseHi = readState(spark, s"$tableDir/wm_hi", WmHiFmt, beforeBatch = Some(batchId))
+    val baseCounts = readState(spark, s"$tableDir/wm_counts", WmCountsFmt, beforeBatch = Some(batchId))
     val arr = E10.wmArrivals(batch)
     // ENFORCE the partition-the-arrival-order contract instead of
     // documenting it: the state carries the max processed arrival_seq
@@ -713,13 +766,13 @@ object StreamingOps {
         .groupBy("event_type")
         .agg(max(col("state_hi")).as("state_hi"), max(col("state_seq")).as("state_seq"))
     }
-    writeVersion(mergedCounts, s"$tableDir/wm_counts", batchId)
-    writeVersion(mergedHi, s"$tableDir/wm_hi", batchId)
+    writeState(mergedCounts, s"$tableDir/wm_counts", batchId, WmCountsFmt)
+    writeState(mergedHi, s"$tableDir/wm_hi", batchId, WmHiFmt)
   }
 
   /** Published accounting from the standing state — st6's exact shape. */
   def watermarkReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
-    decayedState(spark, s"$tableDir/wm_counts").getOrElse(
+    readState(spark, s"$tableDir/wm_counts", WmCountsFmt).getOrElse(
       spark.emptyDataFrame
         .select(lit("").as("event_type"),
           lit(java.sql.Date.valueOf("1970-01-01")).as("day"),
