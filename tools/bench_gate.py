@@ -59,6 +59,14 @@ def load_history(path, sf, exclude_queries):
             # not comparable, so only gate-green runs set them.
             if d.get("gate") != "green":
                 continue
+            # Era re-baseline (r10, verdict item 5): lines carrying a
+            # "retired" marker were recorded under materially smaller
+            # registries (<356 queries) — the same plan times 1.5-2x
+            # slower inside a heavier-registry JVM with no plan change,
+            # so those floors generated retry churn, not signal. They
+            # stay in the file for archaeology but set no floors.
+            if d.get("retired"):
+                continue
             for q, t in d["queries"].items():
                 if q not in best or t < best[q]:
                     best[q] = t
