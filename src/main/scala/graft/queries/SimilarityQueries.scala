@@ -854,7 +854,15 @@ object SimilarityQueries {
   // ---------------- s10 kNN-graph construction (IVF-blocked) ----------
 
   val KnnK = 5
-  val KnnProbes = 2
+  /** Multi-probe width for the s10 graph build. Raised 2 → 3 alongside
+    * the dynamic codebook (round 10) — the d09 precedent verbatim: the
+    * growing C costs boundary pairs, one more probe buys them back.
+    * Measured recall vs exact all-pairs kNN: 0.938 at n=500/C=8 (was
+    * 0.6676 at P=2) and 0.7725 at n=2000/C=16 (P=2 with C=16 measured
+    * 0.4993). Work fraction P²/C still shrinks with the corpus: 9/C is
+    * 0.06 at sf10's C=159 where the old fixed C=8 pinned it ≥ 0.5
+    * forever. */
+  val KnnProbes = 3
 
   /** s10: batch kNN-GRAPH construction — for EVERY corpus vector, its
     * [[KnnK]] nearest neighbors by cosine. This is the backbone op of
@@ -862,7 +870,12 @@ object SimilarityQueries {
     * components from exactly this graph) and of graph-ANN index builds
     * (NSW/HNSW neighborhood lists). Brute force is N²·dim — the one
     * shape that can never ship at corpus scale — so candidates come
-    * from d09's deterministic IVF cells (8 lowest-id seed vectors,
+    * from d09's deterministic IVF cells (C = [[DedupQueries.ivfCodebookSize]](n)
+    * lowest-id seed vectors — the SAME √n sizing law as d09, adopted in
+    * round 10 after the sf10 sweep caught the fixed C=8 codebook
+    * filling 75 GB of shuffle spill at n=200k: per-cell population
+    * grows n/C, so a fixed C makes the within-cell pair join n²/C
+    * QUADRATIC, the exact failure d09 had in round 8 —
     * multi-probe [[KnnProbes]] cells per vector), scored once per
     * UNDIRECTED pair (cosine is symmetric; the mirror union doubles
     * rows, not kernel work), salted [[graft.queries.DedupQueries]]-
@@ -885,7 +898,8 @@ object SimilarityQueries {
 
   private def knnBuilt(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val seeded = e.orderBy("vec_id").limit(8)
+    val cSz = DedupQueries.ivfCodebookSize(e.count())
+    val seeded = e.orderBy("vec_id").limit(cSz.toInt)
       .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
     val scored = e.crossJoin(broadcast(seeded))
       .withColumn("csim", round(VectorOps.cosine(col("embedding"), col("sv")), 4))
@@ -913,7 +927,9 @@ object SimilarityQueries {
   private[queries] val s10Sql =
     s"""WITH seeds AS (
        |  SELECT vec_id AS seed_id, embedding AS sv
-       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       |  FROM (SELECT vec_id, embedding,
+       |          row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings) srt
+       |  WHERE rn <= (SELECT ${DedupQueries.ivfCodebookSizeSql("count(*)")} FROM embeddings)),
        |scored AS (
        |  SELECT e.vec_id, e.embedding, s.seed_id,
        |         round(list_dot_product(e.embedding::DOUBLE[], s.sv::DOUBLE[]) /

@@ -428,16 +428,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
       assert(sorted.map(_._4).toSeq.reverse.sorted.reverse == sorted.map(_._4).toSeq)
     }
-    // graph recall vs exact kNN: deterministic cells (P=2 of 8), so the
-    // measured value is a floor, not a noisy estimate
+    // graph recall vs exact kNN: deterministic cells (P=3 of the
+    // dynamic C~sqrt(n) codebook — C=8 here), so the measured value is
+    // a floor, not a noisy estimate
     val hits = got.count { case (a, _, b, _) => exact(a).contains(b) }
     val total = exact.values.map(_.size).sum
-    // measured 0.6676 (1669/2500) at sf0.001 with P=2 of 8 cells;
-    // deterministic pipeline, so a drop below the measured value is a
-    // real regression in cells/candidates/ranking, not noise
+    // measured 0.938 (2345/2500) at sf0.001 with P=3 of 8 cells (r10;
+    // the P=2 build measured 0.6676); deterministic pipeline, so a drop
+    // below the measured value is a real regression in
+    // cells/candidates/ranking, not noise
     val recall = hits.toDouble / total
     info(s"s10 kNN-graph recall = $recall ($hits/$total)")
-    assert(recall >= 0.66, s"recall=$recall vs measured 0.6676")
+    assert(recall >= 0.93, s"recall=$recall vs measured 0.938")
   }
 
   test("pq ann recall floor vs brute force (deterministic codebooks)") {
