@@ -589,8 +589,23 @@ object CoverageQueries {
        |FROM reach WHERE depth > 0
        |GROUP BY start_id ORDER BY start_id""".stripMargin
   private val r58: Fn = (s, d) => {
-    Tables.documents(s, d).createOrReplaceTempView("documents")
-    s.sql(r58Text("md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"))
+    // Spark guards WITH RECURSIVE with a 1M-row SAFETY limit
+    // (spark.sql.cteRecursionRowLimit). The walk here is depth-capped
+    // (≤9 rows per duplicate-chain member — linear by construction),
+    // but a corpus with millions of duplicates legitimately exceeds 1M
+    // TOTAL rows long before anything is wrong with the plan — the
+    // sf10 sweep hit exactly this (the scale fixture's set-preserving
+    // token shuffle merges dup groups across copies). Raise the limit
+    // on a private-conf LoopSession clone so the caller's safety net —
+    // and every concurrent query's — stays untouched; temp-view
+    // registration is session-scoped, so the clone's catalog keeps the
+    // view out of the caller's namespace too.
+    val ls = LoopSession.isolated(s, "spark.sql.cteRecursionRowLimit" -> "2000000000")
+    Tables.documents(ls, d).createOrReplaceTempView("documents")
+    // returned bound to the clone ON PURPOSE (no rebind): the recursion
+    // limit is read from the owning session's conf at EXECUTION time,
+    // so execution must stay on the clone for the raised limit to hold
+    ls.sql(r58Text("md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"))
   }
   private val r58Sql =
     r58Text("md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))")
