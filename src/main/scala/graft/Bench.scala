@@ -105,8 +105,13 @@ object Bench {
             // Floors from green-gated runs ONLY (r7 verdict item 6, strict
             // option): legacy pre-gate lines were recorded under much
             // smaller registries and are not comparable run contexts —
-            // see tools/bench_gate.py for the r61 case study.
-            if (node.path("sf").asText() == sfDir && node.path("gate").asText("") == "green") {
+            // see tools/bench_gate.py for the r61 case study. Lines with a
+            // "retired" marker (the r10 356-registry era re-baseline) stay
+            // for archaeology but set no floors — this mirror must skip
+            // them exactly as tools/bench_gate.py does, or the two gates
+            // disagree on the same run.
+            if (node.path("sf").asText() == sfDir && node.path("gate").asText("") == "green"
+                && !node.hasNonNull("retired")) {
               val qn = node.path("queries")
               qn.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toSeq
             } else Seq.empty
