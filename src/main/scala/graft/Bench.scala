@@ -31,6 +31,10 @@ object Bench {
   private val GateSlack = 1.0
 
   def main(args: Array[String]): Unit = {
+    // Per-JVM pool builds: bench floors must measure BUILDS and PLANS,
+    // never a durable-cache read whose cost depends on what some prior
+    // JVM left on disk (r10 verdict item 5's d19 noise, inverted).
+    System.setProperty("graft.pool.rebuild", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,11 +74,28 @@ object Bench {
     val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
+    // Warm-pools pre-pass (r10 verdict item 5): every SharedPools build
+    // gets its own `pool:<key>` line, timed BEFORE any query so query
+    // floors measure plans and pool floors measure builds. Dependency
+    // order; each rep evicts ONLY the pool being timed, so a line never
+    // secretly pays a dependency's build (see PoolWarmup).
+    val poolFns = graft.queries.PoolWarmup.pools.toMap
+    val poolNames = graft.queries.PoolWarmup.pools.map("pool:" + _._1)
+      .filter(n => only.forall(_.contains(n)))
 
     def timeOne(name: String, tag: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          if (name.startsWith("pool:")) {
+            val key = name.stripPrefix("pool:")
+            graft.queries.SharedPools.evict(key)
+            poolFns(key)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } else {
+            SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          true
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name $tag failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside queries (d03/d07/d08/r46) so later
@@ -84,7 +105,8 @@ object Bench {
     }
 
     val samples: Seq[(String, (Double, Boolean))] =
-      (1 to reps).flatMap(r => selected.map { case (name, _) => name -> timeOne(name, s"rep$r") })
+      (1 to reps).flatMap(r => poolNames.map(n => n -> timeOne(n, s"rep$r"))) ++
+        (1 to reps).flatMap(r => selected.map { case (name, _) => name -> timeOne(name, s"rep$r") })
     val byQuery0: Seq[(String, Seq[(Double, Boolean)])] = samples.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2) }
     // Adaptive de-noise (r5 verdict item 3): round 5's closing run shipped
@@ -110,8 +132,18 @@ object Bench {
             // for archaeology but set no floors — this mirror must skip
             // them exactly as tools/bench_gate.py does, or the two gates
             // disagree on the same run.
+            // "retired" skip mirrors python truthiness (bench_gate.py's
+            // `d.get("retired")`): only a truthy marker retires a line —
+            // false / "" / 0 / null do NOT, or the two gates would set
+            // different floors for the same run (r10 ADVICE).
+            val retired = node.path("retired")
+            val retiredTruthy =
+              (retired.isBoolean && retired.asBoolean()) ||
+              (retired.isTextual && retired.asText().nonEmpty) ||
+              (retired.isNumber && retired.asDouble() != 0.0) ||
+              ((retired.isArray || retired.isObject) && retired.size() > 0)
             if (node.path("sf").asText() == sfDir && node.path("gate").asText("") == "green"
-                && !node.hasNonNull("retired")) {
+                && !retiredTruthy) {
               val qn = node.path("queries")
               qn.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toSeq
             } else Seq.empty
@@ -198,7 +230,15 @@ object Bench {
       System.err.println(f"[bench] GATE RED $q: $t%.2f s vs historical best $b%.2f s — " +
         "add a tools/bench_allowlist.json entry with the plan-change rationale, or fix the plan")
     }
-    val gate = if (gateFailures.isEmpty) "green" else "red"
+    // A restricted (SPARK_GRAFT_ONLY) dev run executes in a far lighter
+    // JVM/registry context than the full contract — its times would set
+    // unreachable floors (the r61 case study). Label it "dev": both
+    // floor loaders accept gate=="green" only, so dev lines record
+    // history without ever gating anything, and the green-snapshot
+    // write below won't overwrite a real run's bench_queries.json.
+    val gate =
+      if (only.nonEmpty) "dev"
+      else if (gateFailures.isEmpty) "green" else "red"
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val repsJson = byQuery
@@ -213,6 +253,8 @@ object Bench {
     val snapshotPath = java.nio.file.Paths.get("bench_queries.json")
     if (gate == "green" || !java.nio.file.Files.exists(snapshotPath)) {
       java.nio.file.Files.writeString(snapshotPath, s"{$body}")
+    } else if (gate == "dev") {
+      // restricted dev run: history-only, never a snapshot candidate
     } else {
       // Never silently commit a red snapshot over a green one (r6 verdict
       // item 1b): the red run is preserved for triage, the prior green
@@ -229,7 +271,10 @@ object Bench {
       s"""{"ts":"${java.time.Instant.now()}",$body}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val gateNames = gateFailures.map { case (q, _, _) => "\"" + q + "\"" }.mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"gate":"$gate","gate_failures":$gateNames,"queries_file":"bench_queries.json"}"""
+    // n_queries counts registry queries only; pool:<key> warm-pass lines
+    // are reported separately so registry-size consumers stay stable.
+    val nPools = results.count(_._1.startsWith("pool:"))
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size - nPools},"n_pools":$nPools,"gate":"$gate","gate_failures":$gateNames,"queries_file":"bench_queries.json"}"""
     // The driver scrapes stdout but sbt appends `[success] Total time...`
     // after the JSON line, which broke its parse two rounds running
     // (BENCH parsed:null) — the summary also lands in a file it can read.

@@ -1154,8 +1154,10 @@ object CoverageQueries {
     * [[SharedPools]] (the s10-graph precedent): m17 itself and every
     * composition consumer (m18's balance plan) share one build — the
     * first caller pays it, everyone else parquet-scans. */
-  private val m17: Fn = (s, d) =>
-    SharedPools.materialized(s, d, "media_manifest")(m17Built(s, d)).orderBy("doc_id")
+  private[queries] def manifestPool(s: SparkSession, d: String): DataFrame =
+    SharedPools.materialized(s, d, "media_manifest")(m17Built(s, d))
+
+  private val m17: Fn = (s, d) => manifestPool(s, d).orderBy("doc_id")
 
   private def m17Built(s: SparkSession, d: String): DataFrame = {
     val dd = Tables.documents(s, d).select(col("doc_id"), col("source"))

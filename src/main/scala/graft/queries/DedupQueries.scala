@@ -1101,6 +1101,9 @@ object DedupQueries {
     * stage-boundary artifact a production auto-tuner persists between
     * "measure the dials" and "pick the operating point". Exact longs +
     * 6dp-rounded doubles (parquet round-trips IEEE doubles bitwise). */
+  private[queries] def minhashSigPool(s: SparkSession, d: String): DataFrame =
+    SharedPools.materialized(s, d, "minhash_sigs")(minhashSignatures(s, d))
+
   private[queries] def lshSweepPool(s: SparkSession, d: String): DataFrame =
     SharedPools.materialized(s, d, "lsh_sweep")(d19Built(s, d))
 
@@ -1112,7 +1115,7 @@ object DedupQueries {
     // branches in ONE job, and racing branches blow straight past an
     // unfilled cache re-running the signature kernel per branch
     // (measured: 60.9 s with persist → 5.1 s pooled at sf0.1)
-    val sigs = SharedPools.materialized(s, d, "minhash_sigs")(minhashSignatures(s, d))
+    val sigs = minhashSigPool(s, d)
     val truth = jaccardPool(s, d).select(col("d1"), col("d2"))
     val configs = Seq((32, 2), (16, 4), (8, 8))
     configs.map { case (nb, nr) =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 import graft.queries.Relational.{Fn, Q, money}
 
@@ -65,8 +65,12 @@ object ExtraQueries12 {
     store.groupBy("source")
       .agg(sum(col("occ")).cast(LongType).as("n_chunks"),
         count(lit(1)).as("n_distinct_chunks"),
-        sum(col("occ") * col("chunk_len")).cast(LongType).as("total_tokens"),
-        sum((col("occ") - 1) * col("chunk_len")).cast(LongType).as("dup_token_savings"))
+        // dec-lift (overflow lint): occ·chunk_len fits in long per chunk
+        // family; the source-level sums accumulate in DECIMAL(38,0)
+        sum((col("occ") * col("chunk_len")).cast(DecimalType(38, 0)))
+          .cast(LongType).as("total_tokens"),
+        sum(((col("occ") - 1) * col("chunk_len")).cast(DecimalType(38, 0)))
+          .cast(LongType).as("dup_token_savings"))
       .withColumn("savings_ratio", round(col("dup_token_savings").cast(DoubleType) /
         col("total_tokens").cast(DoubleType), 6))
       .select("source", "n_chunks", "n_distinct_chunks", "total_tokens",

@@ -71,8 +71,13 @@ object ExtraQueries15 {
       .withColumn("rank2", lit(2) * (col("cum") - col("t")) + col("t") + 1)
     val agg = ranked.groupBy("pri")
       .agg(sum(col("t")).cast(LongType).as("n"),
-        sum(col("tp") * col("rank2")).cast(LongType).as("w_plus_x2"),
-        sum(col("t") * col("t") * col("t") - col("t")).cast(LongType).as("tie_term"))
+        // dec-lift (overflow lint): one value-grain rank product / cubic
+        // tie term fits in long; the domain sums accumulate in
+        // DECIMAL(38,0)
+        sum((col("tp") * col("rank2")).cast(DecimalType(38, 0)))
+          .cast(LongType).as("w_plus_x2"),
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast(DecimalType(38, 0))).cast(LongType).as("tie_term"))
     val nD = col("n").cast(DoubleType)
     agg.withColumn("z", round(
         (col("w_plus_x2").cast(DoubleType) - nD * (nD + 1.0) / 2.0) /

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 import graft.queries.Relational.{Fn, Q}
 
@@ -187,13 +187,17 @@ object ExtraQueries20 {
       val topStats = topKeys
         .join(hl.select(col("k"), col("c").as("cl")), Seq("k"), "left")
         .join(hr.select(col("k"), col("c").as("cr")), Seq("k"), "left")
-        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast(LongType).as("exact_part"),
+        // dec-lift (overflow lint): per-key frequency products fit in
+        // long; the cross-key sums accumulate in DECIMAL(38,0)
+        .agg(coalesce(sum((col("cl") * col("cr")).cast(DecimalType(38, 0))), lit(0L))
+          .cast(LongType).as("exact_part"),
           coalesce(sum(col("cl")), lit(0L)).cast(LongType).as("top_cl"),
           coalesce(sum(col("cr")), lit(0L)).cast(LongType).as("top_cr"),
           count(col("cl")).cast(LongType).as("k_l"),
           count(col("cr")).cast(LongType).as("k_r"))
       val act = hl.join(hr.select(col("k"), col("c").as("cr")), Seq("k"))
-        .agg(coalesce(sum(col("c") * col("cr")), lit(0L)).cast(LongType).as("actual"))
+        .agg(coalesce(sum((col("c") * col("cr")).cast(DecimalType(38, 0))), lit(0L))
+          .cast(LongType).as("actual"))
       sl.crossJoin(sr).crossJoin(broadcast(topStats)).crossJoin(broadcast(act))
         .withColumn("edge", lit(name))
         .withColumn("est_uniform",

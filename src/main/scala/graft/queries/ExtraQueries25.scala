@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 import graft.queries.Relational.{Fn, Q}
 
@@ -173,12 +173,15 @@ object ExtraQueries25 {
       .orderBy(desc("c"), col("tok")).limit(StyleF).select("tok")
     val cnt = toks.join(broadcast(basis), Seq("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-    val norms = cnt.groupBy("source").agg(sum(col("c") * col("c")).cast(LongType).as("nrm"))
+    // dec-lift (overflow lint): per-token count products fit in long;
+    // the vocabulary-wide sums accumulate in DECIMAL(38,0)
+    val norms = cnt.groupBy("source")
+      .agg(sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast(LongType).as("nrm"))
     val a = cnt.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
     val b = cnt.select(col("source").as("src_b"), col("tok"), col("c").as("cb"))
     a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
-      .agg(sum(col("ca") * col("cb")).cast(LongType).as("num"))
+      .agg(sum((col("ca") * col("cb")).cast(DecimalType(38, 0))).cast(LongType).as("num"))
       .join(norms.select(col("source").as("src_a"), col("nrm").as("na")), Seq("src_a"))
       .join(norms.select(col("source").as("src_b"), col("nrm").as("nb")), Seq("src_b"))
       .select(col("src_a"), col("src_b"),

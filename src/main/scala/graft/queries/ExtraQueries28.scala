@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 import graft.functions.VectorOps
 import graft.queries.Relational.{Fn, Q}
@@ -50,7 +50,10 @@ object ExtraQueries28 {
     val ties = daily.groupBy("event_type", "c").agg(count(lit(1)).as("t"))
       .groupBy("event_type")
       .agg(sum(col("t")).cast(LongType).as("n_days"),
-        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).cast(LongType).as("tie_term"))
+        // dec-lift (overflow lint): one tie group's cubic term fits in
+        // long; the tie-domain sum accumulates in DECIMAL(38,0)
+        sum((col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .cast(DecimalType(38, 0))).cast(LongType).as("tie_term"))
       .withColumn("var_num",
         col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) - col("tie_term"))
     sRel.join(ties, Seq("event_type"))

@@ -299,7 +299,10 @@ object ExtraQueries29 {
     val base = docs(s, d).select(col("doc_id"), col("source"))
     val exp = base.groupBy("source").agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).cast(LongType).as("n"),
-        sum(col("c") * (col("c") - 1)).cast(LongType).as("same_w"))
+        // dec-lift (overflow lint): one source's pair count fits in
+        // long; the cross-source sum accumulates in DECIMAL(38,0)
+        sum((col("c") * (col("c") - 1)).cast(DecimalType(38, 0)))
+          .cast(LongType).as("same_w"))
     def adj(df: DataFrame, kind: String, bucket: org.apache.spark.sql.Column,
             ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
       val w = Window.partitionBy("bucket").orderBy(ord: _*)

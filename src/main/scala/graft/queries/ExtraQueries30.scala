@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 import graft.Tables
 import graft.queries.Relational.{Fn, Q}
 
@@ -198,7 +198,10 @@ object ExtraQueries30 {
       .groupBy(col("rung.height").as("height"), col("rung.kbps").as("bitrate_kbps"))
       .agg(count(lit(1)).cast(LongType).as("n_renditions"),
         sum(col("n_bytes").cast(LongType)).cast(LongType).as("total_src_bytes"),
-        sum(col("n_bytes").cast(LongType) * col("rung.height")).cast(LongType)
+        // dec-lift (overflow lint): one payload's bytes·height fits in
+        // long; the rung-level sum accumulates in DECIMAL(38,0)
+        sum((col("n_bytes").cast(LongType) * col("rung.height"))
+          .cast(DecimalType(38, 0))).cast(LongType)
           .as("cost_units"))
       .orderBy("height")
   }
@@ -312,8 +315,11 @@ object ExtraQueries30 {
         sum(when(col("o") > 0, 1L).otherwise(0L)).cast(LongType).as("used_buckets"),
         min(col("o")).cast(LongType).as("min_bucket"),
         max(col("o")).cast(LongType).as("max_bucket"),
-        round(sum((lit(NBuckets.toLong) * col("o") - col("n")) *
-          (lit(NBuckets.toLong) * col("o") - col("n"))).cast(DoubleType) /
+        // dec-lift (overflow lint): one bucket's squared deviation fits
+        // in long; the 256-bucket sum accumulates in DECIMAL(38,0)
+        round(sum(((lit(NBuckets.toLong) * col("o") - col("n")) *
+          (lit(NBuckets.toLong) * col("o") - col("n")))
+          .cast(DecimalType(38, 0))).cast(DoubleType) /
           (max(col("n")) * NBuckets).cast(DoubleType), 4).as("chi2"))
       .select("n_docs", "n_buckets", "used_buckets", "min_bucket", "max_bucket", "chi2")
   }

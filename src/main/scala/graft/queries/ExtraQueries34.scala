@@ -230,7 +230,10 @@ object ExtraQueries34 {
     val moments = gaps.groupBy("event_type")
       .agg(count(lit(1)).cast(LongType).as("n_gaps"),
         sum(col("gap")).cast(LongType).as("sg"),
-        sum(col("gap") * col("gap")).cast(LongType).as("sgg"))
+        // dec-lift (overflow lint): one squared gap (seconds) fits in
+        // long; the per-type SUM of squares accumulates in DECIMAL(38,0)
+        sum((col("gap") * col("gap")).cast(DecimalType(38, 0)))
+          .cast(LongType).as("sgg"))
     val dom = gaps.groupBy("event_type", "gap").agg(count(lit(1)).as("t"))
       .withColumn("cum", sum(col("t")).over(
         Window.partitionBy("event_type").orderBy("gap")

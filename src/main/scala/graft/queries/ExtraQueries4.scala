@@ -1003,7 +1003,10 @@ object ExtraQueries4 {
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
     val per = c.groupBy("doc_id")
       .agg(sum(col("cnt")).as("len"),
-        sum(col("cnt") * (log(col("cnt").cast(DoubleType)) * 1e9).cast(LongType)).as("sfp"))
+        // dec-lift (overflow lint): one char class's cnt·lnfix fits in
+        // long; the per-doc sum accumulates in DECIMAL(38,0)
+        sum((col("cnt") * (log(col("cnt").cast(DoubleType)) * 1e9).cast(LongType))
+          .cast(DecimalType(38, 0))).cast(LongType).as("sfp"))
       .select(col("doc_id"), col("len"),
         ((log(col("len").cast(DoubleType))
           - col("sfp").cast(DoubleType) / 1e9 / col("len").cast(DoubleType)) * 1e9)

@@ -350,8 +350,11 @@ object ExtraQueries5 {
       (log(col("v").cast(DoubleType)) * 1e6).cast(LongType).as("y"))
     val st = pts.agg(
       count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
-      sum(col("y") * col("y")).as("syy"))
+      // dec-lift (overflow lint): one squared fixed-point log fits in
+      // long; the point-set sums accumulate in DECIMAL(38,0)
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast(LongType).as("sxx"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0))).cast(LongType).as("sxy"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast(LongType).as("syy"))
     val (np, sx, sy, sxx, sxy, syy) =
       (col("np"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
     val cxy = (np * sxy - sx * sy).cast(DoubleType)
@@ -846,7 +849,10 @@ object ExtraQueries5 {
       .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
     val dTot = docs(s, d).agg(count(lit(1)).as("dd"))
     val stats = perDoc.groupBy("token")
-      .agg(sum(col("c")).as("ct"), sum(col("c") * col("c")).as("s2"),
+      // dec-lift (overflow lint): one doc's squared token count fits in
+      // long; the per-token sum of squares accumulates in DECIMAL(38,0)
+      .agg(sum(col("c")).as("ct"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast(LongType).as("s2"),
         count(lit(1)).as("df"))
       .filter(col("ct") >= 50)
       .crossJoin(broadcast(dTot))

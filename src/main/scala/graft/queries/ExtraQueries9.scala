@@ -150,8 +150,12 @@ object ExtraQueries9 {
       .groupBy("pa", "pb")
       .agg(sum(col("ca")).cast(LongType).as("n1"),
         sum(col("cb")).cast(LongType).as("n2"),
-        sum(col("ca") * (lit(2) * col("cumb") + col("cb"))).cast(LongType).as("u1_x2"),
-        sum(t * t * t - t).cast(LongType).as("tie_term"))
+        // dec-lift (overflow lint): one value-grain rank product / cubic
+        // tie term fits in long; the domain sums accumulate in
+        // DECIMAL(38,0)
+        sum((col("ca") * (lit(2) * col("cumb") + col("cb")))
+          .cast(DecimalType(38, 0))).cast(LongType).as("u1_x2"),
+        sum((t * t * t - t).cast(DecimalType(38, 0))).cast(LongType).as("tie_term"))
     val nD = (col("n1") + col("n2")).cast(DoubleType)
     agg.withColumn("z", round(
         (col("u1_x2").cast(DoubleType) - col("n1").cast(DoubleType) * col("n2").cast(DoubleType)) /

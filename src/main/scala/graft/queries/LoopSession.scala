@@ -17,12 +17,16 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
   * item 3 of "What's wrong").
   *
   * The fix is scope, not semantics: `SparkSession.newSession()` clones
-  * the session with a PRIVATE SQLConf while sharing the SparkContext,
-  * SharedState — and therefore the CacheManager, so persist/unpersist and
-  * cache hits cross the boundary transparently — and the session catalog.
-  * The loop runs its rounds on the clone; the caller's conf is never
-  * touched, so there is nothing to restore and no window in which a
-  * concurrent query can observe loop tuning.
+  * the session with a PRIVATE SQLConf while sharing the SparkContext and
+  * SharedState — and therefore the CacheManager (persist/unpersist and
+  * cache hits cross the boundary transparently), the external catalog,
+  * and GLOBAL temp views. The clone has its OWN local temp-view catalog:
+  * caller temp views do NOT resolve by name in SQL run on the clone, and
+  * vice versa (r58 relies on this — the clone's registrations stay out
+  * of the caller's namespace). Cross-session plans need [[rebind]], not
+  * name resolution. The loop runs its rounds on the clone; the caller's
+  * conf is never touched, so there is nothing to restore and no window
+  * in which a concurrent query can observe loop tuning.
   *
   * DataFrames are bound to the session that created them (plans resolve
   * conf through their own session state), so crossing the boundary needs

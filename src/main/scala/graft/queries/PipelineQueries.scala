@@ -1295,7 +1295,11 @@ object PipelineQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_batches"),
           sum(col("sm")).cast(LongType).as("total_tokens"),
-          sum(col("mx") * col("cnt") - col("sm")).cast(LongType).as("total_pad"))
+          // dec-lift (overflow lint): accumulate in DECIMAL(38,0) — the
+          // per-bucket product mx·cnt stays under 2^63 (both are token
+          // counts of one length bucket) but the corpus-level SUM need not
+          sum((col("mx") * col("cnt") - col("sm")).cast(DecimalType(38, 0)))
+            .cast(LongType).as("total_pad"))
         .withColumn("policy", lit(name))
     }
     policy("arrival", Seq(col("doc_id")))

@@ -926,9 +926,12 @@ object TextQueries {
       count(lit(1)).cast(DoubleType).as("nt"),
       sum(col("x")).cast(DoubleType).as("sx"),
       sum(col("y")).cast(DoubleType).as("sy"),
-      sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
-      sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
-      sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+      // dec-lift (overflow lint): one squared fixed-point log fits in
+      // long; the point-set sums accumulate in DECIMAL(38,0) before the
+      // final (exact-integer-valued) double conversion
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxx"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxy"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast(DoubleType).as("syy"))
     val num = col("nt") * col("sxy") - col("sx") * col("sy")
     val den = col("nt") * col("sxx") - col("sx") * col("sx")
     val sl = num / den

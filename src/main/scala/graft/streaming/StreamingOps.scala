@@ -373,10 +373,13 @@ object StreamingOps {
     else Some(spark.read.parquet(f"$tableDir/v${versions.max}%012d"))
   }
 
-  /** Published report from the standing state — r64's exact shape. */
+  /** Published report from the standing state — r64's exact shape.
+    * Reads through [[readState]] so the `_state_format` refusal contract
+    * covers the report path too: a pre-header or alien-kernel state dir
+    * is refused loudly, never silently reinterpreted (r10 ADVICE). */
   def decayedReport(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     graft.queries.ExtraQueries3.decayedFinal(
-      decayedState(spark, tableDir).getOrElse(
+      readState(spark, tableDir, DecayedFmt).getOrElse(
         spark.emptyDataFrame.select(lit("").as("event_type"), lit(0L).as("n"),
           lit(java.math.BigDecimal.ZERO).as("wsum_fp"), lit(java.math.BigDecimal.ZERO).as("vsum_fp"))
           .limit(0)))
@@ -630,13 +633,24 @@ object StreamingOps {
   }
 
   /** Header-checked versioned-state write: refuses alien/unversioned
-    * dirs, stamps the header on first write, then does the atomic
-    * [[writeVersion]] rename. */
+    * dirs, stamps the header (atomic tmp+move) BEFORE the first version
+    * rename, then does the atomic [[writeVersion]] rename. Header-first
+    * ordering matters for crash recovery: a crash between the two leaves
+    * a header-only dir (reads as fresh — recoverable incremental state),
+    * whereas version-first would leave versioned parquet with no header,
+    * which the next run refuses and forces a full replay (r10 ADVICE). */
   private def writeState(df: DataFrame, dir: String, batchId: Long, format: String): Unit = {
     checkStateFormat(dir, format)
-    writeVersion(df, dir, batchId)
     val p = java.nio.file.Paths.get(s"$dir/_state_format")
-    if (!java.nio.file.Files.exists(p)) java.nio.file.Files.writeString(p, format)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), "._state_format", ".tmp")
+      java.nio.file.Files.writeString(tmp, format)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeVersion(df, dir, batchId)
   }
 
   /** Header-checked versioned-state read: same refusal contract as

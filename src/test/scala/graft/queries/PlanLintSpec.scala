@@ -247,6 +247,176 @@ class PlanLintSpec extends AnyFunSuite {
       "planted corpus-sized global window classified as bounded")
   }
 
+  // ---- overflow/parity lint (r10 verdict item 3) -------------------
+  // Round 10 hand-found five long-overflow / libm-pow / FP-fold parity
+  // risks (commit d29d3ef); the same classes recur with every batch.
+  // Three detectors over the optimized plans, allowlisted with reasons
+  // in the AggBounded mold, each proven non-vacuous on a planted
+  // violation:
+  //  (a) Sum over a LongType product of two non-literal operands — a
+  //      corpus-derived product can exceed 2^63 mid-sum and Spark wraps
+  //      silently in non-ANSI mode while DuckDB's int128 does not (the
+  //      p38/d32 bug class). The fix is lifting to DECIMAL(38,0)
+  //      BEFORE the multiply, which these detectors see as a Decimal
+  //      Multiply and ignore.
+  //  (b) pow() with a non-integral or non-literal exponent — libm pow
+  //      is correctly-rounded on neither engine; arbitrary exponents
+  //      are a 1-ulp repr-hash risk (the p19/r127 class; realize
+  //      exponents via sqrt chains or shiftleft instead).
+  //  (c) an ORDERED window Sum over DoubleType — a running double fold
+  //      whose grouping order differs from DuckDB's segment-tree
+  //      evaluation diverges in the low bits (the r133 class; keep
+  //      running sums in fixed-point longs/decimals).
+
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Multiply, Pow, WindowExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum => CatalystSum}
+  import org.apache.spark.sql.types.{DoubleType => CDoubleType, LongType => CLongType}
+
+  private def riskyLongProduct(e: Expression): Boolean =
+    e.exists {
+      case m: Multiply if m.dataType == CLongType &&
+        !m.left.isInstanceOf[Literal] && !m.right.isInstanceOf[Literal] => true
+      case _ => false
+    }
+
+  /** The risky shape is a Sum that ACCUMULATES in LongType over a
+    * non-literal long product: Spark wraps silently in non-ANSI mode
+    * while DuckDB's int128 does not. `sum(CAST(a*b AS DECIMAL(38,0)))`
+    * accumulates in decimal — that is the d29d3ef fix shape (the
+    * remaining per-PRODUCT bound, product < 2^63, is each query's
+    * scaladoc argument, like AggBounded's input-rows argument). */
+  private def longProductSums(plan: LogicalPlan): Seq[String] =
+    plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case ae: AggregateExpression if ae.aggregateFunction.isInstanceOf[CatalystSum] &&
+          ae.aggregateFunction.asInstanceOf[CatalystSum].child.dataType == CLongType &&
+          riskyLongProduct(ae.aggregateFunction.asInstanceOf[CatalystSum].child) =>
+          ae.sql
+      })
+    }.flatten
+
+  private def integralLiteral(e: Expression): Boolean = e match {
+    case Literal(v: Double, _) => v == math.rint(v) && !v.isInfinite
+    case Literal(v: Float, _) => v == math.rint(v.toDouble)
+    case Literal(_: Int, _) | Literal(_: Long, _) | Literal(_: Short, _) | Literal(_: Byte, _) => true
+    case c: Cast => integralLiteral(c.child)
+    case _ => false
+  }
+
+  /** pow(2^j, k) with an integral k is IEEE-EXACT (the significand is
+    * all zeros; only the exponent field moves), so base-2/16 dyadic
+    * scaling — the r127 shiftleft idiom's double-typed sibling — is not
+    * a libm parity risk. Everything else with a non-integral or
+    * non-literal exponent is. */
+  private def powerOfTwoLiteral(e: Expression): Boolean = e match {
+    case Literal(v: Double, _) =>
+      v > 0 && (java.lang.Double.doubleToLongBits(v) & 0x000fffffffffffffL) == 0L
+    case _ => false
+  }
+
+  private def integralValued(e: Expression): Boolean = e match {
+    case c: Cast => integralValued(c.child)
+    case other =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      Seq(ByteType, ShortType, IntegerType, CLongType).contains(other.dataType)
+  }
+
+  private def arbitraryPows(plan: LogicalPlan): Seq[String] =
+    plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case p: Pow if !integralLiteral(p.right) &&
+          !(powerOfTwoLiteral(p.left) && integralValued(p.right)) => p.sql
+      })
+    }.flatten
+
+  private def orderedDoubleWindowSums(plan: LogicalPlan): Seq[String] =
+    plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case we @ WindowExpression(ae: AggregateExpression, spec)
+          if ae.aggregateFunction.isInstanceOf[CatalystSum] &&
+            ae.aggregateFunction.dataType == CDoubleType &&
+            spec.orderSpec.nonEmpty => we.sql
+      })
+    }.flatten
+
+  /** Walk the optimized plan AND persisted subtrees' logical side: the
+    * planner caches replace subtrees with InMemoryRelation leaves, but
+    * their cachedPlan is physical — for these expression-level lints
+    * the logical pre-cache plan (analyzedPlan's expressions survive into
+    * optimizedPlan except where folded) is the right surface, and a
+    * planted selftest keeps each detector honest. */
+  private def lintOffenders(detector: LogicalPlan => Seq[String]): Map[String, Seq[String]] =
+    executions.map { case (name, qe) => name -> detector(qe.optimizedPlan) }
+      .filter(_._2.nonEmpty)
+
+  private val longProductAllowed: Map[String, String] = Map(
+    // 0/1 indicator products: s1,s2 are md5-coin indicators, so each
+    // product is 0 or 1 and the sum is a ROW COUNT — bounded by corpus
+    // rows, which can never approach 2^63. A decimal lift here would
+    // buy nothing and cost a wider shuffle type on a corpus-grain agg.
+    "r124_capture_recapture" -> "sum(s1*s2): 0/1 coin-indicator product; sum = row count",
+    "u30_coin_independence" -> "2x2 contingency cells: 0/1 coin-indicator products; sums = row counts")
+  private val powAllowed: Map[String, String] = Map.empty
+  private val doubleWindowSumAllowed: Map[String, String] = Map.empty
+
+  test("no query sums a LongType product of two corpus-derived columns (overflow lint)") {
+    val offenders = lintOffenders(longProductSums).filterNot(o => longProductAllowed.contains(o._1))
+    assert(offenders.isEmpty,
+      s"unlifted long-product sums (lift to DECIMAL(38,0) BEFORE multiplying): $offenders")
+    // planted selftest: the exact p38 bug shape must be caught
+    val planted = graft.Tables.lineitem(spark, sf)
+      .selectExpr("cast(l_orderkey as long) a", "cast(l_partkey as long) b")
+      .groupBy().agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("a * b")))
+    assert(longProductSums(planted.queryExecution.optimizedPlan).nonEmpty,
+      "overflow detector missed a planted long-product sum")
+    // and the prescribed fix shape must NOT be flagged
+    val lifted = graft.Tables.lineitem(spark, sf)
+      .selectExpr("cast(l_orderkey as long) a", "cast(l_partkey as long) b")
+      .groupBy().agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("cast(a as decimal(38,0)) * b")))
+    assert(longProductSums(lifted.queryExecution.optimizedPlan).isEmpty,
+      "overflow detector flags the DECIMAL(38,0)-lifted fix shape")
+    // stale-entry guard (the AggBounded discipline): an allowlist entry
+    // whose query no longer sums a raw long product is dead weight
+    val stale = longProductAllowed.keys.filter(n =>
+      longProductSums(executions(n).optimizedPlan).isEmpty)
+    assert(stale.isEmpty, s"stale overflow-allowlist entries: ${stale.toSeq.sorted}")
+  }
+
+  test("no query calls pow() with a non-integral exponent (libm parity lint)") {
+    val offenders = lintOffenders(arbitraryPows).filterNot(o => powAllowed.contains(o._1))
+    assert(offenders.isEmpty,
+      s"arbitrary-exponent pow (realize via sqrt chains / shiftleft / exp-ln discipline): $offenders")
+    val planted = graft.Tables.documents(spark, sf)
+      .selectExpr("pow(n_chars, 0.7) AS risky")
+    assert(arbitraryPows(planted.queryExecution.optimizedPlan).nonEmpty,
+      "pow detector missed a planted fractional exponent")
+    val squared = graft.Tables.documents(spark, sf)
+      .selectExpr("pow(n_chars, 2) AS fine")
+    assert(arbitraryPows(squared.queryExecution.optimizedPlan).isEmpty,
+      "pow detector flags integral literal exponents")
+  }
+
+  test("no query runs an ordered window Sum over DoubleType (FP-fold parity lint)") {
+    val offenders = lintOffenders(orderedDoubleWindowSums)
+      .filterNot(o => doubleWindowSumAllowed.contains(o._1))
+    assert(offenders.isEmpty,
+      s"running double window sums (keep running sums fixed-point, r133 discipline): $offenders")
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val planted = graft.Tables.events(spark, sf)
+      .withColumn("run", fsum(col("value")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("ts")))
+    assert(orderedDoubleWindowSums(planted.queryExecution.optimizedPlan).nonEmpty,
+      "double-window-sum detector missed a planted running fold")
+    val fixedPoint = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts", "cast(round(value * 100) as long) AS cents")
+      .withColumn("run", fsum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("ts")))
+    assert(orderedDoubleWindowSums(fixedPoint.queryExecution.optimizedPlan).isEmpty,
+      "double-window-sum detector flags the fixed-point fix shape")
+  }
+
   test("no dumped result schema contains a nested type") {
     // The driver's correctness harness sorts the dumped parquet with
     // pandas across ALL columns and hashes cell reprs; an array/map/

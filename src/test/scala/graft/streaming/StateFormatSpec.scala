@@ -62,6 +62,43 @@ class StateFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("decayedReport refuses pre-header and alien-kernel state dirs (r10 ADVICE)") {
+    // The REPORT path must enforce the same contract as the step path:
+    // a published report over silently-reinterpreted state is worse than
+    // a refused merge, because it escapes into downstream consumers.
+    val noHeader = Files.createTempDirectory("fmt_report_nohdr").toString
+    plantUnversioned(noHeader)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingOps.decayedReport(spark, noHeader)
+    }
+    assert(e1.getMessage.contains("unversioned state"))
+
+    val alien = Files.createTempDirectory("fmt_report_alien").toString
+    Files.writeString(Paths.get(s"$alien/_state_format"), "alien_kernel:v9")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingOps.decayedReport(spark, alien)
+    }
+    assert(e2.getMessage.contains("format mismatch"))
+  }
+
+  test("the format header is stamped before the first version rename (crash-safe order)") {
+    // A crash between header write and version rename must leave a
+    // header-only dir (reads as fresh — recoverable), never versioned
+    // parquet without a header (refused — forced full replay). Proof by
+    // the durable postcondition: header exists, alone in the dir, reads
+    // as fresh state; then a later step accepts and versions normally.
+    val dir = Files.createTempDirectory("fmt_hdr_first").toString
+    StreamingOps.decayedAggStep(batch, dir, 0L)
+    assert(Files.exists(Paths.get(s"$dir/_state_format")))
+    // simulate the crash window's surviving prefix: header only
+    val dir2 = Files.createTempDirectory("fmt_hdr_only").toString
+    Files.writeString(Paths.get(s"$dir2/_state_format"), "decayed_partials:v1")
+    // header-only dir reads as fresh (no versions) and accepts a write
+    assert(StreamingOps.decayedState(spark, dir2).isEmpty)
+    StreamingOps.decayedAggStep(batch, dir2, 0L)
+    assert(StreamingOps.decayedReport(spark, dir2).collect().nonEmpty)
+  }
+
   test("a fresh dir gets stamped on first write and replays accept the header") {
     val dir = Files.createTempDirectory("fmt_ok").toString
     StreamingOps.decayedAggStep(batch, dir, 0L)

@@ -212,6 +212,7 @@ def main():
     # columns) must match exactly; numeric estimate columns band-match.
     import os.path
     band_path = f"{out}/band_oracle.json"
+    band_verdicts = {}
     if os.path.exists(band_path):
         with open(band_path) as f:
             bands = json.load(f)
@@ -251,10 +252,22 @@ def main():
                         assert (got[c].astype(str) == want[c].astype(str)).all(), \
                             f"key col {c} mismatch"
                 print(f"BAND-PASS {name} (worst rel diff {worst:.4f} <= {tol})")
+                band_verdicts[name] = {"pass": True, "worst_rel_diff": round(worst, 6),
+                                       "rel_tol": tol, "engine": "duckdb-own-approximator"}
                 n_pass += 1
             except Exception as e:
                 print(f"FAIL {name}: band: {e}")
+                band_verdicts[name] = {"pass": False, "error": str(e),
+                                       "rel_tol": float(spec["rel_tol"])}
                 n_fail += 1
+        # Driver-readable adjudication next to the per-query dumps (r10
+        # verdict item 7): the driver's CORRECTNESS harness reads only
+        # oracleSql, so the three sketch queries show as no_oracle there;
+        # this file carries their measured cross-engine verdicts so a
+        # reader of the dump dir can count every registered query
+        # adjudicated. gates.sh close commits it as BAND_VERDICTS.json.
+        with open(f"{out}/band_verdicts.json", "w") as f:
+            json.dump(band_verdicts, f, indent=1, sort_keys=True)
 
     print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} oracled")
     sys.exit(1 if n_fail else 0)

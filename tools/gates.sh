@@ -35,6 +35,14 @@ echo "== compile"
 sbt -batch compile | tail -1
 
 if [ "${1:-full}" = "close" ]; then
+  # A close MUST be round-numbered (r10 verdict item 2): round 10 closed
+  # green but un-numbered, so the BENCH_QUERIES_r10 freeze never fired
+  # and the green close lived only in bench_history + the gitignored
+  # live file. Fail at the top, not after 45 minutes of gates.
+  if [ -z "${GRAFT_ROUND:-}" ]; then
+    echo "gates.sh close requires GRAFT_ROUND=<N> (the BENCH_QUERIES_rNN freeze is part of the close)" >&2
+    exit 1
+  fi
   # Closing bench FIRST (r8 verdict item 1): rounds 6-8 each closed red
   # purely from end-of-round machine contention — the bench used to run
   # 50 minutes in, after the test suite and three Verify sweeps had
@@ -70,6 +78,14 @@ echo "== sf0.01 dump + both-mode compare + ordered"
 run_verify /root/testdata/sf0.01 /tmp/gates_sf001
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_sf001 | tail -1
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gates_sf001 --ordered | tail -1
+# Commit the sketch queries' cross-engine band adjudication (r10 verdict
+# item 7): the driver's harness reads only oracleSql and reports them
+# no_oracle — this artifact carries the measured rel-diffs + pass/fail.
+if [ -f /tmp/gates_sf001/band_verdicts.json ]; then
+  python3 -c "import json,sys; v=json.load(open('/tmp/gates_sf001/band_verdicts.json')); sys.exit(0 if v and all(e.get('pass') for e in v.values()) else sys.stderr.write(f'band verdicts not all green: {v}\n') or 1)"
+  cp /tmp/gates_sf001/band_verdicts.json BAND_VERDICTS.json
+  echo "== BAND_VERDICTS.json refreshed (all green)"
+fi
 
 echo "== COVERAGE.md counts (generated from the live registry, r6 item 6)"
 python3 tools/sync_coverage.py /tmp/gates_sf001
@@ -116,9 +132,12 @@ assert run['sf'] == '/root/testdata/sf0.1' and run.get('gate') == 'green', \
     f"stashed close is {run.get('gate')} at {run.get('sf')} — stash protocol broken"
 snap = json.load(open('bench_queries.json'))       # the committed artifact
 assert snap['sf'] == '/root/testdata/sf0.1', f"snapshot sf is {snap['sf']}"
-n = len(snap['queries'])
+# pool:<key> lines are the warm-pools pre-pass (r10 verdict item 5),
+# not registry queries — count them separately.
+n = len([q for q in snap['queries'] if not q.startswith('pool:')])
+npool = len(snap['queries']) - n
 assert n == reg, f"committed bench covers {n} queries but the registry has {reg}"
-print(f"[close] committed green sf0.1 bench covers all {n} registry queries")
+print(f"[close] committed green sf0.1 bench covers all {n} registry queries (+{npool} pool lines)")
 EOF
   fi
   echo "== per-query bench regression gate (vs bench_history.jsonl minima)"
@@ -138,6 +157,15 @@ EOF
     python3 -c "import json,sys; sf=json.load(open('bench_queries.json'))['sf']; sys.exit(0 if sf=='/root/testdata/sf0.1' else sys.stderr.write(f'refusing to snapshot a {sf} run as BENCH_QUERIES_rNN\n') or 1)"
     python3 tools/bench_gate.py bench_queries.json | tail -1
     cp bench_queries.json "BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json"
+    # Assert the file we claim to have written (r10 verdict item 2: the
+    # freeze must prove itself, not just echo).
+    python3 -c "
+import json, sys
+snap = json.load(open('BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json'))
+assert snap['sf'] == '/root/testdata/sf0.1', f\"frozen snapshot sf is {snap['sf']}\"
+assert len(snap['queries']) > 0, 'frozen snapshot has no queries'
+print(f\"[close] frozen BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json: {len(snap['queries'])} queries, sf0.1\")
+"
     echo "== snapshotted BENCH_QUERIES_r$(printf '%02d' "$GRAFT_ROUND").json (gate green)"
   fi
 fi
