@@ -82,6 +82,12 @@ object Bench {
     val poolFns = graft.queries.PoolWarmup.pools.toMap
     val poolNames = graft.queries.PoolWarmup.pools.map("pool:" + _._1)
       .filter(n => only.forall(_.contains(n)))
+    // Streaming kernels get their own bench lines (r10 verdict item 6):
+    // each `stream:<kernel>` drives the fixed 4-wave workload + report
+    // into a fresh state dir (StreamBench). State bytes recorded below.
+    val streamNames = graft.streaming.StreamBench.kernels.map("stream:" + _._1)
+      .filter(n => only.forall(_.contains(n)))
+    val streamStateBytes = scala.collection.mutable.Map[String, Long]()
 
     def timeOne(name: String, tag: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -91,6 +97,9 @@ object Bench {
             val key = name.stripPrefix("pool:")
             graft.queries.SharedPools.evict(key)
             poolFns(key)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } else if (name.startsWith("stream:")) {
+            val key = name.stripPrefix("stream:")
+            streamStateBytes(key) = graft.streaming.StreamBench.driveOne(spark, sfDir, key)
           } else {
             SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
@@ -106,6 +115,7 @@ object Bench {
 
     val samples: Seq[(String, (Double, Boolean))] =
       (1 to reps).flatMap(r => poolNames.map(n => n -> timeOne(n, s"rep$r"))) ++
+        (1 to reps).flatMap(r => streamNames.map(n => n -> timeOne(n, s"rep$r"))) ++
         (1 to reps).flatMap(r => selected.map { case (name, _) => name -> timeOne(name, s"rep$r") })
     val byQuery0: Seq[(String, Seq[(Double, Boolean)])] = samples.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2) }
@@ -249,7 +259,9 @@ object Bench {
     // parse; it goes to a file, and the stdout contract line stays short.
     // `queries` stays the driver's shape (name -> seconds, now the min);
     // `samples` holds every rep for variance attribution.
-    val body = s""""sf":"$sfDir","reps":$reps,"gate":"$gate","queries":$qs,"samples":$repsJson"""
+    val stateJson = streamStateBytes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val body = s""""sf":"$sfDir","reps":$reps,"gate":"$gate","stream_state_bytes":$stateJson,"queries":$qs,"samples":$repsJson"""
     val snapshotPath = java.nio.file.Paths.get("bench_queries.json")
     if (gate == "green" || !java.nio.file.Files.exists(snapshotPath)) {
       java.nio.file.Files.writeString(snapshotPath, s"{$body}")
@@ -271,10 +283,12 @@ object Bench {
       s"""{"ts":"${java.time.Instant.now()}",$body}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val gateNames = gateFailures.map { case (q, _, _) => "\"" + q + "\"" }.mkString("[", ",", "]")
-    // n_queries counts registry queries only; pool:<key> warm-pass lines
-    // are reported separately so registry-size consumers stay stable.
+    // n_queries counts registry queries only; pool:<key> and
+    // stream:<kernel> lines are reported separately so registry-size
+    // consumers stay stable.
     val nPools = results.count(_._1.startsWith("pool:"))
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size - nPools},"n_pools":$nPools,"gate":"$gate","gate_failures":$gateNames,"queries_file":"bench_queries.json"}"""
+    val nStreams = results.count(_._1.startsWith("stream:"))
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size - nPools - nStreams},"n_pools":$nPools,"n_streams":$nStreams,"gate":"$gate","gate_failures":$gateNames,"queries_file":"bench_queries.json"}"""
     // The driver scrapes stdout but sbt appends `[success] Total time...`
     // after the JSON line, which broke its parse two rounds running
     // (BENCH parsed:null) — the summary also lands in a file it can read.

@@ -132,12 +132,13 @@ assert run['sf'] == '/root/testdata/sf0.1' and run.get('gate') == 'green', \
     f"stashed close is {run.get('gate')} at {run.get('sf')} — stash protocol broken"
 snap = json.load(open('bench_queries.json'))       # the committed artifact
 assert snap['sf'] == '/root/testdata/sf0.1', f"snapshot sf is {snap['sf']}"
-# pool:<key> lines are the warm-pools pre-pass (r10 verdict item 5),
-# not registry queries — count them separately.
-n = len([q for q in snap['queries'] if not q.startswith('pool:')])
-npool = len(snap['queries']) - n
+# pool:<key> (warm-pools pre-pass, r10 item 5) and stream:<kernel>
+# (streaming kernel bench, r10 item 6) lines are not registry queries —
+# count them separately.
+n = len([q for q in snap['queries'] if not q.startswith(('pool:', 'stream:'))])
+nextra = len(snap['queries']) - n
 assert n == reg, f"committed bench covers {n} queries but the registry has {reg}"
-print(f"[close] committed green sf0.1 bench covers all {n} registry queries (+{npool} pool lines)")
+print(f"[close] committed green sf0.1 bench covers all {n} registry queries (+{nextra} pool/stream lines)")
 EOF
   fi
   echo "== per-query bench regression gate (vs bench_history.jsonl minima)"
