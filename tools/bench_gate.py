@@ -122,13 +122,24 @@ def main():
         if not victims:
             print("[bench-gate] SELFTEST SKIPPED: no query has history to plant against")
         else:
-            victim = max(victims, key=lambda q: best[q])
-            planted = dict(cur)
-            planted[victim] = max(3.0 * best[victim], best[victim] + 2 * args.slack)
-            print(f"[bench-gate] selftest: planting {victim} at {planted[victim]:.2f}s")
-            if check(planted, best, allow, args.factor, args.slack, "planted run"):
-                print("[bench-gate] SELFTEST FAILED: planted regression not detected")
-                sys.exit(1)
+            # one victim per line family: the gate must trip on a planted
+            # slowdown in a query, a pool build, AND a streaming kernel
+            # (r10 verdict item 6) -- a family with no history yet is
+            # skipped the same way victimless runs are.
+            fams = {"query": [q for q in victims if not q.startswith(("pool:", "stream:"))],
+                    "pool": [q for q in victims if q.startswith("pool:")],
+                    "stream": [q for q in victims if q.startswith("stream:")]}
+            for fam, qs in fams.items():
+                if not qs:
+                    print(f"[bench-gate] selftest: no {fam} line with history yet -- skipped")
+                    continue
+                victim = max(qs, key=lambda q: best[q])
+                planted = dict(cur)
+                planted[victim] = max(3.0 * best[victim], best[victim] + 2 * args.slack)
+                print(f"[bench-gate] selftest: planting {fam} victim {victim} at {planted[victim]:.2f}s")
+                if check(planted, best, allow, args.factor, args.slack, f"planted {fam} run"):
+                    print(f"[bench-gate] SELFTEST FAILED: planted {fam} regression not detected")
+                    sys.exit(1)
             print("[bench-gate] selftest PASS: planted regression detected")
 
     sys.exit(0 if ok else 1)
