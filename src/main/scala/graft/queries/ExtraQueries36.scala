@@ -188,21 +188,34 @@ object ExtraQueries36 {
     * s10 kNN family works in embedding space, this one in interaction
     * space.
     *
+    * Candidate policy (PART OF THE SPEC, the d19/capBuckets
+    * discipline): pairs are generated among each type's
+    * [[S39ActiveCap]] most-active users (count desc, user_id
+    * tiebreak). The cap covers EVERY fixture user at all three oracle
+    * SFs (≤1,500 users/type vs 4,096), so the oracle is exact there,
+    * and it is what keeps the projection join LINEAR at corpus scale —
+    * the round-11 sf10 probe measured the uncapped join at ~5·10^10
+    * pair rows (150k users/type), the textbook quadratic this engine
+    * never ships. Cosines still use FULL vectors; only candidacy caps.
+    *
     * Exactness: counts and dot products are exact BIGINTs (products
     * dec-lifted into the sum); cosine is one double division against a
     * product of two exact-int doubles (each < 2^53 here) rounded 6dp,
     * with (cosine desc, ua, ub) a total order. Scale shape: the
-    * projection join is keyed by event_type — per-type fanout is the
-    * quadratic knob, and a production corpus caps it with the d15
-    * sorted-neighbors / d04 banding discipline before pairing; the
-    * close is the native TopK operator, never a global sort. */
+    * projection join is keyed by event_type with per-type fanout
+    * bounded by the candidate cap; the close is the native TopK
+    * operator, never a global sort. */
+  private val S39ActiveCap = 4096
   private val s39: Fn = (s, d) => {
     val c = Tables.events(s, d)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
     val nrm = c.groupBy("user_id")
       .agg(sum(dec(col("c")) * col("c")).cast(LongType).as("nrm"))
-    val a = c.select(col("event_type"), col("user_id").as("ua"), col("c").as("ca"))
-    val b = c.select(col("event_type"), col("user_id").as("ub"), col("c").as("cb"))
+    val cand = c.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("c"), col("user_id"))))
+      .filter(col("rk") <= S39ActiveCap)
+    val a = cand.select(col("event_type"), col("user_id").as("ua"), col("c").as("ca"))
+    val b = cand.select(col("event_type"), col("user_id").as("ub"), col("c").as("cb"))
     a.join(b, Seq("event_type")).filter(col("ua") < col("ub"))
       .groupBy("ua", "ub")
       .agg(sum(dec(col("ca")) * col("cb")).cast(LongType).as("num"))
@@ -221,10 +234,15 @@ object ExtraQueries36 {
       |nrm AS (
       |  SELECT user_id, CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS nrm
       |  FROM c GROUP BY 1),
+      |cand AS (
+      |  SELECT user_id, event_type, c FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c DESC, user_id) AS rk
+      |    FROM c)
+      |  WHERE rk <= 4096),
       |num AS (
       |  SELECT a.user_id AS ua, b.user_id AS ub,
       |         CAST(sum(CAST(a.c AS DECIMAL(38,0)) * b.c) AS BIGINT) AS num
-      |  FROM c a JOIN c b ON a.event_type = b.event_type AND a.user_id < b.user_id
+      |  FROM cand a JOIN cand b ON a.event_type = b.event_type AND a.user_id < b.user_id
       |  GROUP BY 1, 2)
       |SELECT ua, ub,
       |       round(CAST(num AS DOUBLE) /

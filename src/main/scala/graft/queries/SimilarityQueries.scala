@@ -792,21 +792,30 @@ object SimilarityQueries {
     * and each cell's pairing is an independent task). Keeper policy is
     * deterministic min-vec_id; every row is emitted with its cell and a
     * kept flag so the output is a complete, hash-comparable verdict.
-    * Clustering is the u02 deterministic Lloyd trainer (k=8, 3 rounds)
-    * and the oracle replays it round by round via the shared CTE
-    * builder, then recomputes the within-cell cosine dups in SQL —
-    * the full cluster+dedup pipeline is cross-engine verified. */
+    * Clustering is the u02 deterministic Lloyd trainer (3 rounds) with
+    * the codebook sized by the d09/s10 √n law — k =
+    * [[DedupQueries.ivfCodebookSize]](n), adopted in round 11 after
+    * the sf10 sweep caught d11 still on a FIXED k=8 (per-cell
+    * population n/k grows with the corpus, so the within-cell pair
+    * join was n²/k quadratic: ~1.25·10^11 candidate pairs at n=200k —
+    * the exact flaw d09 shed in round 8 and s10 in round 10). The
+    * oracle replays the trainer round by round via the shared CTE
+    * builder with the SAME dynamic seed count (a COUNT(*) subquery in
+    * the seed LIMIT), then recomputes the within-cell cosine dups in
+    * SQL — the full cluster+dedup pipeline stays cross-engine
+    * verified at every SF. */
   private val d11: Fn = (s, d) => {
     import s.implicits._
     val e = emb(s, d).select(col("vec_id"), col("embedding"))
-    val (cents, _) = graft.operators.KMeans.fit(e, 8, 3)
-    // Multi-probe membership (P=2 nearest cells): single-cell blocking
+    val kDyn = graft.queries.DedupQueries.ivfCodebookSize(e.count()).toInt
+    val (cents, _) = graft.operators.KMeans.fit(e, kDyn, 3)
+    // Multi-probe membership (P=3 nearest cells): single-cell blocking
     // measured recall 0.31 on this fixture — its similar pairs straddle
-    // cell boundaries (same finding as d09's cell experiment); probing
-    // the second-nearest cell recovers the straddlers at 2x candidate
-    // volume, the standard SemDeDup/IVF trade. Distances are the same
-    // sequential element-order fold on both engines, so probe ranks
-    // agree bit-for-bit.
+    // cell boundaries (same finding as d09's cell experiment). P raised
+    // 2 → 3 alongside the dynamic codebook (the d09/s10 precedent: a
+    // growing k costs boundary pairs, one more probe buys them back).
+    // Distances are the same sequential element-order fold on both
+    // engines, so probe ranks agree bit-for-bit.
     val centDf = cents.map { case (id, c) => (id, c) }.toDF("cell", "cent")
     val dist = aggregate(zip_with(col("embedding"), col("cent"),
       (x, c) => { val df = x.cast(DoubleType) - c; df * df }), lit(0.0), (acc, x) => acc + x)
@@ -814,7 +823,7 @@ object SimilarityQueries {
     val probes = e.crossJoin(broadcast(centDf))
       .withColumn("dist", dist)
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 2)
+      .filter(col("prk") <= 3)
       .select(col("vec_id"), col("embedding"), col("cell"), col("prk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probes.count() // materialize before the self-join branches race the cache
@@ -830,8 +839,9 @@ object SimilarityQueries {
         col("__dup").isNull.as("kept"))
       .orderBy("vec_id")
   }
-  private def d11Sql(k: Int, iters: Int): String =
-    s"""WITH ${kmeansReplayCtes(k, iters)},
+  private def d11Sql(iters: Int): String =
+    s"""WITH ${kmeansReplayCtes(
+      s"(SELECT ${DedupQueries.ivfCodebookSizeSql("count(*)")} FROM embeddings)", iters)},
        |probes AS (
        |  SELECT vec_id, embedding, cell, rk AS prk FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
@@ -839,7 +849,7 @@ object SimilarityQueries {
        |             list_reduce(list_transform(range(1, ${Dim + 1}),
        |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])),
        |               (acc, x) -> acc + x), c.cell) AS rk
-       |    FROM embeddings e CROSS JOIN c$iters c) t WHERE rk <= 2),
+       |    FROM embeddings e CROSS JOIN c$iters c) t WHERE rk <= 3),
        |dups AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2029,7 +2039,7 @@ object SimilarityQueries {
     Q("s20_assortativity", s20, Some(s20Sql)),
     Q("s19_triangle_census", s19, Some(s19Sql)),
     Q("s14_knn_classify", s14, Some(s14Sql)),
-    Q("d11_semantic_dedup", d11, Some(d11Sql(8, 3))),
+    Q("d11_semantic_dedup", d11, Some(d11Sql(3))),
     Q("s12_pagerank", s12, Some(s12Sql)),
     Q("s13_matryoshka_recall", s13, Some(s13Sql)),
     Q("s10_knn_graph", s10, Some(s10Sql)),
@@ -2062,7 +2072,7 @@ object SimilarityQueries {
     * d11): defines c0 (seed centroids), one assignment + fixed-point
     * mean recompute pair per round (a{r}/m{r}/c{r}), and `afinal` —
     * the final (vec_id, embedding, cell) assignment. */
-  private def kmeansReplayCtes(k: Int, iters: Int): String = {
+  private def kmeansReplayCtes(seedLimit: String, iters: Int): String = {
     val dim = Dim
     def sqdist(vec: String, cent: String) =
       s"""list_reduce(list_transform(range(1, ${dim + 1}),
@@ -2086,13 +2096,13 @@ object SimilarityQueries {
     s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         embedding::DOUBLE[] AS c
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k) s),
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $seedLimit) s),
        |${rounds.mkString(",\n")},
        |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
 
   private def u02Sql(k: Int, iters: Int): String =
-    s"""WITH ${kmeansReplayCtes(k, iters)}
+    s"""WITH ${kmeansReplayCtes(k.toString, iters)}
        |SELECT CAST(a.cell AS INTEGER) AS cell, count(*) AS n_vecs,
        |       round(any_value(c.c[1]), 6) AS c0
        |FROM afinal a JOIN c$iters c ON a.cell = c.cell

@@ -358,13 +358,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotDropped.nonEmpty, "fixture yields no semantic dups; spec is vacuous")
     // precision 1.0: a within-cell pair is a true pair, so every drop is justified
     assert(gotDropped.subsetOf(exactDropped), s"false drops: ${gotDropped -- exactDropped}")
-    // recall: pairs straddling BOTH probes' cells are the SemDeDup
-    // trade-off; measured 50/62 = 0.806 at sf0.001 with P=2 multiprobe
-    // (single-cell blocking measured 0.31 — this fixture's similar pairs
-    // straddle cells). Deterministic clustering, so one additional miss
-    // (49/62 = 0.79) fails this floor.
+    // recall: pairs straddling ALL probes' cells are the SemDeDup
+    // trade-off; measured 62/62 = 1.000 at sf0.001 with the round-11
+    // dynamic codebook (k = ivfCodebookSize(n) — 8 here) + P=3
+    // multiprobe (P=2 measured 0.806; single-cell 0.31 — this
+    // fixture's similar pairs straddle cells). Deterministic
+    // clustering, so a single missed pair (61/62 = 0.984) fails this
+    // floor.
     val recall = gotDropped.size.toDouble / exactDropped.size
-    assert(recall >= 0.80, s"recall=$recall vs measured 0.806")
+    assert(recall >= 0.99, s"recall=$recall vs measured 1.000")
     info(s"d11 recall = $recall (${gotDropped.size}/${exactDropped.size})")
   }
 
