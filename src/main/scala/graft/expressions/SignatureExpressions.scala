@@ -55,6 +55,59 @@ object SignatureKernels {
     new GenericArrayData(mins)
   }
 
+  /** d21's winnowing selection fused into one pass over the document
+    * (Schleimer–Wilkerson–Aiken, SIGMOD'03): hash every k-CHAR gram with
+    * the 28-bit md5-prefix base, slide a w-window over the packed
+    * `(h << 32) + (2³²−1−p)` keys keeping each window's minimum (the
+    * complemented position prefers the RIGHTMOST gram on hash ties),
+    * return the DISTINCT selected hashes (sorted — consumers explode
+    * into keyed joins, so array order is immaterial). Bit-identical to
+    * the built-in `transform`+sliding-`min` formulation (asserted in
+    * SignatureExpressionsSpec) and to the oracle's j-explode SQL replay.
+    * Grams are CHARACTER grams: byte offsets of each UTF-8 char are
+    * precomputed once, so multi-byte text costs one linear scan, and
+    * each gram hash runs over the exact bytes Spark's
+    * `md5(substring(text, p, k))` would hash. Returns an empty array
+    * when fewer than w windows exist (mirrors the np ≥ w filter). */
+  def winnow(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val np = nChars - k + 1
+    if (np < w) return new GenericArrayData(Array.empty[Long])
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    var off = 0
+    while (ci < nChars) {
+      offs(ci) = off
+      off += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(off))
+      ci += 1
+    }
+    offs(nChars) = off
+    val ring = new Array[Long](w)
+    val mins = new Array[Long](np - w + 1)
+    var p = 1
+    while (p <= np) {
+      val gs = offs(p - 1)
+      val h = PortableHash.md5PrefixLongRange(bytes, gs, offs(p - 1 + k) - gs, 7)
+      ring((p - 1) % w) = (h << 32) + (4294967295L - p)
+      if (p >= w) {
+        var m = ring(0)
+        var j = 1
+        while (j < w) { if (ring(j) < m) m = ring(j); j += 1 }
+        mins(p - w) = m >>> 32
+      }
+      p += 1
+    }
+    java.util.Arrays.sort(mins)
+    var n = 0
+    var i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(n) = mins(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, n))
+  }
+
   /** 60-bit SimHash from token occurrences (±1 bit votes) in one pass. */
   def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -116,6 +169,33 @@ case class MinHashSignature(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** Distinct winnowing fingerprints of a string document (k-char grams,
+  * w-wide windows) — see [[SignatureKernels.winnow]]. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $kernels.winnow($a, $k, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
 }
 
 /** 60-bit SimHash of a token array (occurrence-weighted bit voting). */

@@ -64,6 +64,25 @@ object PortableHash {
   def md5PrefixLong(s: String, hexChars: Int): Long =
     md5PrefixLong(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), hexChars)
 
+  /** Range variant for kernels hashing many slices of one byte array
+    * (d21's per-gram hashing): md5 over bytes[off, off+len) without
+    * allocating a copy per gram. Bit-identical to
+    * `md5PrefixLong(bytes.slice(off, off+len), hexChars)`. */
+  def md5PrefixLongRange(bytes: Array[Byte], off: Int, len: Int, hexChars: Int): Long = {
+    val d = digest.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = h(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import graft.expressions.{MinHashSignature, SimHashSignature}
+import graft.expressions.{MinHashSignature, SimHashSignature, WinnowFingerprints}
 
 /** Column wrappers for the fused signature expressions (same pattern as
   * [[VectorOps]]: built-in compositions remain in `DedupQueries` as the
@@ -16,4 +16,9 @@ object SignatureOps {
   /** 64-bit SimHash of an array<string> of token occurrences. */
   def simhash(tokens: Column): Column =
     GraftSqlBridge.column(SimHashSignature(GraftSqlBridge.expression(tokens)))
+
+  /** Distinct winnowing fingerprints (k-char grams, w windows) of a
+    * string document. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(text), k, w))
 }

@@ -317,11 +317,29 @@ object DedupQueries {
       |              JOIN sh s2 ON s2.doc_id = c.$c2 AND s2.s = s1.s
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** [[lshBandsOf]]'s banding applied to an already-computed signature
+    * relation — same expressions, no signature recompute. */
+  private def bandsOfSig(sigs: DataFrame): DataFrame = {
+    val P = graft.functions.PortableHash.P
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until LshBands).map { b =>
+        col("sig")(b * 2) * P + col("sig")(b * 2 + 1)
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
   /** MinHash-LSH near-dup: band the signature (32 bands × 2 rows),
     * generate candidate pairs per (band, bucket), verify candidates
-    * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified subset). */
+    * with exact Jaccard ≥ 0.4. Output shape matches d03 (verified
+    * subset). Round 12: the banding branches read the signatures from
+    * the parquet-backed [[minhashSigPool]] (the d19 lesson: pools, not
+    * lazy persists — racing self-join branches re-ran the fused
+    * minhash kernel once PER BRANCH, so round-11 d04 paid the
+    * signature pass twice in the candidate build alone; at the 100×
+    * probe that recompute was the bulk of the family's ratios). The
+    * exact-verify tail keeps the direct shingle map pass (no minhash
+    * in it). */
   private val d04: Fn = (s, d) => {
-    val bands = capBuckets(lshBands(s, d), Seq("band", "bucket"))
+    val bands = capBuckets(bandsOfSig(minhashSigPool(s, d)), Seq("band", "bucket"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -650,12 +668,22 @@ object DedupQueries {
     val c = ivfCodebookSize(e.count())
     val seeds = e.orderBy("vec_id").limit(c.toInt)
       .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    // Assignment scores are computed map-side, then ONLY the (vec_id,
+    // seed_id, csim) proxy rows ride the top-P window exchange — the
+    // n·C-row scored relation used to carry the full embedding through
+    // that shuffle (C ~ √n vectors of payload per input vector, the
+    // guide-§2.3/§8 heavy-proxy smell); the P winners re-attach their
+    // embedding with one n-row join afterwards (P « C, strictly fewer
+    // payload bytes moved at every scale).
     val scored = e.crossJoin(broadcast(seeds))
       .withColumn("csim", round(graft.functions.VectorOps.cosine(col("embedding"), col("sv")), 4))
+      .select(col("vec_id"), col("seed_id"), col("csim"))
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(desc("csim"), col("seed_id"))
     val assign = scored.withColumn("ark", row_number().over(wv)).filter(col("ark") <= IvfProbes)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+      .select(col("vec_id"), col("seed_id").as("cell"))
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     val S = 8
     val a = assign.select(col("cell"),
       pmod(xxhash64(col("vec_id")), lit(S)).as("salt"),
@@ -1375,7 +1403,15 @@ object DedupQueries {
     * registered signatures; candidates are the capped d04 bucket join;
     * everything downstream is pair-relation-sized. */
   private val d25: Fn = (s, d) => {
-    val bands = capBuckets(lshBands(s, d), Seq("band", "bucket"))
+    // Round 12: every signature consumer (cand's a/b band branches +
+    // the bit-pack) reads the parquet-backed [[minhashSigPool]] — the
+    // round-11 plan re-ran the shingle+minhash subtree THREE times for
+    // them (plus the verify tail's shingle passes), the most expensive
+    // map work in the query and the bulk of d25's 135 s / 50.4× ratio
+    // at the 100× probe. Pools, not lazy persists (the d19 lesson:
+    // racing branches blow past an unfilled cache).
+    val sigs = minhashSigPool(s, d)
+    val bands = capBuckets(bandsOfSig(sigs), Seq("band", "bucket"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -1384,7 +1420,7 @@ object DedupQueries {
     def half(lo: Int): org.apache.spark.sql.Column =
       (lo until lo + 32).map(j => (col("sig")(j) % 2) * (1L << (j - lo))).reduce(_ + _)
         .cast(LongType)
-    val bits = minhashSignatures(s, d)
+    val bits = sigs
       .select(col("doc_id"), half(0).as("bv0"), half(32).as("bv1"))
     val sh = shingled(s, d)
     cand
@@ -1468,44 +1504,35 @@ object DedupQueries {
     * Determinism/oracle: gram hashes are the portable 28-bit md5-prefix
     * base ([[graft.functions.PortableHash]]); the rightmost-min rule is
     * a (hash ASC, position DESC) selection — no RNG, no float.
-    * Plan (round-9 rewrite): the W-window rightmost-min is ONE
-    * doc-partitioned sliding `min` over a packed `(h << 32) | (2³²−1−p)`
-    * key — the 28-bit gram hash majorizes, the complemented position
-    * breaks ties toward the RIGHTMOST gram, and the window frame
-    * `ROWS [W−1 PRECEDING, CURRENT]` at row p is exactly window
-    * win = p−W+1 (gram positions are contiguous by construction). The
-    * previous j ∈ [0, W) explode computed the identical selected set at
-    * W× the row count plus a (doc, win)-keyed rank shuffle — measured
-    * 8.6 s → ~3 s at sf0.1. The ORACLE keeps the j-explode SQL form
+    * Plan (round-12 rewrite): the whole selection is the fused
+    * codegen'd [[graft.expressions.WinnowFingerprints]] kernel — one
+    * native pass per document hashes every gram (28-bit md5 prefix
+    * over the exact UTF-8 bytes `md5(substring(text,p,k))` would hash,
+    * char offsets precomputed once), slides the W-window min over the
+    * packed `(h << 32) | (2³²−1−p)` keys (hash majorizes; complemented
+    * position prefers the RIGHTMOST gram on ties) and emits the
+    * per-doc DISTINCT fingerprints. No positional explode, no
+    * doc-keyed window shuffle, no cross-doc DISTINCT exchange (the key
+    * is (doc, h) and docs never split): the round-9 window form
+    * shuffled every gram row twice (window + DISTINCT,
+    * corpus-chars-sized exchanges) and paid interpreted per-element
+    * lambda costs for the hashing (the SignatureKernels §4 rationale).
+    * Bit-equality with the built-in window formulation is asserted in
+    * SignatureExpressionsSpec. The ORACLE keeps the j-explode SQL form
     * (DuckDB replays it comfortably), which doubles as an independent
     * derivation of the same selection — the hash gate proves the two
     * formulations agree on every fingerprint.
-    * Scale shape: per-doc positional rows (linear in corpus chars, the
-    * d10 cost class), doc-partitioned windows only, fingerprint buckets
+    * Scale shape: per-doc gram arrays (linear in corpus chars, the
+    * d10 cost class), all selection map-local, fingerprint buckets
     * capped at [[MaxBucket]] lowest doc_ids before pair generation (the
     * d03/m10 bound) so a boilerplate fingerprint cannot go quadratic. */
   private val d21: Fn = (s, d) => {
     val k = WinnowK; val w = WinnowW
     val base = docs(s, d).select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= k + w - 1)
-      .withColumn("np", (length(col("text")) - k + 1).cast(LongType))
-    val g = base
-      .select(col("doc_id"), col("np"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), " +
-          s"p -> CAST(conv(substring(md5(substring(text, p, $k)), 1, 7), 16, 10) AS BIGINT))"))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), col("np"), (col("p0") + 1).cast(LongType).as("p"), col("h"))
-    // packed sliding min: h < 2^28 majorizes; (2^32−1−p) prefers the
-    // rightmost position on hash ties (positions stay < 2^32 even at
-    // blob-sized documents, so the pack never collides)
-    val wmin = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(-(w - 1), Window.currentRow)
-    val selected = g
-      .withColumn("packed", shiftleft(col("h"), 32) + (lit(4294967295L) - col("p")))
-      .withColumn("minp", min(col("packed")).over(wmin))
-      .filter(col("p") >= w) // frame complete ⇔ win = p−W+1 ≥ 1
-      .select(col("doc_id"), shiftrightunsigned(col("minp"), 32).as("h"))
-      .distinct()
+    val selected = base
+      .select(col("doc_id"),
+        explode(graft.functions.SignatureOps.winnow(col("text"), k, w)).as("h"))
     val capped = capBuckets(selected, Seq("h"))
     capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

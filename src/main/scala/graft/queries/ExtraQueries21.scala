@@ -45,14 +45,27 @@ object ExtraQueries21 {
       .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("y"))
       .withColumn("x", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType))
+    // The pair join is keyed on prio alone — |priorities| distinct keys,
+    // so un-salted it caps pair generation at 5 reducers no matter the
+    // cluster (guide-§2.5 skew class: every key is hot by construction).
+    // Salt the left side S ways on x1 and replicate the right side S
+    // ways: every (x1 < x2) pair still meets exactly once, on
+    // (prio, salt), and generation spreads across 5·S cores. The
+    // replicated side is the day-grain aggregate (calendar-bounded),
+    // so the extra shuffle is S × |days| tiny rows.
+    val S = 8
     val a = daily.select(col("prio"), col("x").as("x1"), col("y").as("y1"))
+      .withColumn("sa", pmod(xxhash64(col("x1")), lit(S)))
     val b = daily.select(col("prio").as("p2"), col("x").as("x2"), col("y").as("y2"))
-    val pairs = a.join(b, col("prio") === col("p2") && col("x1") < col("x2"))
+      .withColumn("sb", explode(array((0 until S).map(lit): _*)))
+    val pairs = a.join(b,
+        col("prio") === col("p2") && col("sa") === col("sb") && col("x1") < col("x2"))
       .withColumn("slope", (col("y2") - col("y1")).cast(DoubleType) / (col("x2") - col("x1")))
       // bucketing is monotone in slope, so the global (slope, x1, x2)
       // order is bucket-major — the k-th element lives in the first
       // bucket whose cumulative count reaches k
       .withColumn("bkt", floor(col("slope") / 1000.0).cast(LongType))
+      .select("prio", "x1", "x2", "slope", "bkt") // project before the cache: y1/y2/salt are dead past the slope
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.groupBy("prio").agg(count(lit(1)).cast(LongType).as("n_pairs"))
     val wCum = Window.partitionBy("prio").orderBy("bkt")

@@ -24,11 +24,17 @@ object ExtraQueries36 {
 
   /** doc_id → packed 60-bit shingle-hash rows, the d32 grain idiom
     * (md5-prefix BIGINT; 8-byte keys are what actually shuffles). */
+  /** Per-doc 60-bit shingle keys, hash-distinct INSIDE the doc array
+    * (round 12): the oracle's `sh` relation dedups on the HASH level
+    * via list_distinct — mirroring that map-side makes every (doc_id,
+    * sk) row distinct by construction, so consumers need no global
+    * DISTINCT exchange over the shingle mass (d35 paid one purely to
+    * pin down the birthday-collision case the oracle already folds). */
   private def shingleHashes(s: SparkSession, d: String) =
     DedupQueries.shingledOf(Tables.documents(s, d))
-      .select(col("doc_id"), explode(col("shingles")).as("sg"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("sg")), 1, 15), 16, 10).cast(LongType).as("sk"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(shingles, sg -> CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)))"))
+        .as("sk"))
 
   private val ShingleSqlHash =
     "CAST(concat('0x', substring(md5(sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' || sp[i+4]), 1, 15)) AS BIGINT)"
@@ -88,7 +94,7 @@ object ExtraQueries36 {
       |  SELECT event_type,
       |         CAST(date_diff('day', (SELECT min(date_trunc('day', ts)) FROM events),
       |                        date_trunc('day', ts)) AS BIGINT) AS day,
-      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc
       |  FROM events GROUP BY 1, 2),
       |tot AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(sc) AS BIGINT) AS t
@@ -196,7 +202,11 @@ object ExtraQueries36 {
     * and it is what keeps the projection join LINEAR at corpus scale —
     * the round-11 sf10 probe measured the uncapped join at ~5·10^10
     * pair rows (150k users/type), the textbook quadratic this engine
-    * never ships. Cosines still use FULL vectors; only candidacy caps.
+    * never ships. NORMS use full vectors; the NUMERATOR sums only over
+    * event types where both users are inside the cap, so past the cap
+    * a reported cosine is a truncated-dot-product UNDERESTIMATE (both
+    * engines agree; at the oracle SFs the cap covers every user, so
+    * the values there are the exact full-vector cosines).
     *
     * Exactness: counts and dot products are exact BIGINTs (products
     * dec-lifted into the sum); cosine is one double division against a
@@ -260,17 +270,22 @@ object ExtraQueries36 {
     * lesson). max_spread is the breadth of the most-shared shingle.
     *
     * Exactness: distinct counting on the packed 60-bit shingle grain,
-    * one rounded division per source. Scale shape: the d32 hash-pack
-    * discipline — 8-byte keys shuffle to the (source, shingle) grain,
-    * then the shingle-spread partial agg; nothing wider than a BIGINT
-    * pair ever moves. */
+    * one rounded division per source. Scale shape (round-12 rewrite):
+    * ONE shuffle of the shingle mass — `collect_set(source)` per
+    * shingle key is the two-level distinct (map-side partial sets
+    * collapse same-partition repeats before the exchange, and the set
+    * is bounded by |sources|), spread ns = set size, and the per-source
+    * rollup reads the exploded set — a |types|·|sources|-bounded
+    * relation. The round-11 plan computed the md5 shingle subtree
+    * TWICE (bySrc fed both the spread aggregate and a sort-merge
+    * self-join on sk) and paid three shingle-mass exchanges; nothing
+    * wider than (BIGINT, bounded set) moves now. */
   private val t48: Fn = (s, d) => {
-    val bySrc = shingleHashes(s, d)
+    val perSk = shingleHashes(s, d)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .select("source", "sk").distinct()
-    val spread = bySrc.groupBy("sk").agg(count(lit(1)).cast(LongType).as("ns"))
-    bySrc.join(spread, "sk")
-      .groupBy("source")
+      .groupBy("sk").agg(collect_set(col("source")).as("srcs"))
+      .select(size(col("srcs")).cast(LongType).as("ns"), explode(col("srcs")).as("source"))
+    perSk.groupBy("source")
       .agg(count(lit(1)).cast(LongType).as("n_types"),
         sum(when(col("ns") === 1, 1L).otherwise(0L)).cast(LongType).as("unique_types"),
         round(sum(when(col("ns") === 1, 1L).otherwise(0L)).cast(DoubleType) /
@@ -311,10 +326,18 @@ object ExtraQueries36 {
     * d04's capBuckets, and the per-pair merge relation is ≤ 2k rows by
     * construction). */
   private val d35: Fn = (s, d) => {
-    val sh = shingleHashes(s, d).distinct()
-    val bk = sh
-      .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy("sk")))
-      .filter(col("rk") <= 8).select("doc_id", "sk")
+    // Bottom-8 per doc straight off the per-doc hash array (round 12):
+    // `slice(array_sort(...), 1, 8)` is the k smallest of the doc's
+    // hash-distinct shingle keys computed MAP-SIDE — the round-11 plan
+    // paid a global DISTINCT exchange (a no-op: rows are per-doc
+    // distinct by construction, the oracle's list_distinct grain) plus
+    // a doc-keyed row_number window over the full shingle mass just to
+    // select 8 rows per doc. Identical sketch: same keys, same order.
+    val bk = DedupQueries.shingledOf(Tables.documents(s, d))
+      .select(col("doc_id"), explode(expr(
+        "slice(array_sort(array_distinct(transform(shingles, " +
+          "sg -> CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)))), 1, 8)"))
+        .as("sk"))
     val cand = bk.select(col("doc_id").as("da"), col("sk"))
       .join(bk.select(col("doc_id").as("db"), col("sk")), Seq("sk"))
       .filter(col("da") < col("db"))

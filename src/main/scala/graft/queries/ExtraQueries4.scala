@@ -425,19 +425,25 @@ object ExtraQueries4 {
     val bigrams = zip_with(
       slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
       (a, b) => concat(a, lit(" "), b))
+    // df via a count window over the tf relation (round 12, the d03
+    // dfWin pattern) — NOT a groupBy+join back onto tf: that shape
+    // re-shuffled the term relation twice (df aggregation + the join)
+    // where one bg-keyed window pass computes the same count on rows
+    // already grouped by the tf aggregation.
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(dfWin))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy("bg").agg(count(lit(1)).as("df"))
     val nd = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("nd"))
-    val wt = tf.join(df, "bg").crossJoin(broadcast(nd))
+    val wt = tf.crossJoin(broadcast(nd))
       .select(col("doc_id"), col("bg"),
         (col("tf") * (log(col("nd") / col("df").cast(DoubleType)) * 1e6).cast(LongType)).as("wfp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = wt.groupBy("doc_id")
       .agg(sum(col("wfp").cast(DecimalType(38, 0)) * col("wfp")).as("n2"))
-    val rare = tf.join(df.filter(col("df").between(2, 20)), "bg").select("doc_id", "bg")
+    val rare = tf.filter(col("df").between(2, 20)).select("doc_id", "bg")
     val cand = rare.select(col("doc_id").as("da"), col("bg"))
       .join(rare.select(col("doc_id").as("db"), col("bg")), "bg")
       .filter(col("da") < col("db"))

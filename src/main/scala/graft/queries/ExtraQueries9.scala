@@ -235,6 +235,15 @@ object ExtraQueries9 {
       .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(money(col("o_totalprice")) * 100).cast(LongType).as("x"),
         count(lit(1)).as("y"))
+    // Examined for the r119 salt treatment (the join is keyed on r_name
+    // alone — 5 reducers) and measured: the salted variant REGRESSED at
+    // sf0.1 (min 2.83 s vs 2.71 s, with 5-7 s reps under group load)
+    // because the pair mass here is calendar-bounded (days² per region,
+    // corpus-INDEPENDENT — ~29M rows at any scale), so the ceiling is a
+    // fixed ~1 s cost forever, not a scale blocker, and the salt's extra
+    // exchange only adds overhead. Left on the direct join; r119 keeps
+    // the salt because its selection phases reread the cached pair
+    // relation and measured parity.
     val d1 = daily.select(col("r_name"), col("day").as("day1"), col("x").as("x1"), col("y").as("y1"))
     val d2 = daily.select(col("r_name").as("rn2"), col("day").as("day2"), col("x").as("x2"), col("y").as("y2"))
     val dx = col("x2") - col("x1")

@@ -1034,19 +1034,23 @@ object TextQueries {
     * a single global run ranks all of them at once (the uniform
     * teleport term scales every component identically).
     *
-    * Scale shape: the corpus-sized work is the doc-keyed bigram window
-    * and the edge DISTINCT (both keyed shuffles); the graph itself is
+    * Scale shape: the corpus-sized work is the MAP-SIDE adjacent-pair
+    * generation (bigrams come straight off each document's token array
+    * — no positional explode, no doc-keyed lag window shuffle; the
+    * round-12 rewrite removed that corpus-token exchange) and the edge
+    * DISTINCT (one keyed shuffle); the graph itself is
     * vocabulary-sized — orders of magnitude smaller than the corpus —
     * and the kernel's per-round cost is two keyed operations on it.
     * The per-language top-10 window is partitioned by lang. */
   private val t29: Fn = (s, d) => {
-    val tokPos = docs(s, d)
-      .select(col("lang"), col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val und = tokPos.withColumn("prev", lag(col("token"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") =!= col("token"))
-      .select(concat(col("lang"), lit("|"), col("prev")).as("u"),
-        concat(col("lang"), lit("|"), col("token")).as("v"))
+    val und = docs(s, d)
+      .select(col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS prev, w[i+1] AS token))")).as("bg"))
+      .filter(col("bg.prev") =!= col("bg.token"))
+      .select(concat(col("lang"), lit("|"), col("bg.prev")).as("u"),
+        concat(col("lang"), lit("|"), col("bg.token")).as("v"))
       .distinct()
     val edges = und.select(col("u").as("a_id"), col("v").as("b_id"))
       .union(und.select(col("v").as("a_id"), col("u").as("b_id")))

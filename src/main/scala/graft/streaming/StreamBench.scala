@@ -62,7 +62,15 @@ object StreamBench {
         (0 until Waves).map(w => orders.filter(pmod(col("o_orderkey"), lit(Waves)) === w))
       case "watermark" =>
         val ev = graft.Tables.events(spark, sfDir)
+        // Cache the derived arrival relation for the wave build: the
+        // md5 jitter pass over every event otherwise re-runs 5× (the
+        // bounds agg + one full re-derivation per wave filter) — wave
+        // CONTENT is unchanged, the line just stops re-billing fixture
+        // derivation 4 extra times per rep. Recomputed fresh inside
+        // every timed invocation (no cross-run reuse); Bench's
+        // clearCache() after the rep releases it.
         val arr = graft.queries.ExtraQueries10.wmArrivals(ev)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // 1-row driver protocol: longs only (java.sql.Date decoding
         // would need --add-opens sun.util.calendar, absent in the
         // raw-java Bench JVM)

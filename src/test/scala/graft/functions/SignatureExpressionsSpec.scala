@@ -33,6 +33,52 @@ class SignatureExpressionsSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("fused winnow == posexplode/window-min composition, every doc (incl. multibyte)") {
+    // Reference: the round-9..11 built-in formulation (per-gram rows,
+    // doc-keyed sliding min over the packed key, distinct) — the plan
+    // the fused kernel replaced in round 12. Run over the fixture docs
+    // PLUS planted edge cases: multibyte text (UTF-8 char grams), text
+    // exactly at the length threshold, repeated grams (hash ties test
+    // the rightmost-position rule).
+    import org.apache.spark.sql.expressions.Window
+    val k = DedupQueries.WinnowK; val w = DedupQueries.WinnowW
+    val extra = spark.createDataFrame(Seq(
+      (900001L, "中文字符的测试文档内容重复内容重复内容"),
+      (900002L, "abcabcabcabcabcabcabc"),
+      (900003L, "x" * (k + w - 1)),
+      (900004L, "päällekkäisyys käsittelyä varten tämä on testi"))).toDF("doc_id", "text")
+    val docsDf = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(extra)
+      .filter(length(col("text")) >= k + w - 1)
+    val fused = docsDf
+      .select(col("doc_id"), explode(SignatureOps.winnow(col("text"), k, w)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = docsDf
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"p -> CAST(conv(substring(md5(substring(text, p, $k)), 1, 7), 16, 10) AS BIGINT))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    val wmin = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val builtin = g
+      .withColumn("packed", shiftleft(col("h"), 32) + (lit(4294967295L) - col("p")))
+      .withColumn("minp", min(col("packed")).over(wmin))
+      .filter(col("p") >= w)
+      .select(col("doc_id"), shiftrightunsigned(col("minp"), 32).as("h"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused.nonEmpty)
+    assert(fused == builtin)
+  }
+
+  test("winnow edge: below-threshold text yields an empty array") {
+    val k = DedupQueries.WinnowK; val w = DedupQueries.WinnowW
+    val out = spark.range(1).select(
+      size(SignatureOps.winnow(lit("x" * (k + w - 2)), k, w)).as("n")).collect().head.getInt(0)
+    assert(out == 0)
+  }
+
   test("sql registration and edge cases: empty array, null input") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // ensure the shared context exists
