@@ -90,6 +90,9 @@ object Bench {
     val streamStateBytes = scala.collection.mutable.Map[String, Long]()
 
     def timeOne(name: String, tag: String): (Double, Boolean) = {
+      // §1.5: label the jobs so a UI/event-log read of a bench run can
+      // attribute stages to bench lines (thread-local, cleared after).
+      spark.sparkContext.setJobDescription(s"bench:$name $tag")
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -107,6 +110,7 @@ object Bench {
         }
         catch { case e: Throwable => System.err.println(s"[bench] $name $tag failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // drop caches persisted inside queries (d03/d07/d08/r46) so later
       // queries are measured cold and memory doesn't accumulate
       spark.catalog.clearCache()

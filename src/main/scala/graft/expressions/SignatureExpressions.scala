@@ -108,6 +108,48 @@ object SignatureKernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, n))
   }
 
+  /** t33's MATTR numerator fused into one pass: the sum over all
+    * sliding windows of width w (max(n−w+1, 1) windows — one window of
+    * the whole array when n ≤ w, mirroring `slice`'s truncation) of the
+    * window's DISTINCT token count. A sliding multiset (add the
+    * entering token, drop the leaving one) makes the pass O(n) instead
+    * of the O(n·w) per-window `array_distinct(slice(...))` chain, and
+    * native instead of interpreted per-element lambdas. Bit-identical
+    * to `aggregate(transform(sequence(1, nWin), i ->
+    * size(array_distinct(slice(toks, i, w)))), 0L, acc + x)` (asserted
+    * in SignatureExpressionsSpec). */
+  def slidingDistinctSum(arr: ArrayData, w: Int): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[Any, Integer]()
+    def add(i: Int): Unit = {
+      val k = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val c = counts.get(k)
+      counts.put(k, if (c == null) 1 else c + 1)
+    }
+    def drop(i: Int): Unit = {
+      val k = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val c = counts.get(k)
+      if (c == 1) counts.remove(k) else counts.put(k, c - 1)
+    }
+    if (n <= w) {
+      var i = 0
+      while (i < n) { add(i); i += 1 }
+      return counts.size.toLong
+    }
+    var sum = 0L
+    var i = 0
+    while (i < w) { add(i); i += 1 } // window [0, w)
+    sum += counts.size
+    while (i < n) {
+      add(i)
+      drop(i - w)
+      sum += counts.size
+      i += 1
+    }
+    sum
+  }
+
   /** 60-bit SimHash from token occurrences (±1 bit votes) in one pass. */
   def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -196,6 +238,26 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "winnow_fingerprints"
+}
+
+/** Sum of per-sliding-window distinct counts over a token array — see
+  * [[SignatureKernels.slidingDistinctSum]]. */
+case class SlidingDistinctSum(child: Expression, w: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.slidingDistinctSum(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $kernels.slidingDistinctSum($a, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sliding_distinct_sum"
 }
 
 /** 60-bit SimHash of a token array (occurrence-weighted bit voting). */

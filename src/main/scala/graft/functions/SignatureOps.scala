@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import graft.expressions.{MinHashSignature, SimHashSignature, WinnowFingerprints}
+import graft.expressions.{MinHashSignature, SimHashSignature, SlidingDistinctSum, WinnowFingerprints}
 
 /** Column wrappers for the fused signature expressions (same pattern as
   * [[VectorOps]]: built-in compositions remain in `DedupQueries` as the
@@ -21,4 +21,9 @@ object SignatureOps {
     * string document. */
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(text), k, w))
+
+  /** Sum of per-sliding-window distinct counts (t33's MATTR numerator)
+    * over an array<string> of tokens. */
+  def slidingDistinctSum(tokens: Column, w: Int): Column =
+    GraftSqlBridge.column(SlidingDistinctSum(GraftSqlBridge.expression(tokens), w))
 }

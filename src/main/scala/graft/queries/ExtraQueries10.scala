@@ -230,10 +230,14 @@ object ExtraQueries10 {
     * denominator windows·min(W, n) are exact integers — one rounded
     * division per document. Documents shorter than W degrade to plain
     * TTR (one window of size n) by the same formula.
-    * Scale shape: pure map-side higher-order functions (transform +
-    * array_distinct over slices) inside whole-stage codegen — no
-    * explode-regroup shuffle, the same discipline as t30; cost is
-    * O(n·W) per document, independent of corpus size. */
+    * Scale shape: pure map work — the numerator is the fused codegen'd
+    * [[graft.expressions.SlidingDistinctSum]] kernel (round 12): one
+    * O(n) sliding-multiset pass per document replaces the interpreted
+    * per-window `array_distinct(slice(...))` lambda chain (O(n·W)
+    * element-lambda evaluations — §4's non-codegen-hot-path smell;
+    * bit-equality with that formulation asserted in
+    * SignatureExpressionsSpec). No explode-regroup shuffle, the same
+    * discipline as t30; cost independent of corpus size. */
   private val t33: Fn = (s, d) => {
     val toks = split(col("text"), " ")
     val n = size(toks)
@@ -241,10 +245,8 @@ object ExtraQueries10 {
     docs(s, d)
       .withColumn("n_tokens", n.cast(LongType))
       .withColumn("n_windows", nWin.cast(LongType))
-      .withColumn("sum_distinct", aggregate(
-        transform(sequence(lit(1), nWin),
-          i => size(array_distinct(slice(toks, i, lit(MattrW))))),
-        lit(0L), (acc, x) => acc + x).cast(LongType))
+      .withColumn("sum_distinct",
+        graft.functions.SignatureOps.slidingDistinctSum(toks, MattrW).cast(LongType))
       .withColumn("mattr", round(col("sum_distinct").cast(DoubleType) /
         (col("n_windows") * least(col("n_tokens"), lit(MattrW.toLong))).cast(DoubleType), 6))
       .select("doc_id", "n_tokens", "n_windows", "sum_distinct", "mattr")

@@ -224,6 +224,13 @@ object ExtraQueries36 {
     val cand = c.withColumn("rk", row_number().over(
         Window.partitionBy("event_type").orderBy(desc("c"), col("user_id"))))
       .filter(col("rk") <= S39ActiveCap)
+    // Examined for the r119 salt treatment (the projection join is keyed
+    // on event_type alone) and REVERTED on measurement: salted 8 ways it
+    // benched 4.96 s warm / 17.6 s cold-rep vs 4.02 s unsalted at sf0.1
+    // (full-run context). The pair mass is CAP-bounded (≤ cap²/2 per
+    // type at any corpus scale), so like r102 the reducer ceiling is a
+    // fixed cost, not a scale blocker, and the salt's replicated
+    // exchange + wider aggregation key only added overhead.
     val a = cand.select(col("event_type"), col("user_id").as("ua"), col("c").as("ca"))
     val b = cand.select(col("event_type"), col("user_id").as("ub"), col("c").as("cb"))
     a.join(b, Seq("event_type")).filter(col("ua") < col("ub"))

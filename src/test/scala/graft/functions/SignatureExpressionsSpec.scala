@@ -72,6 +72,29 @@ class SignatureExpressionsSpec extends AnyFunSuite {
     assert(fused == builtin)
   }
 
+  test("fused slidingDistinctSum == aggregate/transform/slice composition, every doc") {
+    // Reference: t33's round-8..11 built-in formulation. Fixture docs
+    // plus planted edges: shorter than the window (degrades to one
+    // whole-array window), exactly window-sized, all-identical tokens.
+    val W = graft.queries.ExtraQueries10.MattrW
+    val extra = spark.createDataFrame(Seq(
+      (910001L, "a b c"),
+      (910002L, (1 to W).map(i => s"t$i").mkString(" ")),
+      (910003L, Seq.fill(W + 7)("same").mkString(" ")))).toDF("doc_id", "text")
+    val docsDf = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(extra)
+    val toks = split(col("text"), " ")
+    val nWin = greatest(size(toks) - W + 1, lit(1))
+    val both = docsDf.select(col("doc_id"),
+      SignatureOps.slidingDistinctSum(toks, W).as("fused"),
+      aggregate(
+        transform(sequence(lit(1), nWin),
+          i => size(array_distinct(slice(toks, i, lit(W))))),
+        lit(0L), (acc, x) => acc + x).as("builtin")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("winnow edge: below-threshold text yields an empty array") {
     val k = DedupQueries.WinnowK; val w = DedupQueries.WinnowW
     val out = spark.range(1).select(
