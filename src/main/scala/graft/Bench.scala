@@ -109,8 +109,11 @@ object Bench {
           true
         }
         catch { case e: Throwable => System.err.println(s"[bench] $name $tag failed: ${e.getMessage}"); false }
+        // r12 ADVICE: clear the thread-local label in a finally so a
+        // narrowed catch (or a throw from the handler) can never leak it
+        // onto subsequent bench lines.
+        finally spark.sparkContext.setJobDescription(null)
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.setJobDescription(null)
       // drop caches persisted inside queries (d03/d07/d08/r46) so later
       // queries are measured cold and memory doesn't accumulate
       spark.catalog.clearCache()

@@ -1042,25 +1042,49 @@ object DedupQueries {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
       |ORDER BY d1, d2""".stripMargin
 
-  private val d13: Fn = (s, d) => containmentPairsOf(docs(s, d))
+  // Round-13 (guide §1.2-1/§6, the d04/d25 minhash_sigs precedent and
+  // VERDICT r12 item 3): the df-ranked shingle relation is the whole
+  // tokenize+shingle+df-window+per-doc-sort cost of d13, and the query
+  // reads it FOUR times (prefix, full, and both verify joins). The
+  // in-query persist served the branches within one plan but priced the
+  // build into every d13 invocation and materialized ALL columns for
+  // every branch; the parquet-backed pool builds it once per run as its
+  // own priced `pool:containment_ranked` bench line, and each branch's
+  // parquet scan prunes to the columns it needs (pre/full never read the
+  // string array `arr` — only the verify tail does).
+  private val d13: Fn = (s, d) =>
+    containmentPairsFromRanked(containmentRankedPool(s, d))
 
-  /** d13 body over any `(doc_id, text)` relation — factored so specs can
-    * plant exact containment cases and assert prefix-filter losslessness
-    * on constructed corpora. */
-  private[queries] def containmentPairsOf(docsDf: DataFrame): DataFrame = {
+  private[queries] def containmentRankedPool(s: SparkSession, d: String): DataFrame =
+    SharedPools.materialized(s, d, "containment_ranked")(containmentRankedOf(docs(s, d)))
+
+  /** d13's df-ranked per-doc shingle relation `(doc_id, arr, harr, n)`
+    * over any `(doc_id, text)` relation. */
+  private[graft] def containmentRankedOf(docsDf: DataFrame): DataFrame = {
     val dfWin = Window.partitionBy(col("h"))
     val ex = shingledOf(docsDf).select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h", xxhash64(col("s")))
       .withColumn("df", count(lit(1)).over(dfWin))
-    val ranked = ex
+    ex
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("h"), col("s")))).as("ss"))
       .select(col("doc_id"),
         transform(col("ss"), x => x.getField("s")).as("arr"),
         transform(col("ss"), x => x.getField("h")).as("harr"),
         size(col("ss")).as("n"))
+  }
+
+  /** d13 body over any `(doc_id, text)` relation — factored so specs can
+    * plant exact containment cases and assert prefix-filter losslessness
+    * on constructed corpora (spec path: in-memory persist, no pool). */
+  private[queries] def containmentPairsOf(docsDf: DataFrame): DataFrame = {
+    val ranked = containmentRankedOf(docsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranked.count() // materialize before the branches race (d03's lesson)
+    containmentPairsFromRanked(ranked)
+  }
+
+  private[queries] def containmentPairsFromRanked(ranked: DataFrame): DataFrame = {
     // prefix of the POTENTIALLY-SMALLER side: n − ⌈0.8·n⌉ + 1 entries
     val pre = ranked.select(col("doc_id"), col("n"),
       explode(slice(col("harr"), lit(1),

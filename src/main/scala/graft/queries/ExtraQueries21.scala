@@ -41,10 +41,21 @@ object ExtraQueries21 {
     * priority on a 2-year calendar — bounded and documented); windows
     * run on the bucket-grain counts and the single median bucket. */
   private val r119: Fn = (s, d) => {
+    // Round 13 (§2.3/§5 — persist the PROXY, regenerate the mass): the
+    // C(days,2)-per-priority pair relation (~14M rows at sf0.1) was
+    // persisted MEMORY_AND_DISK and read three times; writing+reading a
+    // 14M-row cache costs more than regenerating the pairs, because
+    // generation is pure map work off the DAY-GRAIN aggregate (tiny,
+    // cached below) and every consumer partial-aggregates it map-side —
+    // the pair mass never crosses an exchange. Now only `daily`
+    // (|prio×days| rows) and the bucket HISTOGRAM (bucket-grain) are
+    // cached, and the pair mass is generated twice (histogram pass +
+    // median-bucket selection pass) instead of materialized once.
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("y"))
       .withColumn("x", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The pair join is keyed on prio alone — |priorities| distinct keys,
     // so un-salted it caps pair generation at 5 reducers no matter the
     // cluster (guide-§2.5 skew class: every key is hot by construction).
@@ -60,17 +71,29 @@ object ExtraQueries21 {
       .withColumn("sb", explode(array((0 until S).map(lit): _*)))
     val pairs = a.join(b,
         col("prio") === col("p2") && col("sa") === col("sb") && col("x1") < col("x2"))
-      .withColumn("slope", (col("y2") - col("y1")).cast(DoubleType) / (col("x2") - col("x1")))
+      // The x1 < x2 join condition makes the divisor strictly positive on
+      // every surviving row, but without the old persist boundary the
+      // optimizer pushes derived predicates (isnotnull(bkt) from the
+      // median-bucket equi-join) into the join residual, where predicate
+      // order is unspecified — the division then evaluates on x1 = x2
+      // self-pairs before the x1 < x2 check and ANSI mode throws. The
+      // always-true guard keeps evaluation conditional (identical values
+      // on all surviving rows; the guarded null never survives the join).
+      .withColumn("slope", when(col("x2") > col("x1"),
+        (col("y2") - col("y1")).cast(DoubleType) / (col("x2") - col("x1"))))
       // bucketing is monotone in slope, so the global (slope, x1, x2)
       // order is bucket-major — the k-th element lives in the first
       // bucket whose cumulative count reaches k
       .withColumn("bkt", floor(col("slope") / 1000.0).cast(LongType))
-      .select("prio", "x1", "x2", "slope", "bkt") // project before the cache: y1/y2/salt are dead past the slope
+      .select("prio", "x1", "x2", "slope", "bkt") // y1/y2/salt are dead past the slope
+    // bucket-grain histogram: the one materialization both selection
+    // phases read (n_pairs is its per-prio row sum — no separate pass)
+    val hist = pairs.groupBy("prio", "bkt").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.groupBy("prio").agg(count(lit(1)).cast(LongType).as("n_pairs"))
+    val nPairs = hist.groupBy("prio").agg(sum(col("c")).cast(LongType).as("n_pairs"))
     val wCum = Window.partitionBy("prio").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val medianBkt = pairs.groupBy("prio", "bkt").agg(count(lit(1)).as("c"))
+    val medianBkt = hist
       .withColumn("cum", sum(col("c")).over(wCum))
       .join(broadcast(nPairs), Seq("prio"))
       .withColumn("k", expr("(n_pairs + 1) DIV 2"))

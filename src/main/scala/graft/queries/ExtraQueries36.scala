@@ -22,8 +22,6 @@ object ExtraQueries36 {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 0))
 
-  /** doc_id → packed 60-bit shingle-hash rows, the d32 grain idiom
-    * (md5-prefix BIGINT; 8-byte keys are what actually shuffles). */
   /** Per-doc 60-bit shingle keys, hash-distinct INSIDE the doc array
     * (round 12): the oracle's `sh` relation dedups on the HASH level
     * via list_distinct — mirroring that map-side makes every (doc_id,

@@ -452,17 +452,22 @@ object PipelineQueries {
     * Columns are strings + a long count — exact through the parquet
     * round-trip, hashes unchanged. */
   private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame =
-    SharedPools.materialized(s, d, "contamination_pairs") {
-      // Persisted: the benchmark and training branches below would each
-      // re-run the shingling subtree otherwise (same rationale as d03).
-      val sh = DedupQueries.shingled(s, d)
-        .join(docs(s, d).select("doc_id", "source"), "doc_id")
-        .select(col("doc_id"), col("source"), explode(col("shingles")).as("sg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bench = sh.filter(col("source") === "src0")
-        .select(col("doc_id").as("bench_id"), col("sg"))
-      val train = sh.filter(col("source") =!= "src0")
-        .select(col("doc_id").as("train_id"), col("sg"))
+    SharedPools.materialized(s, d, "contamination_pairs")(contaminationPairsBuild(s, d))
+
+  /** The raw (unmaterialized) pool build — exposed for plan audits. */
+  private[graft] def contaminationPairsBuild(s: SparkSession, d: String): DataFrame = {
+      // Round 13: split on source BEFORE shingling. The two branches read
+      // DISJOINT source slices, so shingling each slice directly does the
+      // same total shingle work as the old shared subtree but needs no
+      // in-memory persist of the exploded corpus-shingle relation (the
+      // d19 lesson: caching array-of-string rows costs more than it
+      // saves), and the doc-grain source join disappears — each side's
+      // scan pushes its own source predicate down to parquet.
+      def side(pred: Column, idName: String) =
+        DedupQueries.shingledOf(docs(s, d).filter(pred))
+          .select(col("doc_id").as(idName), explode(col("shingles")).as("sg"))
+      val bench = side(col("source") === "src0", "bench_id")
+      val train = side(col("source") =!= "src0", "train_id")
       // The benchmark side is FIXED-SIZE (benchmarks don't grow with the
       // corpus), so broadcast it: the shingle join becomes map-side and the
       // full training corpus is never shuffled on sg — only the surviving

@@ -22,6 +22,7 @@ object PoolWarmup {
   val pools: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "jaccard_pairs" -> (DedupQueries.jaccardPool _),
     "minhash_sigs" -> (DedupQueries.minhashSigPool _),
+    "containment_ranked" -> (DedupQueries.containmentRankedPool _),
     "dedup_clusters" -> (DedupQueries.clusterPool _),
     "lsh_sweep" -> (DedupQueries.lshSweepPool _),
     "contamination_pairs" -> (PipelineQueries.contaminationPairs _),

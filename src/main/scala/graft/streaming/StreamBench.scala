@@ -56,6 +56,7 @@ object StreamBench {
     val (_, step, report) = kernels.find(_._1 == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown stream kernel $name"))
     val dir = java.nio.file.Files.createTempDirectory(s"stream_bench_$name").toString
+    var cached: Option[DataFrame] = None // released after the waves drain
     val waves: Seq[DataFrame] = name match {
       case "runs" | "acf" =>
         val orders = graft.Tables.orders(spark, sfDir)
@@ -71,6 +72,7 @@ object StreamBench {
         // clearCache() after the rep releases it.
         val arr = graft.queries.ExtraQueries10.wmArrivals(ev)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached = Some(arr)
         // 1-row driver protocol: longs only (java.sql.Date decoding
         // would need --add-opens sun.util.calendar, absent in the
         // raw-java Bench JVM)
@@ -90,6 +92,9 @@ object StreamBench {
         (0 until Waves).map(w => ev.filter(week === w))
     }
     waves.zipWithIndex.foreach { case (batch, w) => step(batch, dir, w.toLong) }
+    // r12 ADVICE: release the wave-prep cache here rather than relying on
+    // the caller's clearCache() — other entry points don't clear caches.
+    cached.foreach(_.unpersist(blocking = false))
     report(spark, dir).write.format("noop").mode("overwrite").save()
     stateBytes(dir)
   }

@@ -6,9 +6,13 @@ object QTime {
       System.err.println("usage: QTime <sfDir> <queryName> [queryName...]")
       sys.exit(2)
     }
-    val spark = SparkSession.builder().master("local[32]")
+    // Core count honors SPARK_GRAFT_CPUS (default 32) so the same tool
+    // can measure the low-core vs high-core scaling slice at sf1/sf10
+    // (round-13 VERDICT item 4); default behavior unchanged.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
